@@ -1,0 +1,543 @@
+"""The distributed Ray crawl engine.
+
+Round-based driver loop (the ticker-loop analog,
+/root/reference/crawler/crawler.go:34-51 + crawler/blocks.go:25-101)
+over:
+
+  * ``ShardActor`` — one raw Ray actor per host-hash shard, the single
+    owner of that shard's frontier heap, seen-set, politeness budget and
+    rollback window. Raw actors (not a map_batches pool) are justified
+    here and only here: this is a shared mutable index that must persist
+    across rounds (Dataset executions) — SURVEY.md §7.3.
+  * Ray Data stages for everything wide: fetch-sim (actor pool over
+    zero-copy Arrow batches), extraction (stateless vectorized kernel),
+    link routing (actor pool shipping Arrow sub-tables straight to the
+    owner shard actors — the frontier-merge shuffle, keyed by
+    hash64(host) %% shards, never touching the driver).
+
+Determinism: the global order of a round is fixed BEFORE any parallel
+work — DROPPED retractions (by original (round, seq)) then scheduled
+URLs (by (priority, host, url)) get dense ``seq`` values; every
+downstream stage carries (round, seq) as data. Output equality with the
+sequential oracle at any parallelism follows (SURVEY.md §7.4.1).
+
+Scale notes (10^10-URL frontier):
+  * Only the scheduled-URL *metadata* of one round (url/host/priority
+    strings, politeness-bounded) passes through the driver for global
+    ordering; page payloads never do. For rounds too large even for
+    that, ``schedule()``'s global cap degrades gracefully to per-shard
+    quotas (cap // shards) — set ``cfg.max_urls_per_round`` accordingly.
+  * Link exchange and window candidates flow actor-to-actor as Arrow
+    tables; the seen-filter runs sharded (no global shuffle).
+  * Outputs and checkpoints are round-keyed and idempotent: a re-run of
+    an uncommitted round overwrites its files (at-least-once with
+    idempotent sinks, SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from . import gen, schemas
+from .config import CrawlConfig
+from .functions.robots import is_allowed, parse_robots
+from .functions.urls import canonicalize_url, hash64, url_host
+from .sources.pages import PageStore
+from .stages.extractors import extract_batch
+from .stages.fetch import FetchSim, fetch_batch  # noqa: F401 (FetchSim kept for API)
+from .stages.links import RouteLinks, route_links  # noqa: F401
+
+
+def fetch_extract(batch: pa.Table, *, pages_dir: str) -> pa.Table:
+    """Fused fetch-sim + extraction stage (one task dispatch per batch)."""
+    return extract_batch(fetch_batch(batch, pages_dir=pages_dir))
+from .stages.sinks import write_sinks
+from .state import checkpoint as ckpt
+from .state.cuckoo import SeenSet
+from .state.frontier import HostFrontier
+from .state.window import RollbackWindow, WindowEntry
+
+_EMPTY_WINDOW = pa.table({f.name: pa.array([], f.type) for f in schemas.CHECKPOINT_WINDOW})
+
+
+def read_crawl_log(out_dir: str) -> pa.Table:
+    """Read the ordered crawl log back from its round-keyed layout.
+
+    Files are listed explicitly (no hive-partition inference — ``round``
+    is a real column in every file, the partition dirs are only the
+    idempotent-overwrite unit)."""
+    root = os.path.join(out_dir, "crawl_log")
+    if not os.path.isdir(root):
+        return pa.table({f.name: pa.array([], f.type) for f in schemas.CRAWL_LOG})
+    files = []
+    for rd_name in sorted(os.listdir(root)):
+        d = os.path.join(root, rd_name)
+        if os.path.isdir(d):
+            files.extend(os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet"))
+    tables = [pq.read_table(f).select([f2.name for f2 in schemas.CRAWL_LOG]) for f in files]
+    t = pa.concat_tables([t.cast(schemas.CRAWL_LOG) for t in tables]) if tables else pa.table(
+        {f.name: pa.array([], f.type) for f in schemas.CRAWL_LOG}
+    )
+    return t.sort_by([("round", "ascending"), ("seq", "ascending")])
+
+
+@ray.remote(num_cpus=0, max_restarts=0)
+class ShardActor:
+    """Owner of one host-hash shard's crawl state (SURVEY.md §2.4 T1-T6
+    analogs fused into the one stateful stage the north_rule mandates)."""
+
+    def __init__(
+        self,
+        shard: int,
+        nshards: int,
+        pages_dir: str,
+        robots_prefixes: dict[str, list[str]],
+        *,
+        tokens_per_host: int,
+        rollback_window: int,
+        cuckoo_capacity: int,
+        exact_seen: bool,
+    ):
+        self.shard = shard
+        self.nshards = nshards
+        self.tokens_per_host = tokens_per_host
+        self.exact_seen = exact_seen
+        self.cuckoo_capacity = cuckoo_capacity
+        self.robots = robots_prefixes
+        self.store = PageStore(pages_dir)
+        self.frontier = HostFrontier()
+        self.window = RollbackWindow(rollback_window)
+        self.seen = SeenSet(cuckoo_capacity, exact=exact_seen)
+        self.seen_urls: dict[int, str] = {}  # url_hash -> url (exact mode)
+        self.lineage = "0" * 32
+        self._pending_links: list[pa.Table] = []
+        self._pending_window: list[pa.Table] = []
+
+    # --- ingestion (called from RouteLinks tasks; order-independent) ----
+    def ingest(self, table: pa.Table) -> None:
+        self._pending_links.append(table)
+
+    def window_candidates(self, table: pa.Table) -> None:
+        self._pending_window.append(table)
+
+    # --- round protocol -------------------------------------------------
+    def begin_round(self, rnd: int) -> pa.Table:
+        """Retraction scan (reorg-detection analog,
+        /root/reference/crawler/blocks.go:105-129): probe the rollback
+        window's digests against the current page store; mismatches are
+        removed from the window, re-enqueued at original priority, and
+        returned for the driver to emit as DROPPED."""
+        self.store.refresh()
+        ents = self.window.entries()
+        if not ents:
+            return _EMPTY_WINDOW
+        cur = self.store.lookup_digests([e.url for e in ents], [e.host for e in ents])
+        dropped = [e for e, d in zip(ents, cur) if int(d) != e.digest]
+        for e in dropped:
+            self.window.remove(e.url)
+            self.frontier.push(e.host, e.url, e.priority)
+        return pa.table(
+            {
+                "round": pa.array([e.round for e in dropped], pa.int64()),
+                "seq": pa.array([e.seq for e in dropped], pa.int64()),
+                "url": pa.array([e.url for e in dropped], pa.string()),
+                "host": pa.array([e.host for e in dropped], pa.string()),
+                "url_hash": pa.array([e.url_hash for e in dropped], pa.uint64()),
+                "priority": pa.array([e.priority for e in dropped], pa.int64()),
+                "digest": pa.array([e.digest for e in dropped], pa.uint64()),
+                "n_links": pa.array([e.n_links for e in dropped], pa.int64()),
+                "text": pa.array([e.text for e in dropped], pa.string()),
+            },
+            schema=schemas.CHECKPOINT_WINDOW,
+        )
+
+    def schedule(self) -> pa.Table:
+        """Politeness-bounded per-host pops, (priority, url) order within
+        host — this shard's round candidates."""
+        cand = self.frontier.pop_round(self.tokens_per_host)
+        return pa.table(
+            {
+                "priority": pa.array([p for p, _, _ in cand], pa.int64()),
+                "host": pa.array([h for _, h, _ in cand], pa.string()),
+                "url": pa.array([u for _, _, u in cand], pa.string()),
+                "shard": pa.array([self.shard] * len(cand), pa.int64()),
+            }
+        )
+
+    def pushback(self, table: pa.Table) -> None:
+        """Return candidates truncated by the global round cap."""
+        for prio, host, url in zip(
+            table.column("priority").to_pylist(), table.column("host").to_pylist(), table.column("url").to_pylist()
+        ):
+            self.frontier.push(host, url, prio)
+
+    def _allowed(self, url: str, host: str) -> bool:
+        rules = self.robots.get(host)
+        if not rules:
+            return True
+        path = url[url.index(host) + len(host) :] or "/"
+        return is_allowed(path, rules)
+
+    def seed(self, table: pa.Table) -> None:
+        """Cold-start seeding (cmd/blockspiderd/main.go:100-123 analog):
+        canonical seed urls of this shard -> seen + frontier."""
+        self.ingest(table)
+        self._finalize_discoveries()
+
+    def finalize_round(self, rnd: int, scheduled_urls: list[str]) -> None:
+        """Round barrier work: commit window candidates in seq order,
+        finalize discoveries (min-priority, robots, seen-filter, enqueue),
+        advance the lineage digest chain."""
+        if self._pending_window:
+            w = pa.concat_tables(self._pending_window)
+            self._pending_window = []
+            order = np.argsort(w.column("seq").to_numpy(zero_copy_only=False), kind="stable")
+            rows = w.take(pa.array(order)).to_pylist()
+            for r in rows:
+                self.window.push(WindowEntry(**r))
+        self._finalize_discoveries()
+        h = hashlib.blake2b(self.lineage.encode(), digest_size=16)
+        for u in scheduled_urls:
+            h.update(u.encode())
+            h.update(b"\n")
+        self.lineage = h.hexdigest()
+
+    def _finalize_discoveries(self) -> None:
+        if not self._pending_links:
+            return
+        t = pa.concat_tables(self._pending_links)
+        self._pending_links = []
+        if t.num_rows == 0:
+            return
+        # min priority per url (round-batched enqueue => order-independent)
+        df = pd.DataFrame(
+            {
+                "url": t.column("url").to_pylist(),
+                "host": t.column("host").to_pylist(),
+                "url_hash": t.column("url_hash").to_numpy(zero_copy_only=False),
+                "priority": t.column("priority").to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(["url", "priority"], kind="stable").drop_duplicates("url", keep="first")
+        # seen-filter (sharded anti-join — the core frontier op, J4 analog)
+        unseen = ~self.seen.contains_many(df["url_hash"].to_numpy())
+        df = df[unseen]
+        allowed = np.fromiter(
+            (self._allowed(u, h) for u, h in zip(df["url"], df["host"])), dtype=bool, count=len(df)
+        )
+        df = df[allowed]
+        self.seen.add_many(df["url_hash"].to_numpy())
+        if self.exact_seen:
+            for uh, u in zip(df["url_hash"], df["url"]):
+                self.seen_urls[int(uh)] = u
+        for url, host, prio in zip(df["url"], df["host"], df["priority"]):
+            self.frontier.push(host, url, int(prio))
+
+    # --- introspection / persistence -----------------------------------
+    def seen_table(self) -> pa.Table:
+        hashes = np.fromiter(self.seen_urls.keys(), dtype=np.uint64, count=len(self.seen_urls))
+        order = np.argsort(hashes, kind="stable")
+        urls = list(self.seen_urls.values())
+        return pa.table(
+            {
+                "url_hash": pa.array(hashes[order], pa.uint64()),
+                "url": pa.array([urls[i] for i in order], pa.string()),
+            },
+            schema=schemas.SEEN,
+        )
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard,
+            "frontier": len(self.frontier),
+            "seen": len(self.seen),
+            "window": len(self.window),
+            "lineage": self.lineage,
+        }
+
+    def checkpoint(self, ckpt_dir: str, rnd: int) -> None:
+        ckpt.save_shard(
+            ckpt_dir,
+            rnd,
+            self.shard,
+            frontier=self.frontier,
+            window=self.window,
+            seen=self.seen,
+            lineage=self.lineage,
+            url_hash_of=lambda urls: hash64(urls) if urls else np.array([], np.uint64),
+            host_hash_of=lambda hosts: hash64(hosts) if hosts else np.array([], np.uint64),
+        )
+        # exact-mode sidecar: url_hash -> url mapping for seen_table()
+        if self.exact_seen:
+            base = os.path.join(ckpt.round_dir(ckpt_dir, rnd), f"shard-{self.shard}.seenurls.parquet")
+            tmp = base + ".tmp"
+            pq.write_table(self.seen_table(), tmp)
+            os.replace(tmp, base)
+
+    def load_checkpoint(self, ckpt_dir: str, rnd: int) -> None:
+        frontier, window, seen, lineage, _ = ckpt.load_shard(
+            ckpt_dir, rnd, self.shard, cuckoo_capacity=self.cuckoo_capacity, exact=self.exact_seen
+        )
+        window.limit = self.window.limit
+        self.frontier, self.seen, self.lineage = frontier, seen, lineage
+        self.window = window
+        if self.exact_seen:
+            base = os.path.join(ckpt.round_dir(ckpt_dir, rnd), f"shard-{self.shard}.seenurls.parquet")
+            t = pq.read_table(base)
+            self.seen_urls = dict(
+                zip((int(x) for x in t.column("url_hash").to_pylist()), t.column("url").to_pylist())
+            )
+
+
+class CrawlEngine:
+    """Driver for the round-based distributed crawl."""
+
+    def __init__(
+        self,
+        pages_dir: str,
+        seeds: list[str],
+        cfg: CrawlConfig,
+        out_dir: str,
+        *,
+        ckpt_dir: str | None = None,
+        resume: bool = False,
+        mutations: dict[int, list[str]] | None = None,
+        fetch_concurrency: int = 8,
+        route_concurrency: int = 4,
+        batch_size: int = 1024,
+        name: str | None = None,
+    ):
+        self.cfg = cfg
+        self.pages_dir = pages_dir
+        self.out_dir = out_dir
+        self.ckpt_dir = ckpt_dir
+        self.mutations = mutations or {}
+        self.fetch_concurrency = fetch_concurrency
+        self.route_concurrency = route_concurrency
+        self.batch_size = batch_size
+        self.ns = name or f"bsr-{uuid.uuid4().hex[:8]}"
+        self.metrics: list[dict] = []
+
+        store = PageStore(pages_dir)
+        robots_all = {h: parse_robots(t) for h, t in store.read_robots().items()}
+        host_shard = {
+            h: int(s) for h, s in zip(robots_all, hash64(list(robots_all)) % np.uint64(cfg.shards))
+        } if robots_all else {}
+
+        self.actors = []
+        for s in range(cfg.shards):
+            shard_robots = {h: r for h, r in robots_all.items() if host_shard.get(h) == s and r}
+            self.actors.append(
+                ShardActor.options(name=f"{self.ns}-shard-{s}").remote(
+                    s,
+                    cfg.shards,
+                    pages_dir,
+                    shard_robots,
+                    tokens_per_host=cfg.tokens_per_host_per_round,
+                    rollback_window=cfg.rollback_window,
+                    cuckoo_capacity=cfg.cuckoo_capacity_per_shard,
+                    exact_seen=cfg.exact_seen,
+                )
+            )
+
+        self.start_round = 0
+        resumed = False
+        if resume and ckpt_dir is not None:
+            last = ckpt.latest_committed_round(ckpt_dir)
+            if last is not None:
+                ray.get([a.load_checkpoint.remote(ckpt_dir, last) for a in self.actors])
+                self.start_round = last + 1
+                self._clean_rounds_after(last)
+                resumed = True
+        if not resumed:
+            self._seed(seeds)
+
+    def _seed(self, seeds: list[str]) -> None:
+        canon = [canonicalize_url(s) for s in seeds]
+        canon = [c for c in canon if c is not None]
+        if not canon:
+            return
+        hosts = [url_host(c) for c in canon]
+        uh = hash64(canon)
+        shard = (hash64(hosts) % np.uint64(self.cfg.shards)).astype(np.int64)
+        t = pa.table(
+            {
+                "url": pa.array(canon, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "url_hash": pa.array(uh, pa.uint64()),
+                "priority": pa.array(np.zeros(len(canon), dtype=np.int64), pa.int64()),
+            }
+        )
+        refs = []
+        for s in np.unique(shard):
+            refs.append(self.actors[int(s)].seed.remote(t.filter(pa.array(shard == s))))
+        ray.get(refs)
+
+    def _clean_rounds_after(self, last_committed: int) -> None:
+        log_root = os.path.join(self.out_dir, "crawl_log")
+        if not os.path.isdir(log_root):
+            return
+        for nm in os.listdir(log_root):
+            if nm.startswith("round=") and int(nm.split("=")[1]) > last_committed:
+                shutil.rmtree(os.path.join(log_root, nm))
+
+    # --- one crawl round ------------------------------------------------
+    def run_round(self, rnd: int) -> bool:
+        cfg = self.cfg
+        if rnd in self.mutations:
+            # test hook: the simulator rewrites pages mid-crawl (reorg analog)
+            gen.apply_mutations(self.pages_dir, self.mutations[rnd])
+
+        # 1. retraction scan on every shard
+        dropped_parts = [t for t in ray.get([a.begin_round.remote(rnd) for a in self.actors]) if t.num_rows]
+        dropped = (
+            pa.concat_tables(dropped_parts).sort_by([("round", "ascending"), ("seq", "ascending")])
+            if dropped_parts
+            else None
+        )
+        ndrop = dropped.num_rows if dropped is not None else 0
+
+        # 2. gather candidates, fix the global order, apply the round cap
+        sched_parts = ray.get([a.schedule.remote() for a in self.actors])
+        sched = pa.concat_tables([t for t in sched_parts if t.num_rows]) if any(
+            t.num_rows for t in sched_parts
+        ) else None
+        if sched is None and ndrop == 0:
+            return False
+        take = None
+        if sched is not None:
+            sched = sched.sort_by([("priority", "ascending"), ("host", "ascending"), ("url", "ascending")])
+            take = sched.slice(0, cfg.max_urls_per_round)
+            rest = sched.slice(cfg.max_urls_per_round)
+            if rest.num_rows:
+                rs = rest.column("shard").to_numpy(zero_copy_only=False)
+                ray.get(
+                    [
+                        self.actors[int(s)].pushback.remote(rest.filter(pa.array(rs == s)))
+                        for s in np.unique(rs)
+                    ]
+                )
+
+        round_dir = os.path.join(self.out_dir, "crawl_log", f"round={rnd}")
+        if os.path.isdir(round_dir):
+            shutil.rmtree(round_dir)
+        os.makedirs(round_dir, exist_ok=True)
+
+        # 3. DROPPED retraction rows come first in the round's sequence
+        if ndrop:
+            dt = pa.table(
+                {
+                    "round": pa.array(np.full(ndrop, rnd, dtype=np.int64), pa.int64()),
+                    "seq": pa.array(np.arange(ndrop, dtype=np.int64), pa.int64()),
+                    "host": dropped.column("host"),
+                    "url": dropped.column("url"),
+                    "status": pa.array(["DROPPED"] * ndrop, pa.string()),
+                    "n_links": dropped.column("n_links"),
+                    "text": dropped.column("text"),
+                    "version": pa.array(np.full(ndrop, 1, dtype=np.int32), pa.int32()),
+                },
+                schema=schemas.CRAWL_LOG,
+            )
+            pq.write_table(dt, os.path.join(round_dir, "part-dropped.parquet"))
+
+        # 4. fetch -> extract -> route, streaming over Arrow batches
+        n_take = take.num_rows if take is not None else 0
+        if n_take:
+            urls = take.column("url").to_pylist()
+            hosts = take.column("host").to_pylist()
+            sched_t = pa.table(
+                {
+                    "round": pa.array(np.full(n_take, rnd, dtype=np.int64), pa.int64()),
+                    "seq": pa.array(np.arange(ndrop, ndrop + n_take, dtype=np.int64), pa.int64()),
+                    "url": take.column("url"),
+                    "host": take.column("host"),
+                    "url_hash": pa.array(hash64(urls), pa.uint64()),
+                    "priority": take.column("priority"),
+                    "shard": take.column("shard"),
+                },
+                schema=schemas.SCHEDULED,
+            )
+            # group blocks by physical page shard so each fetch batch is
+            # partition-local (one pshard file per batch — no cross-shard reads)
+            pshard = (hash64(hosts) % np.uint64(PageStore(self.pages_dir).n_shards)).astype(np.int64)
+            blocks = [sched_t.filter(pa.array(pshard == s)) for s in np.unique(pshard)]
+            ds = rd.from_arrow(blocks)
+            # task pools, not actor pools: worker-process-global caches give
+            # per-process state amortization (stages.fetch.worker_store)
+            # while avoiding fresh actor-pool startup on every round.
+            ds = ds.map_batches(
+                fetch_extract,
+                fn_kwargs={"pages_dir": self.pages_dir},
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                num_cpus=1,
+            )
+            ds = ds.map_batches(
+                route_links,
+                fn_kwargs={"actor_ns": self.ns, "nshards": cfg.shards},
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                num_cpus=0.5,
+            )
+            ds = ds.select_columns(["round", "seq", "host", "url", "status", "n_links", "text", "version"])
+            ds.write_parquet(round_dir)
+
+        # 5. round barrier: finalize discoveries + lineage on every shard
+        shard_urls: dict[int, list[str]] = {s: [] for s in range(cfg.shards)}
+        if n_take:
+            for u, s in zip(sched_t.column("url").to_pylist(), sched_t.column("shard").to_pylist()):
+                shard_urls[int(s)].append(u)
+        ray.get([a.finalize_round.remote(rnd, shard_urls[s]) for s, a in enumerate(self.actors)])
+
+        # 6. per-sink filtered streams from this round's committed rows
+        if cfg.sinks:
+            round_table = pq.read_table(round_dir)
+            write_sinks(round_table, rnd, self.out_dir, cfg.sinks)
+
+        # 7. checkpoint + commit
+        if self.ckpt_dir is not None:
+            ray.get([a.checkpoint.remote(self.ckpt_dir, rnd) for a in self.actors])
+            ckpt.commit_round(self.ckpt_dir, rnd, cfg.shards)
+
+        self.metrics.append({"round": rnd, "dropped": ndrop, "scheduled": n_take})
+        return True
+
+    def run(self, max_rounds: int | None = None) -> int:
+        """Run rounds until the frontier drains or the cap hits; returns
+        the number of rounds executed."""
+        R = self.cfg.max_rounds if max_rounds is None else max_rounds
+        executed = 0
+        for rnd in range(self.start_round, R):
+            if not self.run_round(rnd):
+                break
+            executed += 1
+        return executed
+
+    # --- results --------------------------------------------------------
+    def crawl_log(self) -> pa.Table:
+        return read_crawl_log(self.out_dir)
+
+    def seen_table(self) -> pa.Table:
+        parts = ray.get([a.seen_table.remote() for a in self.actors])
+        t = pa.concat_tables(parts)
+        return t.sort_by([("url_hash", "ascending")])
+
+    def stats(self) -> list[dict]:
+        return ray.get([a.stats.remote() for a in self.actors])
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

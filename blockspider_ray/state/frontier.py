@@ -1,0 +1,99 @@
+"""Per-host priority frontier + politeness token buckets.
+
+The frontier is the crawl analog of the reference's ordered task chain
+(/root/reference/syncronizer/synchronizer.go:3-55): work is released in a
+deterministic order regardless of fetch parallelism. Here the order is
+defined (not inherited from a serial committer): within a host, URLs pop
+in ``(priority, url)`` ascending order; across hosts, the round's global
+sequence is ``(priority, host, url)`` ascending (assigned by the engine).
+
+Politeness is the ticker-interval analog (/root/reference/crawler/crawler.go:34-40):
+each host may schedule at most ``tokens_per_host_per_round`` URLs per
+round (full refill per round — deterministic, parallelism-independent).
+"""
+
+from __future__ import annotations
+
+import heapq
+import time
+from collections import defaultdict
+
+
+class TokenBucket:
+    """Classic rate-limited token bucket (provided for wall-clock-polite
+    deployments; the conformance engine uses per-round full refill, which
+    is this bucket with capacity==refill and one refill per round)."""
+
+    def __init__(self, capacity: float, refill_per_sec: float, now: float | None = None):
+        self.capacity = float(capacity)
+        self.refill = float(refill_per_sec)
+        self.tokens = float(capacity)
+        self._last = time.monotonic() if now is None else now
+
+    def try_acquire(self, n: float = 1.0, now: float | None = None) -> bool:
+        t = time.monotonic() if now is None else now
+        self.tokens = min(self.capacity, self.tokens + (t - self._last) * self.refill)
+        self._last = t
+        if self.tokens >= n:
+            self.tokens -= n
+            return True
+        return False
+
+
+class HostFrontier:
+    """Priority frontier for the hosts one shard owns.
+
+    Per host: a lazy-deletion heap of ``(priority, url)``. Pop order is
+    strictly ``(priority, url)`` ascending — deterministic for any insert
+    order, which is what makes the distributed engine's output equal to
+    the sequential oracle's at any parallelism.
+    """
+
+    def __init__(self):
+        self._heaps: dict[str, list[tuple[int, str]]] = defaultdict(list)
+        self._queued: set[str] = set()  # urls currently queued (dedup guard)
+        self.size = 0
+
+    def push(self, host: str, url: str, priority: int) -> bool:
+        """Queue a url; returns False if it is already queued."""
+        if url in self._queued:
+            return False
+        heapq.heappush(self._heaps[host], (priority, url))
+        self._queued.add(url)
+        self.size += 1
+        return True
+
+    def pop_host(self, host: str, k: int) -> list[tuple[int, str]]:
+        """Pop up to k urls of one host in (priority, url) order."""
+        heap = self._heaps.get(host)
+        out: list[tuple[int, str]] = []
+        while heap and len(out) < k:
+            prio, url = heapq.heappop(heap)
+            self._queued.discard(url)
+            self.size -= 1
+            out.append((prio, url))
+        if heap is not None and not heap:
+            del self._heaps[host]
+        return out
+
+    def pop_round(self, tokens_per_host: int) -> list[tuple[int, str, str]]:
+        """One round's politeness-bounded candidates from every host:
+        list of (priority, host, url). Hosts are visited in sorted order
+        so the result is deterministic."""
+        out: list[tuple[int, str, str]] = []
+        for host in sorted(self._heaps.keys()):
+            for prio, url in self.pop_host(host, tokens_per_host):
+                out.append((prio, host, url))
+        return out
+
+    def items(self) -> list[tuple[int, str, str]]:
+        """All queued (priority, url, host) — checkpoint snapshot order:
+        (host, priority, url)."""
+        out = []
+        for host in sorted(self._heaps.keys()):
+            for prio, url in sorted(self._heaps[host]):
+                out.append((prio, url, host))
+        return out
+
+    def __len__(self) -> int:
+        return self.size

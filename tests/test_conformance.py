@@ -1,0 +1,206 @@
+"""Engine-vs-oracle conformance — the heart of the verification strategy
+(SURVEY.md §5): exact crawl order, byte-identical text per url, exact
+seen-set, retraction/replay on mutation, resume-from-checkpoint.
+
+The sequential oracle (oracle.py) plays the role of the reference
+implementation; the distributed Ray engine must match it exactly at any
+parallelism (the in-order-commit guarantee of
+/root/reference/syncronizer/synchronizer.go:12-36, re-derived from data
+ordering instead of a serialized committer)."""
+
+import shutil
+
+import pyarrow.compute as pc
+import pytest
+
+from blockspider_ray import gen
+from blockspider_ray.config import CrawlConfig, SinkSpec
+from blockspider_ray.engine import CrawlEngine
+from blockspider_ray.oracle import OracleCrawler
+
+ROUNDS = 6
+
+
+def small_cfg(**kw):
+    base = dict(tokens_per_host_per_round=2, max_urls_per_round=500, shards=4, rollback_window=16, max_rounds=ROUNDS)
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def oracle_run(tiny_fixture):
+    pages_dir, seeds = tiny_fixture
+    oc = OracleCrawler(pages_dir, seeds, small_cfg())
+    log, seen = oc.run()
+    return log, seen
+
+
+@pytest.fixture(scope="module")
+def engine_run(tiny_fixture, tmp_path_factory):
+    pages_dir, seeds = tiny_fixture
+    out = str(tmp_path_factory.mktemp("engine_out"))
+    eng = CrawlEngine(pages_dir, seeds, small_cfg(), out)
+    eng.run()
+    log, seen = eng.crawl_log(), eng.seen_table()
+    eng.shutdown()
+    return log, seen
+
+
+class TestConformance:
+    def test_crawl_log_exact_equality(self, oracle_run, engine_run):
+        olog, _ = oracle_run
+        elog, _ = engine_run
+        assert elog.num_rows == olog.num_rows
+        assert elog.equals(olog), "engine crawl_log != oracle crawl_log"
+
+    def test_text_byte_identity_vs_store(self, tiny_fixture, engine_run):
+        # per-url text must be byte-identical to the generator's ground
+        # truth (which was computed with extract_text at generation time)
+        from blockspider_ray.oracle import load_pages_dict
+
+        pages_dir, _ = tiny_fixture
+        pages = load_pages_dict(pages_dir)
+        elog, _ = engine_run
+        acc = elog.filter(pc.equal(elog.column("status"), "ACCEPTED"))
+        for url, text in zip(acc.column("url").to_pylist(), acc.column("text").to_pylist()):
+            assert text == pages[url][1], f"text mismatch for {url}"
+
+    def test_seen_set_equality(self, oracle_run, engine_run):
+        _, oseen = oracle_run
+        _, eseen = engine_run
+        assert eseen.equals(oseen)
+
+    def test_seq_dense_within_round(self, engine_run):
+        elog, _ = engine_run
+        for rnd in sorted(set(elog.column("round").to_pylist())):
+            part = elog.filter(pc.equal(elog.column("round"), rnd))
+            seqs = part.column("seq").to_pylist()
+            assert seqs == list(range(len(seqs)))
+
+    def test_statuses(self, engine_run):
+        elog, _ = engine_run
+        assert set(elog.column("status").to_pylist()) <= {"ACCEPTED", "MISSING", "DROPPED"}
+        assert set(elog.column("version").to_pylist()) == {1}
+
+
+class TestRobots:
+    def test_disallowed_host_never_crawled(self, oracle_run, engine_run):
+        # fixture hosts h % 10 == 3 disallow /p/00 (FIXTURES.md §1), which
+        # covers every page url at tiny scale
+        for log, _ in (oracle_run, engine_run):
+            for url in log.column("url").to_pylist():
+                host = url.split("/")[2]
+                hid = int(host.split("-")[1].split(".")[0])
+                assert hid % 10 != 3, f"robots-disallowed url crawled: {url}"
+
+
+class TestParallelismInvariance:
+    def test_shard_count_does_not_change_output(self, tiny_fixture, oracle_run, tmp_path_factory):
+        # different shard counts => different actor partitioning; output
+        # must be identical (window eviction is per-shard, so the oracle
+        # must be re-run at the same shard count)
+        pages_dir, seeds = tiny_fixture
+        olog, oseen = OracleCrawler(pages_dir, seeds, small_cfg(shards=3)).run()
+        out = str(tmp_path_factory.mktemp("engine_out_s3"))
+        eng = CrawlEngine(pages_dir, seeds, small_cfg(shards=3), out, batch_size=64)
+        eng.run()
+        elog, eseen = eng.crawl_log(), eng.seen_table()
+        eng.shutdown()
+        assert elog.equals(olog)
+        assert eseen.equals(oseen)
+
+
+class TestSinks:
+    def test_predicate_sinks(self, tiny_fixture, tmp_path_factory):
+        import os
+
+        import pyarrow.parquet as pq
+
+        pages_dir, seeds = tiny_fixture
+        out = str(tmp_path_factory.mktemp("sink_out"))
+        cfg = small_cfg(
+            max_rounds=3,
+            sinks=[
+                SinkSpec(path="out/all", predicate=None),
+                SinkSpec(path="out/accepted", predicate={"status": ["ACCEPTED"]}),
+            ],
+        )
+        eng = CrawlEngine(pages_dir, seeds, cfg, out)
+        eng.run()
+        log = eng.crawl_log()
+        eng.shutdown()
+
+        def read_sink(p):
+            files = []
+            root = os.path.join(out, p)
+            for rd in sorted(os.listdir(root)):
+                d = os.path.join(root, rd)
+                files += [os.path.join(d, f) for f in sorted(os.listdir(d))]
+            import pyarrow as pa
+
+            return pa.concat_tables([pq.read_table(f) for f in files]).sort_by(
+                [("round", "ascending"), ("seq", "ascending")]
+            )
+
+        allt = read_sink("out/all")
+        acc = read_sink("out/accepted")
+        assert allt.num_rows == log.num_rows
+        assert acc.num_rows == log.filter(pc.equal(log.column("status"), "ACCEPTED")).num_rows
+        assert set(acc.column("status").to_pylist()) == {"ACCEPTED"}
+
+
+class TestMutationRetraction:
+    def test_dropped_and_recrawl(self, tiny_fixture, tmp_path_factory):
+        """Mutate crawled pages between rounds => DROPPED retractions with
+        the previously emitted text, then re-ACCEPTED rows with the new
+        text (the reorg walk-back analog, crawler/blocks.go:131-189)."""
+        pages_dir, seeds = tiny_fixture
+        work = str(tmp_path_factory.mktemp("mut"))
+        mut_pages_dir = f"{work}/pages"
+        shutil.copytree(pages_dir, mut_pages_dir)
+
+        cfg = small_cfg(max_rounds=5)
+        # pick urls crawled in round 1 (known from an unmutated oracle run)
+        probe = OracleCrawler(pages_dir, seeds, cfg)
+        plog, _ = probe.run(max_rounds=2)
+        r1 = plog.filter(
+            pc.and_(pc.equal(plog.column("round"), 1), pc.equal(plog.column("status"), "ACCEPTED"))
+        )
+        victims = r1.column("url").to_pylist()[:3]
+        assert victims
+        mutations = {3: victims}
+
+        # oracle over a private mutated copy
+        ocopy = f"{work}/opages"
+        shutil.copytree(pages_dir, ocopy)
+        mutated_pages = {}
+        for rnd, urls in mutations.items():
+            changed = gen.apply_mutations(ocopy, urls)
+            from blockspider_ray.functions.extract import extract_text
+
+            mutated_pages[rnd] = {u: (h, extract_text(h)) for u, h in changed.items()}
+        olog, oseen = OracleCrawler(pages_dir, seeds, cfg, mutated_pages=mutated_pages).run()
+
+        out = f"{work}/out"
+        eng = CrawlEngine(mut_pages_dir, seeds, cfg, out, mutations=mutations)
+        eng.run()
+        elog, eseen = eng.crawl_log(), eng.seen_table()
+        eng.shutdown()
+
+        # retraction happened
+        dropped = elog.filter(pc.equal(elog.column("status"), "DROPPED"))
+        assert set(dropped.column("url").to_pylist()) == set(victims)
+        assert set(dropped.column("round").to_pylist()) == {3}
+        # dropped rows carry the OLD text; the same urls are re-ACCEPTED
+        # in the same round with the NEW text
+        r3 = elog.filter(pc.equal(elog.column("round"), 3))
+        racc = r3.filter(pc.equal(r3.column("status"), "ACCEPTED"))
+        reacc = {u: t for u, t in zip(racc.column("url").to_pylist(), racc.column("text").to_pylist())}
+        for u in victims:
+            assert u in reacc
+            assert "MUTATED" in reacc[u]
+        for t in dropped.column("text").to_pylist():
+            assert "MUTATED" not in t
+        # and the whole run still matches the oracle exactly
+        assert elog.equals(olog)
+        assert eseen.equals(oseen)

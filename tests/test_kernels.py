@@ -1,0 +1,108 @@
+"""Unit tests for the pure kernels — mirrors the reference's codec tests
+(/root/reference/util/hexutil_test pattern) and golden transform tests
+(/root/reference/common/blocks_test.go:17-52)."""
+
+import numpy as np
+
+from blockspider_ray.functions.extract import content_digest, extract_links, extract_text, extract_title
+from blockspider_ray.functions.robots import is_allowed, parse_robots
+from blockspider_ray.functions.urls import canonicalize_url, hash64, hash64_one, url_host
+
+
+class TestCanonicalize:
+    def test_lowercase_scheme_host(self):
+        assert canonicalize_url("HTTP://Host.Example/Path") == "http://host.example/Path"
+
+    def test_default_port_stripped(self):
+        assert canonicalize_url("http://h.example:80/x") == "http://h.example/x"
+        assert canonicalize_url("https://h.example:443/x") == "https://h.example/x"
+        assert canonicalize_url("http://h.example:8080/x") == "http://h.example:8080/x"
+
+    def test_fragment_dropped(self):
+        assert canonicalize_url("http://h.example/x#frag") == "http://h.example/x"
+
+    def test_query_sorted(self):
+        assert canonicalize_url("http://h.example/x?b=2&a=1") == "http://h.example/x?a=1&b=2"
+
+    def test_empty_path(self):
+        assert canonicalize_url("http://h.example") == "http://h.example/"
+
+    def test_relative_resolution(self):
+        assert canonicalize_url("/p/000003", base="http://h.example/p/000001") == "http://h.example/p/000003"
+        assert canonicalize_url("sub", base="http://h.example/a/b") == "http://h.example/a/sub"
+
+    def test_non_http_rejected(self):
+        assert canonicalize_url("mailto:x@y.z") is None
+        assert canonicalize_url("javascript:void(0)") is None
+        assert canonicalize_url("ftp://h.example/f") is None
+
+    def test_idempotent(self):
+        u = canonicalize_url("HTTP://H.Example:80/x?b=2&a=1#f")
+        assert canonicalize_url(u) == u
+
+
+class TestHash:
+    def test_deterministic(self):
+        a = hash64(["http://a/x", "http://b/y"])
+        b = hash64(["http://a/x", "http://b/y"])
+        assert (a == b).all()
+        assert a.dtype == np.uint64
+
+    def test_known_value_stability(self):
+        # pins the cross-process stability the sharded seen-set relies on
+        assert hash64_one("http://a/x") == hash64_one("http://a/x")
+        assert hash64_one("http://a/x") != hash64_one("http://a/y")
+
+
+class TestExtract:
+    HTML = (
+        b"<html><head><title>My  Title</title><script>var x=1;</script>"
+        b"<style>p{}</style></head><body><div>nav</div><p>Hello &amp; world.</p>"
+        b'<p><a href="/p/000002">link a</a></p>'
+        b'<p><a href="http://other.example/p/000009?b=2&a=1">link b</a></p>'
+        b"<!-- comment --><div>footer</div></body></html>"
+    )
+
+    def test_text_golden(self):
+        assert extract_text(self.HTML) == "My Title\nnav\nHello & world.\nlink a\nlink b\nfooter"
+
+    def test_script_style_comment_removed(self):
+        assert "var x" not in extract_text(self.HTML)
+        assert "comment" not in extract_text(self.HTML)
+
+    def test_title(self):
+        assert extract_title(self.HTML) == "My Title"
+
+    def test_links_canonical_in_order(self):
+        links = extract_links(self.HTML, "http://h.example/p/000001")
+        assert links == [
+            "http://h.example/p/000002",
+            "http://other.example/p/000009?a=1&b=2",
+        ]
+
+    def test_digest_changes_with_content(self):
+        assert content_digest(self.HTML) != content_digest(self.HTML + b" ")
+        assert content_digest(None) == 0
+
+    def test_empty(self):
+        assert extract_text(b"") == ""
+        assert extract_links(b"", "http://h.example/") == []
+
+
+class TestRobots:
+    def test_parse_and_match(self):
+        rules = parse_robots("User-agent: *\nDisallow: /p/00\n\nUser-agent: bot\nDisallow: /all\n")
+        assert rules == ["/p/00"]
+        assert not is_allowed("/p/001234", rules)
+        assert is_allowed("/p/991234", rules)
+        assert is_allowed("/q/000001", rules)
+
+    def test_empty_disallow_is_allow_all(self):
+        assert parse_robots("User-agent: *\nDisallow:\n") == []
+
+    def test_comments_ignored(self):
+        assert parse_robots("# hi\nUser-agent: *\nDisallow: /x # inline\n") == ["/x"]
+
+
+def test_url_host():
+    assert url_host("http://host-0001.example/p/000001") == "host-0001.example"
