@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipelines (documents corpus-prep + a tiny
+deterministic crawl through the full engine); ``queries()`` — one entry
+per implemented operator family from SURVEY.md §2 (+ the training-data
+additions); ``oracle_sql()`` — DuckDB equivalents with matching column
+names for every SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in blockspider_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +15,206 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_CRAWL_CACHE: dict[str, Any] = {}
+
+
+def _crawl_tiny():
+    """One deterministic tiny crawl through the distributed engine,
+    memoized per process (shared by the crawl_* queries)."""
+    if "tiny" not in _CRAWL_CACHE:
+        import shutil
+
+        from blockspider_ray import gen
+        from blockspider_ray.config import CrawlConfig
+        from blockspider_ray.engine import CrawlEngine
+
+        pages_dir, seeds = gen.ensure_fixture("tiny")
+        out = "/tmp/bsr_entry_crawl"
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = CrawlConfig(tokens_per_host_per_round=2, max_urls_per_round=500, shards=4, max_rounds=6)
+        eng = CrawlEngine(pages_dir, seeds, cfg, out)
+        eng.run()
+        log, seen = eng.crawl_log(), eng.seen_table()
+        eng.shutdown()
+        _CRAWL_CACHE["tiny"] = (log, seen)
+    return _CRAWL_CACHE["tiny"]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: corpus-prep over sf0.001 documents (token counts +
+    quality + language id fused), after smoke-running the tiny crawl
+    through the full distributed engine."""
+    import pyarrow as pa
+
+    from blockspider_ray.pipelines import textstats
+
+    log, _ = _crawl_tiny()
+    assert log.num_rows > 0, "tiny crawl produced no rows"
+
+    sf_dir = "/root/testdata/sf0.001"
+    quality = textstats.quality(sf_dir).to_pandas().set_index("doc_id")
+    lang = textstats.langid(sf_dir).to_pandas().set_index("doc_id")
+    out = quality.join(lang[["lang", "detected"]]).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from blockspider_ray.pipelines import dedup, relational, similarity, textstats, windows
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # relational core (SURVEY.md §2.2, §2.5, §2.6)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "filter_project": relational.filter_project,
+        "join_customer_orders": relational.join_customer_orders,
+        "join_orders_lineitem": relational.join_orders_lineitem,
+        "topk_orders": relational.topk_orders,
+        "distinct_segments": relational.distinct_segments,
+        "anti_join_customers": relational.anti_join_customers,
+        "semi_join_parts": relational.semi_join_parts,
+        "global_max": relational.global_max,
+        "explode_tokens": relational.explode_tokens,
+        # stream-shaped (§2.7)
+        "tumbling_hour": windows.tumbling_hour,
+        "sessionize": windows.sessionize,
+        "enrich_props": windows.enrich_props,
+        "events_stats": windows.events_stats,
+        # text analysis
+        "token_counts": textstats.token_counts,
+        "doc_stats_by_lang": textstats.doc_stats_by_lang,
+        "langid": textstats.langid,
+        "quality": textstats.quality,
+        "fingerprints": textstats.fingerprints,
+        # dedup family
+        "exact_dedup": dedup.exact_dedup,
+        "first_per_key": dedup.first_per_key,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_near_dups": dedup.simhash_near_dups,
+        # similarity search
+        "knn_cosine": similarity.knn_cosine,
+        "knn_lsh": similarity.knn_lsh,
+        "label_centroids": similarity.label_centroids,
+        # the crawl engine itself (deterministic tiny fixture; the oracle
+        # equivalence is enforced in pytest, rows-only here)
+        "crawl_log": lambda sf_dir: _crawl_tiny()[0],
+        "crawl_seen": lambda sf_dir: _crawl_tiny()[1],
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*)::BIGINT AS count_order,
+                   ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+                   ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_quantity,
+                   l_extendedprice * (1 - l_discount) AS revenue,
+                   1::INTEGER AS version
+            FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05
+        """,
+        "join_customer_orders": """
+            SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total_price, COUNT(*)::BIGINT AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "join_orders_lineitem": """
+            SELECT o_orderstatus,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "distinct_segments": """
+            SELECT c_mktsegment, COUNT(*)::BIGINT AS n_customers FROM customer GROUP BY c_mktsegment
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "semi_join_parts": """
+            SELECT p_partkey, p_brand, p_size FROM part
+            WHERE p_size > 40 AND p_partkey IN (SELECT l_partkey FROM lineitem)
+        """,
+        "global_max": """
+            SELECT MAX(o_orderdate) AS max_date, ROUND(MAX(o_totalprice), 2) AS max_price FROM orders
+        """,
+        "explode_tokens": r"""
+            SELECT doc_id, generate_subscripts(toks, 1)::BIGINT AS pos, unnest(toks) AS token
+            FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+                  FROM documents)
+        """,
+        "tumbling_hour": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   ROUND(SUM(value), 2) AS sum_value, COUNT(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize": """
+            WITH d AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events)
+            SELECT user_id, SUM(new_s)::BIGINT AS n_sessions, COUNT(*)::BIGINT AS n_events
+            FROM d GROUP BY user_id
+        """,
+        "enrich_props": r"""
+            SELECT event_type,
+                   SUM(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS sum_k,
+                   COUNT(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "events_stats": """
+            SELECT event_type, COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'))::BIGINT AS n_bpeish
+            FROM documents
+        """,
+        "doc_stats_by_lang": r"""
+            SELECT lang, SUM(n_chars)::BIGINT AS sum_chars,
+                   SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))::BIGINT AS sum_tokens,
+                   COUNT(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "exact_dedup": r"""
+            SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents
+            GROUP BY regexp_replace(trim(text), '\s+', ' ', 'g')
+        """,
+        "first_per_key": """
+            SELECT lang, source, MIN(doc_id)::BIGINT AS first_doc, COUNT(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang, source
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+                 c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3)
+            SELECT qid, vec_id,
+                   ROUND(list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[]), 3) AS sim
+            FROM q CROSS JOIN c
+            QUALIFY row_number() OVER (PARTITION BY qid
+                     ORDER BY list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[]) DESC, vec_id) <= 5
+        """,
+        "label_centroids": """
+            WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                              unnest(embedding)::DOUBLE AS v FROM embeddings),
+                 a AS (SELECT label, dim, SUM(v) AS s, COUNT(*) AS n FROM x GROUP BY label, dim)
+            SELECT label::BIGINT AS label, MAX(n)::BIGINT AS n,
+                   ROUND(sqrt(SUM((s / n) * (s / n))), 4) AS centroid_norm
+            FROM a GROUP BY label
+        """,
+    }

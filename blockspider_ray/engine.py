@@ -54,15 +54,47 @@ from . import gen, schemas
 from .config import CrawlConfig
 from .functions.robots import is_allowed, parse_robots
 from .functions.urls import canonicalize_url, hash64, url_host
-from .sources.pages import PageStore
+from .sources.pages import PageStore, SharedPages
 from .stages.extractors import extract_batch
 from .stages.fetch import FetchSim, fetch_batch  # noqa: F401 (FetchSim kept for API)
 from .stages.links import RouteLinks, route_links  # noqa: F401
 
 
-def fetch_extract(batch: pa.Table, *, pages_dir: str) -> pa.Table:
+def fetch_extract(batch: pa.Table, *, pages_refs: dict, n_pshards: int) -> pa.Table:
     """Fused fetch-sim + extraction stage (one task dispatch per batch)."""
-    return extract_batch(fetch_batch(batch, pages_dir=pages_dir))
+    return extract_batch(fetch_batch(batch, pages_refs=pages_refs, n_pshards=n_pshards))
+
+
+def process_and_sink(
+    batch: pa.Table,
+    *,
+    pages_refs: dict,
+    n_pshards: int,
+    actor_ns: str,
+    nshards: int,
+    round_dir: str,
+    seen_refs: dict | None = None,
+) -> pa.Table:
+    """The whole per-batch crawl step as ONE Ray Data operator:
+    fetch-sim -> extract -> route links/window to shard actors -> write
+    this batch's crawl-log rows as its own part file in the round dir
+    (custom sink inside the stage: removes two operator barriers and the
+    write operator's per-round fixed overhead, which dominates small
+    rounds; at large rounds the same fusion just removes two object-store
+    round-trips per batch). Returns a one-row summary per batch."""
+    out = extract_batch(fetch_batch(batch, pages_refs=pages_refs, n_pshards=n_pshards))
+    out, send_refs = route_links(out, actor_ns=actor_ns, nshards=nshards, seen_refs=seen_refs, defer=True)
+    rows = out.select([f.name for f in schemas.CRAWL_LOG]).cast(schemas.CRAWL_LOG)
+    seq0 = rows.column("seq")[0].as_py() if rows.num_rows else 0
+    path = os.path.join(round_dir, f"part-{seq0:09d}-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(rows, path)
+    if send_refs:
+        ray.get(send_refs)  # delivery barrier AFTER the write overlapped it
+    return pa.table({"n": pa.array([rows.num_rows], pa.int64())})
+
+
+# plain-task form of the fused stage, for tail/drain rounds (see run_round)
+_process_task = ray.remote(num_cpus=1)(process_and_sink)
 from .stages.sinks import write_sinks
 from .state import checkpoint as ckpt
 from .state.cuckoo import SeenSet
@@ -116,7 +148,6 @@ class ShardActor:
         self.exact_seen = exact_seen
         self.cuckoo_capacity = cuckoo_capacity
         self.robots = robots_prefixes
-        self.store = PageStore(pages_dir)
         self.frontier = HostFrontier()
         self.window = RollbackWindow(rollback_window)
         self.seen = SeenSet(cuckoo_capacity, exact=exact_seen)
@@ -124,6 +155,7 @@ class ShardActor:
         self.lineage = "0" * 32
         self._pending_links: list[pa.Table] = []
         self._pending_window: list[pa.Table] = []
+        self._pending_window_rows = 0
 
     # --- ingestion (called from RouteLinks tasks; order-independent) ----
     def ingest(self, table: pa.Table) -> None:
@@ -131,19 +163,32 @@ class ShardActor:
 
     def window_candidates(self, table: pa.Table) -> None:
         self._pending_window.append(table)
+        self._pending_window_rows += table.num_rows
+        # only the last <=W rows by seq can survive into the window: keep
+        # the buffer bounded instead of accumulating a whole round
+        if self._pending_window_rows > 8 * self.window.limit:
+            w = pa.concat_tables(self._pending_window)
+            order = pc.sort_indices(w, sort_keys=[("seq", "descending")])
+            w = w.take(order.slice(0, self.window.limit))
+            self._pending_window = [w]
+            self._pending_window_rows = w.num_rows
 
     # --- round protocol -------------------------------------------------
-    def begin_round(self, rnd: int) -> pa.Table:
+    def begin_round(self, rnd: int, pages_refs: dict, n_pshards: int) -> pa.Table:
         """Retraction scan (reorg-detection analog,
         /root/reference/crawler/blocks.go:105-129): probe the rollback
         window's digests against the current page store; mismatches are
         removed from the window, re-enqueued at original priority, and
-        returned for the driver to emit as DROPPED."""
-        self.store.refresh()
+        returned for the driver to emit as DROPPED.
+
+        The digest probe reads the object-store-shared pages zero-copy;
+        after a mutation the driver re-puts the affected shard tables, so
+        the refs passed in this round already see the new content."""
         ents = self.window.entries()
         if not ents:
             return _EMPTY_WINDOW
-        cur = self.store.lookup_digests([e.url for e in ents], [e.host for e in ents])
+        shared = SharedPages(pages_refs, n_pshards)
+        cur = shared.lookup_digests([e.url for e in ents], [e.host for e in ents])
         dropped = [e for e, d in zip(ents, cur) if int(d) != e.digest]
         for e in dropped:
             self.window.remove(e.url)
@@ -158,7 +203,6 @@ class ShardActor:
                 "priority": pa.array([e.priority for e in dropped], pa.int64()),
                 "digest": pa.array([e.digest for e in dropped], pa.uint64()),
                 "n_links": pa.array([e.n_links for e in dropped], pa.int64()),
-                "text": pa.array([e.text for e in dropped], pa.string()),
             },
             schema=schemas.CHECKPOINT_WINDOW,
         )
@@ -175,6 +219,30 @@ class ShardActor:
                 "shard": pa.array([self.shard] * len(cand), pa.int64()),
             }
         )
+
+    def open_round(self, rnd: int, pages_refs: dict, n_pshards: int) -> dict:
+        """begin_round + schedule in one RPC (halves the per-round
+        barrier count — rounds are latency-bound at small sizes)."""
+        return {"dropped": self.begin_round(rnd, pages_refs, n_pshards), "candidates": self.schedule()}
+
+    def close_round(self, rnd: int, scheduled_urls: list[str], ckpt_dir: str | None) -> dict:
+        """finalize_round + optional checkpoint in one RPC. Returns
+        phase timings plus an object-store ref of this shard's sorted
+        seen array — next round's route tasks use it as a broadcast
+        prefilter (monotone, so filtering on a one-round-stale snapshot
+        is always sound)."""
+        import time as _time
+
+        t0 = _time.time()
+        self.finalize_round(rnd, scheduled_urls)
+        t1 = _time.time()
+        if ckpt_dir is not None:
+            self.checkpoint(ckpt_dir, rnd)
+        seen_ref = None
+        if self.exact_seen:
+            _, arr = self.seen.snapshot()
+            seen_ref = ray.put(arr)
+        return {"finalize": round(t1 - t0, 3), "ckpt": round(_time.time() - t1, 3), "seen_ref": seen_ref}
 
     def pushback(self, table: pa.Table) -> None:
         """Return candidates truncated by the global round cap."""
@@ -203,8 +271,10 @@ class ShardActor:
         if self._pending_window:
             w = pa.concat_tables(self._pending_window)
             self._pending_window = []
+            self._pending_window_rows = 0
             order = np.argsort(w.column("seq").to_numpy(zero_copy_only=False), kind="stable")
-            rows = w.take(pa.array(order)).to_pylist()
+            keep = order[-self.window.limit :] if len(order) > self.window.limit else order
+            rows = w.take(pa.array(keep)).to_pylist()
             for r in rows:
                 self.window.push(WindowEntry(**r))
         self._finalize_discoveries()
@@ -221,29 +291,31 @@ class ShardActor:
         self._pending_links = []
         if t.num_rows == 0:
             return
-        # min priority per url (round-batched enqueue => order-independent)
-        df = pd.DataFrame(
-            {
-                "url": t.column("url").to_pylist(),
-                "host": t.column("host").to_pylist(),
-                "url_hash": t.column("url_hash").to_numpy(zero_copy_only=False),
-                "priority": t.column("priority").to_numpy(zero_copy_only=False),
-            }
-        )
-        df = df.sort_values(["url", "priority"], kind="stable").drop_duplicates("url", keep="first")
+        # min priority per url_hash (round-batched enqueue =>
+        # order-independent); pure Arrow group_by — no python rows.
+        # ("min" on url/host is a deterministic representative; equal
+        # url_hash implies equal url modulo 2^-64 collisions, which the
+        # seen-set is keyed by anyway.)
+        g = t.group_by("url_hash").aggregate([("priority", "min"), ("url", "min"), ("host", "min")])
+        uh = g.column("url_hash").to_numpy(zero_copy_only=False)
         # seen-filter (sharded anti-join — the core frontier op, J4 analog)
-        unseen = ~self.seen.contains_many(df["url_hash"].to_numpy())
-        df = df[unseen]
+        unseen = ~self.seen.contains_many(uh)
+        g = g.filter(pa.array(unseen))
+        urls = g.column("url_min").to_pylist()
+        hosts = g.column("host_min").to_pylist()
+        prios = g.column("priority_min").to_numpy(zero_copy_only=False)
+        uh = g.column("url_hash").to_numpy(zero_copy_only=False)
         allowed = np.fromiter(
-            (self._allowed(u, h) for u, h in zip(df["url"], df["host"])), dtype=bool, count=len(df)
+            (self._allowed(u, h) for u, h in zip(urls, hosts)), dtype=bool, count=len(urls)
         )
-        df = df[allowed]
-        self.seen.add_many(df["url_hash"].to_numpy())
+        self.seen.add_many(uh[allowed])
         if self.exact_seen:
-            for uh, u in zip(df["url_hash"], df["url"]):
-                self.seen_urls[int(uh)] = u
-        for url, host, prio in zip(df["url"], df["host"], df["priority"]):
-            self.frontier.push(host, url, int(prio))
+            for ok, k, u in zip(allowed, uh, urls):
+                if ok:
+                    self.seen_urls[int(k)] = u
+        for ok, url, host, prio in zip(allowed, urls, hosts, prios):
+            if ok:
+                self.frontier.push(host, url, int(prio))
 
     # --- introspection / persistence -----------------------------------
     def seen_table(self) -> pa.Table:
@@ -317,6 +389,7 @@ class CrawlEngine:
         fetch_concurrency: int = 8,
         route_concurrency: int = 4,
         batch_size: int = 1024,
+        direct_task_threshold: int = 30000,
         name: str | None = None,
     ):
         self.cfg = cfg
@@ -327,8 +400,14 @@ class CrawlEngine:
         self.fetch_concurrency = fetch_concurrency
         self.route_concurrency = route_concurrency
         self.batch_size = batch_size
+        self.direct_task_threshold = direct_task_threshold
         self.ns = name or f"bsr-{uuid.uuid4().hex[:8]}"
         self.metrics: list[dict] = []
+        self._seen_refs: dict[int, object] = {}  # shard -> seen-snapshot ref
+
+        # the simulated web, shared once via the object store (zero-copy
+        # for every fetch task and shard actor on the node)
+        self.shared = SharedPages.put_store(pages_dir)
 
         store = PageStore(pages_dir)
         robots_all = {h: parse_robots(t) for h, t in store.read_robots().items()}
@@ -395,13 +474,24 @@ class CrawlEngine:
 
     # --- one crawl round ------------------------------------------------
     def run_round(self, rnd: int) -> bool:
+        import time as _time
+
+        _t = {}
+        _t0 = _time.time()
         cfg = self.cfg
         if rnd in self.mutations:
             # test hook: the simulator rewrites pages mid-crawl (reorg analog)
-            gen.apply_mutations(self.pages_dir, self.mutations[rnd])
+            mutated = self.mutations[rnd]
+            gen.apply_mutations(self.pages_dir, mutated)
+            hosts_m = [u.split("/")[2] for u in mutated]
+            pshards_m = np.unique(hash64(hosts_m) % np.uint64(self.shared.n_shards)) if hosts_m else []
+            self.shared.reput_shards(self.pages_dir, [int(s) for s in pshards_m])
 
-        # 1. retraction scan on every shard
-        dropped_parts = [t for t in ray.get([a.begin_round.remote(rnd) for a in self.actors]) if t.num_rows]
+        # 1+2. one barrier: retraction scan + politeness-bounded candidates
+        opened = ray.get(
+            [a.open_round.remote(rnd, self.shared.refs, self.shared.n_shards) for a in self.actors]
+        )
+        dropped_parts = [o["dropped"] for o in opened if o["dropped"].num_rows]
         dropped = (
             pa.concat_tables(dropped_parts).sort_by([("round", "ascending"), ("seq", "ascending")])
             if dropped_parts
@@ -409,8 +499,9 @@ class CrawlEngine:
         )
         ndrop = dropped.num_rows if dropped is not None else 0
 
-        # 2. gather candidates, fix the global order, apply the round cap
-        sched_parts = ray.get([a.schedule.remote() for a in self.actors])
+        _t["open"] = _time.time() - _t0
+        _t0 = _time.time()
+        sched_parts = [o["candidates"] for o in opened]
         sched = pa.concat_tables([t for t in sched_parts if t.num_rows]) if any(
             t.num_rows for t in sched_parts
         ) else None
@@ -435,8 +526,12 @@ class CrawlEngine:
             shutil.rmtree(round_dir)
         os.makedirs(round_dir, exist_ok=True)
 
-        # 3. DROPPED retraction rows come first in the round's sequence
+        # 3. DROPPED retraction rows come first in the round's sequence.
+        # The retracted row's previously-emitted text is recovered from the
+        # round-keyed crawl log (the window carries only metadata+digest —
+        # texts are not duplicated into actor state or checkpoints).
         if ndrop:
+            old_texts = self._old_texts(dropped)
             dt = pa.table(
                 {
                     "round": pa.array(np.full(ndrop, rnd, dtype=np.int64), pa.int64()),
@@ -445,13 +540,15 @@ class CrawlEngine:
                     "url": dropped.column("url"),
                     "status": pa.array(["DROPPED"] * ndrop, pa.string()),
                     "n_links": dropped.column("n_links"),
-                    "text": dropped.column("text"),
+                    "text": pa.array(old_texts, pa.string()),
                     "version": pa.array(np.full(ndrop, 1, dtype=np.int32), pa.int32()),
                 },
                 schema=schemas.CRAWL_LOG,
             )
             pq.write_table(dt, os.path.join(round_dir, "part-dropped.parquet"))
 
+        _t["order"] = _time.time() - _t0
+        _t0 = _time.time()
         # 4. fetch -> extract -> route, streaming over Arrow batches
         n_take = take.num_rows if take is not None else 0
         if n_take:
@@ -471,47 +568,84 @@ class CrawlEngine:
             )
             # group blocks by physical page shard so each fetch batch is
             # partition-local (one pshard file per batch — no cross-shard reads)
-            pshard = (hash64(hosts) % np.uint64(PageStore(self.pages_dir).n_shards)).astype(np.int64)
+            pshard = (hash64(hosts) % np.uint64(self.shared.n_shards)).astype(np.int64)
             blocks = [sched_t.filter(pa.array(pshard == s)) for s in np.unique(pshard)]
-            ds = rd.from_arrow(blocks)
-            # task pools, not actor pools: worker-process-global caches give
-            # per-process state amortization (stages.fetch.worker_store)
-            # while avoiding fresh actor-pool startup on every round.
-            ds = ds.map_batches(
-                fetch_extract,
-                fn_kwargs={"pages_dir": self.pages_dir},
-                batch_format="pyarrow",
-                batch_size=self.batch_size,
-                num_cpus=1,
-            )
-            ds = ds.map_batches(
-                route_links,
-                fn_kwargs={"actor_ns": self.ns, "nshards": cfg.shards},
-                batch_format="pyarrow",
-                batch_size=self.batch_size,
-                num_cpus=0.5,
-            )
-            ds = ds.select_columns(["round", "seq", "host", "url", "status", "n_links", "text", "version"])
-            ds.write_parquet(round_dir)
+            # batch size targets ~3 tasks per CPU per round so small rounds
+            # still fan out (Ray Data coalesces blocks up to batch_size into
+            # one task — a fixed batch_size serializes a small round onto
+            # one worker)
+            # floor of 256: below that, per-task dispatch + the per-batch
+            # shard-actor RPC barrier cost more than the rows' compute
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            bs = max(256, min(self.batch_size, -(-n_take // (ncpu * 4))))
+            fn_kwargs = {
+                "pages_refs": self.shared.refs,
+                "n_pshards": self.shared.n_shards,
+                "actor_ns": self.ns,
+                "nshards": cfg.shards,
+                "round_dir": round_dir,
+                "seen_refs": self._seen_refs,
+            }
+            # pre-split blocks to <= bs rows: Ray Data parallelism is
+            # per-BLOCK (batch_size slices batches inside one task, it does
+            # not split a big block across tasks) — without this a
+            # mega-host round (one pshard -> one block) runs single-threaded
+            chunks = [b.slice(off, bs) for b in blocks for off in range(0, b.num_rows, bs)]
+            if n_take <= self.direct_task_threshold:
+                # tail/drain rounds: the Dataset executor's fixed planning
+                # cost (~1s) dwarfs the work — submit the same fused stage
+                # as plain tasks over the pre-built chunks instead. Large
+                # rounds (the 10^10-scale steady state) always take the
+                # Dataset path below.
+                refs = [_process_task.remote(c, **fn_kwargs) for c in chunks]
+                n_written = sum(r["n"][0].as_py() for r in ray.get(refs))
+            else:
+                # a single task-pool operator (fetch+extract+route+sink
+                # fused; worker-process-global caches give per-process
+                # state amortization without actor-pool startup per round)
+                ds = rd.from_arrow(chunks)
+                ds = ds.map_batches(
+                    process_and_sink,
+                    fn_kwargs=fn_kwargs,
+                    batch_format="pyarrow",
+                    batch_size=bs,
+                    num_cpus=1,
+                )
+                n_written = sum(r["n"] for r in ds.take_all())
+            assert n_written == n_take, f"round {rnd}: wrote {n_written} rows, scheduled {n_take}"
 
-        # 5. round barrier: finalize discoveries + lineage on every shard
+        _t["pipeline"] = _time.time() - _t0
+        _t0 = _time.time()
+        # 5+7. one barrier: finalize discoveries + lineage + checkpoint
         shard_urls: dict[int, list[str]] = {s: [] for s in range(cfg.shards)}
         if n_take:
             for u, s in zip(sched_t.column("url").to_pylist(), sched_t.column("shard").to_pylist()):
                 shard_urls[int(s)].append(u)
-        ray.get([a.finalize_round.remote(rnd, shard_urls[s]) for s, a in enumerate(self.actors)])
+        closes = ray.get(
+            [a.close_round.remote(rnd, shard_urls[s], self.ckpt_dir) for s, a in enumerate(self.actors)]
+        )
+        self._seen_refs = {
+            s: c["seen_ref"] for s, c in enumerate(closes) if c.get("seen_ref") is not None
+        }
+        _t["close_finalize_max"] = max(c["finalize"] for c in closes)
+        _t["close_ckpt_max"] = max(c["ckpt"] for c in closes)
+        if self.ckpt_dir is not None:
+            ckpt.commit_round(self.ckpt_dir, rnd, cfg.shards)
 
         # 6. per-sink filtered streams from this round's committed rows
         if cfg.sinks:
             round_table = pq.read_table(round_dir)
             write_sinks(round_table, rnd, self.out_dir, cfg.sinks)
 
-        # 7. checkpoint + commit
-        if self.ckpt_dir is not None:
-            ray.get([a.checkpoint.remote(self.ckpt_dir, rnd) for a in self.actors])
-            ckpt.commit_round(self.ckpt_dir, rnd, cfg.shards)
-
-        self.metrics.append({"round": rnd, "dropped": ndrop, "scheduled": n_take})
+        _t["close"] = _time.time() - _t0
+        self.metrics.append(
+            {
+                "round": rnd,
+                "dropped": ndrop,
+                "scheduled": n_take,
+                "phase_sec": {k: round(v, 3) for k, v in _t.items()},
+            }
+        )
         return True
 
     def run(self, max_rounds: int | None = None) -> int:
@@ -524,6 +658,32 @@ class CrawlEngine:
                 break
             executed += 1
         return executed
+
+    def _old_texts(self, dropped: pa.Table) -> list[str]:
+        """Previously-emitted text per dropped row, read back from the
+        crawl log by (round, seq). Part files are named part-<first seq>-*,
+        so only files whose seq range intersects are opened."""
+        rounds = dropped.column("round").to_pylist()
+        seqs = dropped.column("seq").to_pylist()
+        need: dict[int, set[int]] = {}
+        for r, s_ in zip(rounds, seqs):
+            need.setdefault(int(r), set()).add(int(s_))
+        found: dict[tuple[int, int], str] = {}
+        for r, want in need.items():
+            d = os.path.join(self.out_dir, "crawl_log", f"round={r}")
+            if not os.path.isdir(d):
+                continue
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(d, fname), columns=["seq", "text"])
+                sv = t.column("seq").to_numpy(zero_copy_only=False)
+                hit = np.isin(sv, list(want))
+                if hit.any():
+                    tt = t.filter(pa.array(hit))
+                    for s2, x in zip(tt.column("seq").to_pylist(), tt.column("text").to_pylist()):
+                        found[(r, int(s2))] = x
+        return [found.get((int(r), int(s_)), "") for r, s_ in zip(rounds, seqs)]
 
     # --- results --------------------------------------------------------
     def crawl_log(self) -> pa.Table:

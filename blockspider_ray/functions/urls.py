@@ -14,12 +14,22 @@ Determinism contract:
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urljoin, urlsplit, urlunsplit, parse_qsl, urlencode
 
 import numpy as np
 from pandas.util import hash_array
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# Fast paths for hrefs that are provably already canonical (or trivially
+# resolvable): lowercase http scheme+host, no port/userinfo, a conservative
+# path charset, no query/fragment. Equivalence with the slow path is pinned
+# by tests (test_kernels: TestCanonicalizeFastPath) — the hot link-extract
+# stage takes these for the vast majority of real links.
+_FAST_ABS = re.compile(r"^http://[a-z0-9.-]+/[A-Za-z0-9._~%/-]*$")
+_FAST_REL = re.compile(r"^/[A-Za-z0-9._~%/-]*$")
+_FAST_BASE = re.compile(r"^(http://[a-z0-9.-]+)/")
 
 
 def canonicalize_url(href: str, base: str | None = None) -> str | None:
@@ -33,6 +43,15 @@ def canonicalize_url(href: str, base: str | None = None) -> str | None:
       - sort query parameters by (key, value); drop an empty query
       - empty path -> "/"
     """
+    if base is None:
+        if _FAST_ABS.match(href):
+            return href
+    else:
+        if _FAST_ABS.match(href):
+            return href
+        m = _FAST_BASE.match(base)
+        if m is not None and _FAST_REL.match(href):
+            return m.group(1) + href
     if base is not None:
         href = urljoin(base, href)
     try:

@@ -70,40 +70,25 @@ def _zipf_counts(hosts: int, pages: int, s: float = 1.1) -> np.ndarray:
     return counts
 
 
-def generate_pages(
-    size: str = "tiny",
-    *,
-    hosts: int | None = None,
-    pages: int | None = None,
-    n_seeds: int | None = None,
-    seed: int = 42,
-    dead_link_rate: float = 0.01,
-):
-    """Build the synthetic web. Returns (pa.Table pages, list[str] seed_urls)."""
-    cfg = SIZES[size] if size in SIZES else SIZES["tiny"]
-    H = hosts or cfg["hosts"]
-    P = pages or cfg["pages"]
-    K = n_seeds or cfg["seeds"]
-    rng = np.random.default_rng(seed)
-
-    counts = _zipf_counts(H, P)
-    host_of_page = np.repeat(np.arange(H), counts)  # global page index -> host
-    # page urls, globally numbered (FIXTURES.md §1)
-    urls = [f"http://{host_name(int(h))}/p/{i:06d}" for i, h in enumerate(host_of_page)]
-    # pages of each host, for same-host link sampling
-    pages_of_host = [np.flatnonzero(host_of_page == h) for h in range(H)]
-
-    n_links = rng.integers(0, 41, size=P)
-    # cross-host preferential to low host ids: weights ~ 1/(h+1)
-    hw = 1.0 / (np.arange(H) + 1.0)
-    hw /= hw.sum()
-
-    hw_cum = np.cumsum(hw)
+def _gen_chunk(
+    start: int,
+    end: int,
+    host_of_page: "np.ndarray",
+    pages_of_host: list,
+    hw_cum: "np.ndarray",
+    n_links: "np.ndarray",
+    seed: int,
+    dead_link_rate: float,
+) -> tuple[list, list]:
+    """Generate html+text for pages [start, end). Each page uses its own
+    SeedSequence([seed, i]) rng, so output is identical for ANY chunking
+    — the property that lets generation run as parallel Ray tasks while
+    staying byte-deterministic."""
     W = len(_WORDS)
-    langs = ["en", "de", "fr", "es", "zh"]
     htmls: list[bytes] = []
     texts: list[str] = []
-    for i in range(P):
+    for i in range(start, end):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
         h = int(host_of_page[i])
         title = " ".join(_WORDS[j] for j in rng.integers(0, W, size=4))
         n_par = int(rng.integers(2, 7))
@@ -157,6 +142,70 @@ def generate_pages(
         ).encode()
         htmls.append(html)
         texts.append(extract_text(html))
+    return htmls, texts
+
+
+def generate_pages(
+    size: str = "tiny",
+    *,
+    hosts: int | None = None,
+    pages: int | None = None,
+    n_seeds: int | None = None,
+    seed: int = 42,
+    dead_link_rate: float = 0.01,
+    parallel_threshold: int = 50_000,
+):
+    """Build the synthetic web. Returns (pa.Table pages, list[str] seed_urls).
+
+    Deterministic regardless of execution mode: per-page seeded rngs mean
+    the serial path and the Ray-parallel path (used automatically above
+    ``parallel_threshold`` pages when Ray is initialised) produce
+    byte-identical tables."""
+    cfg = SIZES[size] if size in SIZES else SIZES["tiny"]
+    H = hosts or cfg["hosts"]
+    P = pages or cfg["pages"]
+    K = n_seeds or cfg["seeds"]
+    rng = np.random.default_rng(seed)
+
+    counts = _zipf_counts(H, P)
+    host_of_page = np.repeat(np.arange(H), counts)  # global page index -> host
+    # page urls, globally numbered (FIXTURES.md §1)
+    urls = [f"http://{host_name(int(h))}/p/{i:06d}" for i, h in enumerate(host_of_page)]
+    # pages of each host, for same-host link sampling
+    pages_of_host = [np.flatnonzero(host_of_page == h) for h in range(H)]
+
+    n_links = rng.integers(0, 41, size=P)
+    # cross-host preferential to low host ids: weights ~ 1/(h+1)
+    hw = 1.0 / (np.arange(H) + 1.0)
+    hw /= hw.sum()
+    hw_cum = np.cumsum(hw)
+    langs = ["en", "de", "fr", "es", "zh"]
+
+    use_ray = False
+    if P >= parallel_threshold:
+        try:
+            import ray as _ray
+
+            use_ray = _ray.is_initialized()
+        except Exception:
+            use_ray = False
+    if use_ray:
+        import ray as _ray
+
+        chunk = 20_000
+        gen_task = _ray.remote(num_cpus=1)(_gen_chunk)
+        hop_ref = _ray.put(host_of_page)
+        poh_ref = _ray.put(pages_of_host)
+        nl_ref = _ray.put(n_links)
+        refs = [
+            gen_task.remote(s, min(s + chunk, P), hop_ref, poh_ref, hw_cum, nl_ref, seed, dead_link_rate)
+            for s in range(0, P, chunk)
+        ]
+        parts = _ray.get(refs)
+        htmls = [h for part in parts for h in part[0]]
+        texts = [t for part in parts for t in part[1]]
+    else:
+        htmls, texts = _gen_chunk(0, P, host_of_page, pages_of_host, hw_cum, n_links, seed, dead_link_rate)
 
     # robots pages: ~10% of hosts disallow the /p/00 prefix (FIXTURES.md §1)
     robots_urls, robots_html, robots_text, robots_host = [], [], [], []
@@ -251,7 +300,7 @@ def apply_mutations(pages_dir: str, mutate_urls: list[str], seed: int = 1042) ->
     return changed
 
 
-GEN_VERSION = 2  # bump to invalidate cached fixtures when generation rules change
+GEN_VERSION = 3  # bump to invalidate cached fixtures when generation rules change
 
 
 def ensure_fixture(size: str, root: str = "/tmp/blockspider_ray_fixtures", seed: int = 42):

@@ -92,6 +92,7 @@ class OracleCrawler:
         self.frontier = HostFrontier()
         self.windows = [RollbackWindow(cfg.rollback_window) for _ in range(cfg.shards)]
         self.seen: dict[int, str] = {}  # url_hash -> url
+        self.window_texts: dict[tuple[int, int], str] = {}  # (round, seq) -> emitted text
         self.log_rows: list[tuple] = []
         self._seed(seeds)
 
@@ -145,7 +146,8 @@ class OracleCrawler:
                     dropped.append(e)
         dropped.sort(key=lambda e: (e.round, e.seq))
         for e in dropped:
-            self.log_rows.append((rnd, seq, e.host, e.url, "DROPPED", e.n_links, e.text, 1))
+            old_text = self.window_texts.pop((e.round, e.seq), "")
+            self.log_rows.append((rnd, seq, e.host, e.url, "DROPPED", e.n_links, old_text, 1))
             seq += 1
             self.windows[self._shard(e.host)].remove(e.url)
             self.frontier.push(e.host, e.url, e.priority)
@@ -172,8 +174,9 @@ class OracleCrawler:
             links = extract_links(html, url)
             self.log_rows.append((rnd, seq, host, url, "ACCEPTED", len(links), text, 1))
             self.windows[self._shard(host)].push(
-                WindowEntry(rnd, seq, url, host, hash64_one(url), prio, content_digest(html), len(links), text)
+                WindowEntry(rnd, seq, url, host, hash64_one(url), prio, content_digest(html), len(links))
             )
+            self.window_texts[(rnd, seq)] = text
             seq += 1
             for link in links:
                 p = prio + 1

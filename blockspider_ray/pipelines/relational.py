@@ -1,0 +1,219 @@
+"""Relational pipelines over the TPC-H-ish test tables.
+
+Each pipeline re-expresses one operator family from the reference
+(SURVEY.md §2) Ray-Data-first; each has a DuckDB oracle in
+``__ray_entry__.oracle_sql`` with matching column names.
+
+Reference parity notes are cited per function.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from .common import T, rename
+
+_CUTOFF = _dt.datetime(1998, 9, 2)
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregate with partial (in-batch) pre-aggregation — the
+    windowed throughput-stats analog (crawler/logger.go:16-55, A2): the
+    shuffle moves one partial row per (group, batch), not 600k rows."""
+
+    ds = T(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(_CUTOFF)))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return rename(
+            g,
+            {
+                "l_quantity_sum": "p_qty",
+                "l_extendedprice_sum": "p_price",
+                "disc_price_sum": "p_disc",
+                "l_quantity_count": "p_n",
+            },
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_price", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="sum_disc_price"),
+            Sum("p_n", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def filter_project(sf_dir: str) -> rd.Dataset:
+    """Vectorized predicate + projection + computed column — the per-sink
+    log-filter analog (crawler/blocks.go:202-228, M5) with the envelope's
+    constant columns (M7: kafka/kafka.go:16-20)."""
+    ds = T(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater(t["l_quantity"], 30.0), pc.less(t["l_discount"], 0.05))
+        t = t.filter(mask)
+        # unrounded: the per-row product is bit-identical to the oracle's
+        # (same IEEE double ops in the same order), unlike SUM aggregates
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("revenue", rev)
+        t = t.append_column("version", pa.array(np.full(t.num_rows, 1, dtype=np.int32)))
+        return t.select(["l_orderkey", "l_quantity", "revenue", "version"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def join_customer_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast hash join (small side shipped once via ray.put, looked up
+    per batch) — the per-row receipt-lookup join done batch-wise
+    (common/blocks.go:44-58, J1/J5)."""
+    cust = T(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    ds = T(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join(t: pa.Table) -> pa.Table:
+        seg_map = ray.get(ref)
+        segs = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False)).map(seg_map).fillna("UNKNOWN")
+        t = t.append_column("c_mktsegment", pa.array(segs, pa.string()))
+        g = t.group_by("c_mktsegment").aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return rename(g, {"o_totalprice_sum": "p_total", "o_totalprice_count": "p_n"})
+
+    out = (
+        ds.map_batches(join, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("p_total", alias_name="total_price"), Sum("p_n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["total_price"] = out["total_price"].round(2)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def join_orders_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Large-large hash-partitioned join (``Dataset.join``: both sides
+    shuffled on the key) followed by a grouped aggregate — the one
+    deliberate all-to-all in the relational battery."""
+    li = T(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.select(["l_orderkey"]).append_column("rev", r)
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = T(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = li.join(orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+    out = (
+        joined.groupby("o_orderstatus")
+        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def topk_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed sort + limit (O1 total-order analog)."""
+    ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.to_pandas()
+
+
+def distinct_segments(sf_dir: str) -> pd.DataFrame:
+    """Distinct + counts (dedup-map analog, D1)."""
+    ds = T(sf_dir, "customer", columns=["c_mktsegment"])
+    out = ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers")).to_pandas()
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def anti_join_customers(sf_dir: str) -> rd.Dataset:
+    """Broadcast anti-join: customers with no large (>300k) order — the
+    seen-set anti-join that drives the frontier (J4: only unseen keys
+    proceed, crawler/blocks.go:146-150)."""
+    big = T(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    custkeys = big.filter(expr="o_totalprice > 300000").unique("o_custkey")
+    ref = ray.put(np.asarray(custkeys, dtype=np.int64))
+
+    ds = T(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = np.isin(t["c_custkey"].to_numpy(zero_copy_only=False), keys, invert=True)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+def semi_join_parts(sf_dir: str) -> rd.Dataset:
+    """Broadcast semi-join: large parts that do appear in lineitem (J5)."""
+    partkeys = T(sf_dir, "lineitem", columns=["l_partkey"]).unique("l_partkey")
+    ref = ray.put(np.asarray(partkeys, dtype=np.int64))
+
+    ds = T(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        t = t.filter(pc.greater(t["p_size"], 40))
+        mask = np.isin(t["p_partkey"].to_numpy(zero_copy_only=False), keys)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(semi, batch_format="pyarrow")
+
+
+def global_max(sf_dir: str) -> pd.DataFrame:
+    """Global high-water mark (A3: LatestBlockNumber analog,
+    common/rpc.go:99-108)."""
+    ds = T(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    out = ds.aggregate(Max("o_orderdate", alias_name="max_date"), Max("o_totalprice", alias_name="max_price"))
+    return pd.DataFrame([{"max_date": out["max_date"], "max_price": round(out["max_price"], 2)}])
+
+
+def explode_tokens(sf_dir: str) -> rd.Dataset:
+    """List-flatten with positional ordinal — the log-flatten /
+    parent-embed analog (M3: common/blocks.go:61-63, logs denormalized
+    across transactions)."""
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import re
+
+        doc_ids, poss, toks = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ts = re.findall(r"\S+", text or "")
+            doc_ids.extend([did] * len(ts))
+            poss.extend(range(1, len(ts) + 1))
+            toks.extend(ts)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

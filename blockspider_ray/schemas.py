@@ -85,6 +85,5 @@ CHECKPOINT_WINDOW = pa.schema(
         pa.field("priority", pa.int64()),
         pa.field("digest", pa.uint64()),
         pa.field("n_links", pa.int64()),
-        pa.field("text", pa.string()),
     ]
 )

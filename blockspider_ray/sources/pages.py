@@ -3,17 +3,24 @@
 Analog of the reference's RPC point-lookup readers
 (/root/reference/common/rpc.go:69-97: GetBlockByHeight/Hash): scheduled
 URLs are resolved against a host-sharded Parquet layout
-(``pages_dir/pshard=S/part.parquet``, S = hash64(host) %% N_PAGE_SHARDS).
+(``pages_dir/pshard=S/part.parquet``, S = hash64(host) %% N_PAGE_SHARDS);
+because the store layout and the crawl partitioning both key off the
+host hash, a fetch batch touches few physical shards (SURVEY.md §2.1 S1).
 
-Because both the store layout and the crawl partitioning key off the
-host hash, a fetch batch touches few physical shards; each FetchSim
-actor lazily loads and caches a url->html dict per physical shard
-(actor-state amortization — setup once per actor, not per batch). In a
-real deployment this stage is the HTTP fetcher; here it is a
-deterministic lookup join (SURVEY.md §2.1 S1).
+Two access paths:
 
-Mutation support: ``refresh()`` drops caches so mid-crawl page rewrites
-(the reorg analog, FIXTURES.md §6) become visible at the next round.
+  * ``PageStore`` — disk-backed, per-process LRU of url->html dicts,
+    mtime-validated (used for robots preload and small point probes).
+  * ``SharedPages`` — the hot path: every physical shard's (url, html)
+    Arrow table is ``ray.put`` into the object store ONCE by the engine
+    driver and read zero-copy by every fetch task and shard actor.
+    Lookups are vectorized ``pc.index_in`` probes against the shared
+    table — no per-worker dict copies, no cache thrash, no re-reads.
+
+In a real deployment the fetch stage is an HTTP fetcher and neither
+path exists; the object-store share is purely the *simulator's* way of
+making "the web" addressable at zero copy (the reference's reorgd
+JSON-RPC façade plays the same role, /root/reference/cmd/reorgd/main.go:175-253).
 """
 
 from __future__ import annotations
@@ -82,6 +89,15 @@ class PageStore:
         htmls = self.lookup(urls, hosts)
         return np.fromiter((content_digest(h) if h is not None else 0 for h in htmls), dtype=np.uint64, count=len(urls))
 
+    def load_shard_table(self, s: int, columns=("url", "html")):
+        """One physical shard as an Arrow table (for object-store sharing)."""
+        path = self._shard_path(s)
+        if not os.path.exists(path):
+            import pyarrow as pa
+
+            return pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())})
+        return pq.read_table(path, columns=list(columns))
+
     def read_robots(self) -> dict[str, str]:
         """host -> robots.txt body for every host that has one (preloaded
         once at crawl start and broadcast — config-filter analog)."""
@@ -96,3 +112,58 @@ class PageStore:
                     host = u.split("/")[2]
                     out[host] = x
         return out
+
+
+class SharedPages:
+    """Zero-copy view of the pages store shared via the Ray object store.
+
+    ``refs`` maps physical shard id -> ObjectRef of that shard's
+    (url, html) Arrow table (put once by the engine driver; re-put per
+    shard after a mutation). ``ray.get`` of an Arrow table is zero-copy
+    from plasma, so N workers share one physical copy."""
+
+    def __init__(self, refs: dict[int, "object"], n_shards: int):
+        self.refs = refs
+        self.n_shards = n_shards
+
+    @classmethod
+    def put_store(cls, pages_dir: str) -> "SharedPages":
+        import ray
+
+        store = PageStore(pages_dir)
+        refs = {s: ray.put(store.load_shard_table(s)) for s in range(store.n_shards)}
+        return cls(refs, store.n_shards)
+
+    def reput_shards(self, pages_dir: str, shard_ids) -> None:
+        import ray
+
+        # plasma objects are immutable: a mutation re-puts the shard table
+        # and later rounds read the new refs (old objects are GC'd once no
+        # task holds them)
+        store = PageStore(pages_dir)
+        for s in shard_ids:
+            self.refs[int(s)] = ray.put(store.load_shard_table(int(s)))
+
+    def lookup(self, urls: list[str], hosts: list[str]) -> list:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+
+        shards = (hash64(hosts) % np.uint64(self.n_shards)).astype(np.int64) if urls else np.array([], np.int64)
+        out: list = [None] * len(urls)
+        for s in np.unique(shards):
+            tbl = ray.get(self.refs[int(s)])
+            rows = np.flatnonzero(shards == s)
+            idx = pc.index_in(pa.array([urls[i] for i in rows], pa.string()), value_set=tbl.column("url"))
+            html_col = tbl.column("html")
+            for j, i in enumerate(rows):
+                k = idx[j].as_py()
+                if k is not None:
+                    out[i] = html_col[k].as_py()
+        return out
+
+    def lookup_digests(self, urls: list[str], hosts: list[str]) -> np.ndarray:
+        htmls = self.lookup(urls, hosts)
+        return np.fromiter(
+            (content_digest(h) if h is not None else 0 for h in htmls), dtype=np.uint64, count=len(urls)
+        )

@@ -45,20 +45,31 @@ def _shard_actor(ns: str, shard: int):
     return h
 
 
-def route_links(batch: pa.Table, *, actor_ns: str, nshards: int) -> pa.Table:
-    """Task-pool form of RouteLinks (see class docstring above)."""
-    return RouteLinks(actor_ns, nshards)(batch)
+def route_links(
+    batch: pa.Table, *, actor_ns: str, nshards: int, seen_refs: dict | None = None, defer: bool = False
+):
+    """Task-pool form of RouteLinks (see class docstring above).
+    With defer=True returns (table, refs) and the caller owns the
+    delivery barrier — lets the parquet write overlap the actor sends."""
+    return RouteLinks(actor_ns, nshards, seen_refs)(batch, defer=defer)
 
 
 class RouteLinks:
-    def __init__(self, actor_ns: str, nshards: int):
+    def __init__(self, actor_ns: str, nshards: int, seen_refs: dict | None = None):
         self.ns = actor_ns
         self.nshards = nshards
+        # shard -> ObjectRef of that shard's sorted seen url_hash array as
+        # of the END OF THE PREVIOUS ROUND (broadcast prefilter). Stale-
+        # but-monotone: anything in the snapshot is definitely seen now,
+        # so dropping it early is exactly what the owner actor would do at
+        # finalize — it only shrinks actor inflow (~10x in steady state),
+        # it cannot change the outcome.
+        self.seen_refs = seen_refs or {}
 
     def _actor(self, shard: int):
         return _shard_actor(self.ns, shard)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, defer: bool = False):
         links_col = batch.column("links")
         prios = batch.column("priority").to_numpy(zero_copy_only=False)
         refs = []
@@ -83,22 +94,46 @@ class RouteLinks:
                     "host": pa.array(hosts, pa.string()),
                     "url_hash": pa.array(uh, pa.uint64()),
                     "priority": pa.array(flat_prio, pa.int64()),
+                    "shard": pa.array(shard, pa.int64()),
                 }
             )
+            # in-batch combiner: min priority per url_hash (the same rule
+            # the owner actor applies at finalize, so this only dedups)
+            ltab = ltab.group_by(["shard", "url_hash"]).aggregate(
+                [("priority", "min"), ("url", "min"), ("host", "min")]
+            )
+            ltab = ltab.rename_columns(
+                [{"priority_min": "priority", "url_min": "url", "host_min": "host"}.get(c, c) for c in ltab.column_names]
+            )
+            shard = ltab.column("shard").to_numpy(zero_copy_only=False)
             for s in np.unique(shard):
-                sub = ltab.filter(pa.array(shard == s))
-                refs.append(self._actor(int(s)).ingest.remote(sub))
+                sub = ltab.filter(pa.array(shard == s)).drop_columns(["shard"])
+                ref = self.seen_refs.get(int(s))
+                if ref is not None:
+                    seen_arr = ray.get(ref)  # sorted uint64, zero-copy
+                    k = sub.column("url_hash").to_numpy(zero_copy_only=False)
+                    if len(seen_arr):
+                        idx = np.searchsorted(seen_arr, k)
+                        idx = np.minimum(idx, len(seen_arr) - 1)
+                        unseen = seen_arr[idx] != k
+                        if not unseen.all():
+                            sub = sub.filter(pa.array(unseen))
+                if sub.num_rows:
+                    refs.append(self._actor(int(s)).ingest.remote(sub))
 
         # 2. window candidates for ACCEPTED rows, to the row's own shard
         acc_mask = pa.compute.equal(batch.column("status"), "ACCEPTED")
         acc = batch.filter(acc_mask)
         if acc.num_rows:
-            wtab = acc.select(["round", "seq", "url", "host", "url_hash", "priority", "digest", "n_links", "text"])
+            wtab = acc.select(["round", "seq", "url", "host", "url_hash", "priority", "digest", "n_links"])
             shards = acc.column("shard").to_numpy(zero_copy_only=False)
             for s in np.unique(shards):
                 sub = wtab.filter(pa.array(shards == s))
                 refs.append(self._actor(int(s)).window_candidates.remote(sub))
 
+        out = batch.drop_columns(["links", "digest"])
+        if defer:
+            return out, refs
         if refs:
             ray.get(refs)
-        return batch.drop_columns(["links", "digest"])
+        return out

@@ -87,7 +87,6 @@ def save_shard(
             "priority": pa.array([e.priority for e in ents], pa.int64()),
             "digest": pa.array([e.digest for e in ents], pa.uint64()),
             "n_links": pa.array([e.n_links for e in ents], pa.int64()),
-            "text": pa.array([e.text for e in ents], pa.string()),
         },
         schema=schemas.CHECKPOINT_WINDOW,
     )

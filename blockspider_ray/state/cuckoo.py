@@ -109,38 +109,83 @@ class CuckooFilter:
 
 
 class SeenSet:
-    """One shard's URL-seen set: cuckoo filter (scale path) + exact uint64
-    set (authoritative under ``exact=True``, required by conformance)."""
+    """One shard's URL-seen set.
+
+    exact=True (conformance + test scale): a sorted uint64 array with a
+    small unsorted tail — membership is a vectorized ``searchsorted`` +
+    ``isin``; inserts append to the tail, which is merged into the base
+    whenever it outgrows base/4 (amortized O(n) per crawl, all numpy).
+    exact=False (10^10 scale path): the cuckoo filter alone, with its
+    documented false-positive rate standing in for exactness."""
+
+    _COMPACT_MIN = 4096
 
     def __init__(self, capacity: int = 1 << 20, exact: bool = True):
         self.exact = exact
-        self.filter = CuckooFilter(capacity)
-        self._set: set[int] = set()
+        self.filter = CuckooFilter(capacity) if not exact else None
+        self._base = np.array([], dtype=np.uint64)  # sorted
+        self._tail: list[np.ndarray] = []
+        self._tail_n = 0
 
     def __len__(self) -> int:
-        return len(self._set) if self.exact else self.filter.count
+        if not self.exact:
+            return self.filter.count
+        return len(self._base) + self._tail_n
+
+    def _compact(self, force: bool = False) -> None:
+        if self._tail_n and (
+            force or self._tail_n > max(self._COMPACT_MIN, len(self._base) // 4)
+        ):
+            merged = np.concatenate([self._base, *self._tail])
+            merged.sort(kind="stable")
+            self._base = merged
+            self._tail = []
+            self._tail_n = 0
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
-        if self.exact:
-            return np.fromiter((int(k) in self._set for k in keys), dtype=bool, count=len(keys))
-        return self.filter.contains_many(keys)
+        keys = np.asarray(keys, dtype=np.uint64)
+        if not self.exact:
+            return self.filter.contains_many(keys)
+        self._compact()
+        idx = np.searchsorted(self._base, keys)
+        idx = np.minimum(idx, max(len(self._base) - 1, 0))
+        hit = self._base[idx] == keys if len(self._base) else np.zeros(len(keys), dtype=bool)
+        if self._tail_n:
+            tail = np.concatenate(self._tail)
+            hit |= np.isin(keys, tail)
+        return hit
 
     def add_many(self, keys: np.ndarray) -> None:
-        for k in keys:
-            k = int(k)
-            self.filter.add(k)
-            if self.exact:
-                self._set.add(k)
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return
+        if not self.exact:
+            for k in keys:
+                self.filter.add(int(k))
+            return
+        self._tail.append(keys.copy())
+        self._tail_n += len(keys)
 
     def snapshot(self) -> tuple[bytes, np.ndarray]:
-        exact_arr = np.fromiter(self._set, dtype=np.uint64, count=len(self._set)) if self.exact else np.array([], np.uint64)
-        exact_arr.sort()
-        return self.filter.to_bytes(), exact_arr
+        if not self.exact:
+            return self.filter.to_bytes(), np.array([], np.uint64)
+        self._compact(force=True)
+        # exact mode: no filter bytes persisted — the cuckoo filter is
+        # rebuildable from the exact array, and skipping the (MB-scale)
+        # table dump keeps per-round checkpoints cheap
+        return b"", self._base
 
     @classmethod
     def restore(cls, filter_bytes: bytes, exact_arr: np.ndarray, capacity: int, exact: bool = True) -> "SeenSet":
         s = cls.__new__(cls)
         s.exact = exact
-        s.filter = CuckooFilter.from_bytes(filter_bytes, capacity)
-        s._set = set(int(x) for x in exact_arr) if exact else set()
+        s._base = np.array([], dtype=np.uint64)
+        s._tail = []
+        s._tail_n = 0
+        if exact:
+            s.filter = None
+            s._base = np.asarray(exact_arr, dtype=np.uint64).copy()
+            s._base.sort(kind="stable")
+        else:
+            s.filter = CuckooFilter.from_bytes(filter_bytes, capacity)
         return s

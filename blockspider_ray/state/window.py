@@ -28,7 +28,6 @@ class WindowEntry:
     priority: int
     digest: int
     n_links: int
-    text: str
 
 
 class RollbackWindow:

@@ -106,3 +106,56 @@ class TestRobots:
 
 def test_url_host():
     assert url_host("http://host-0001.example/p/000001") == "host-0001.example"
+
+
+class TestCanonicalizeFastPath:
+    """The fast paths in canonicalize_url must be byte-equivalent to the
+    general (urllib) path for every href they accept."""
+
+    def test_equivalence_on_generated_hrefs(self):
+        import re
+        from urllib.parse import urljoin, urlsplit, urlunsplit, parse_qsl, urlencode
+
+        def slow(href, base=None):
+            if base is not None:
+                href = urljoin(base, href)
+            parts = urlsplit(href)
+            scheme = parts.scheme.lower()
+            if scheme not in ("http", "https"):
+                return None
+            host = (parts.hostname or "").lower()
+            if not host:
+                return None
+            port = parts.port
+            netloc = host if (port is None or str(port) in ("80", "443")) else f"{host}:{port}"
+            path = parts.path or "/"
+            query = parts.query
+            if query:
+                query = urlencode(sorted(parse_qsl(query, keep_blank_values=True)))
+            return urlunsplit((scheme, netloc, path, query, ""))
+
+        import numpy as np
+
+        rng = np.random.default_rng(123)
+        bases = [f"http://host-{i:04d}.example/p/{j:06d}" for i, j in zip(range(20), range(20))]
+        hrefs = []
+        for i in range(500):
+            h = f"http://host-{int(rng.integers(0,999)):04d}.example/p/{int(rng.integers(0,999999)):06d}"
+            r = rng.random()
+            if r < 0.2:
+                h = f"/p/{int(rng.integers(0,999999)):06d}"
+            elif r < 0.3:
+                h += "#frag"
+            elif r < 0.4:
+                h += "?b=2&a=1"
+            elif r < 0.45:
+                h = h.replace("http://", "HTTP://").replace("host-", "Host-")
+            elif r < 0.5:
+                h = h + "//double//slash"
+            hrefs.append(h)
+        for base in bases[:5]:
+            for h in hrefs:
+                assert canonicalize_url(h, base) == slow(h, base), (h, base)
+        for h in hrefs:
+            if not h.startswith("/"):
+                assert canonicalize_url(h) == slow(h), h

@@ -112,7 +112,7 @@ class TestTokenBucket:
 
 class TestRollbackWindow:
     def _e(self, rnd, seq, url):
-        return WindowEntry(rnd, seq, url, "h", 1, 0, 99, 0, "t")
+        return WindowEntry(rnd, seq, url, "h", 1, 0, 99, 0)
 
     def test_eviction_at_limit(self):
         w = RollbackWindow(3)
@@ -146,7 +146,7 @@ class TestCheckpointRoundtrip:
         f.push("h.example", "http://h.example/a", 1)
         f.push("g.example", "http://g.example/b", 0)
         w = RollbackWindow(4)
-        w.push(WindowEntry(2, 7, "http://h.example/a", "h.example", 5, 1, 42, 3, "body"))
+        w.push(WindowEntry(2, 7, "http://h.example/a", "h.example", 5, 1, 42, 3))
         s = SeenSet(1024, exact=True)
         s.add_many(np.array([5, 6], dtype=np.uint64))
 
@@ -163,7 +163,7 @@ class TestCheckpointRoundtrip:
         assert lineage == "abc123"
         assert len(f2) == 2
         assert f2.pop_host("g.example", 1) == [(0, "http://g.example/b")]
-        assert len(w2) == 1 and w2.entries()[0].text == "body"
+        assert len(w2) == 1 and w2.entries()[0].digest == 42
         assert s2.contains_many(np.array([5, 6], dtype=np.uint64)).all()
 
     def test_uncommitted_round_invisible(self, tmp_path):
