@@ -59,7 +59,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from blockspider_ray.pipelines import dedup, relational, similarity, textstats, windows
+    from blockspider_ray.pipelines import dedup, multimodal, relational, similarity, textstats, windows
 
     q: dict[str, Callable[[str], Any]] = {
         # relational core (SURVEY.md §2.2, §2.5, §2.6)
@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,
         "label_centroids": similarity.label_centroids,
+        # multimodal (binary payload columns; decode stubbed, plumbing real)
+        "media_features": multimodal.media_features,
+        "video_frame_samples": multimodal.video_frame_samples,
         # the crawl engine itself (deterministic tiny fixture; the oracle
         # equivalence is enforced in pytest, rows-only here)
         "crawl_log": lambda sf_dir: _crawl_tiny()[0],

@@ -464,6 +464,15 @@ class CrawlEngine:
             refs.append(self.actors[int(s)].seed.remote(t.filter(pa.array(shard == s))))
         ray.get(refs)
 
+    def append_seeds(self, seeds: list[str]) -> None:
+        """Out-of-band seed ingestion between rounds — the push-ingest
+        analog (webhook bridge, /root/reference/cmd/transmuted/main.go:141-174):
+        appended urls are canonicalized, seen-filtered and queued so the
+        NEXT round's scheduler can pick them up. Call between rounds
+        (the engine driver is single-threaded, like the reference's
+        no-overlap Syncing flag, crawler/blocks.go:26-32)."""
+        self._seed(seeds)
+
     def _clean_rounds_after(self, last_committed: int) -> None:
         log_root = os.path.join(self.out_dir, "crawl_log")
         if not os.path.isdir(log_root):

@@ -122,6 +122,11 @@ class OracleCrawler:
             if self._mark_seen(cu):
                 self.frontier.push(url_host(cu), cu, cand[cu])
 
+    def append_seeds(self, seeds: list[str]) -> None:
+        """Out-of-band seed ingestion between rounds (engine.append_seeds
+        mirror)."""
+        self._seed(seeds)
+
     def run(self, max_rounds: int | None = None) -> tuple[pa.Table, pa.Table]:
         R = max_rounds if max_rounds is not None else self.cfg.max_rounds
         for rnd in range(R):
