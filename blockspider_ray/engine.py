@@ -192,7 +192,7 @@ class ShardActor:
         dropped = [e for e, d in zip(ents, cur) if int(d) != e.digest]
         for e in dropped:
             self.window.remove(e.url)
-            self.frontier.push(e.host, e.url, e.priority)
+            self.frontier.push(e.host, e.url, e.priority, e.url_hash)
         return pa.table(
             {
                 "round": pa.array([e.round for e in dropped], pa.int64()),
@@ -209,14 +209,18 @@ class ShardActor:
 
     def schedule(self) -> pa.Table:
         """Politeness-bounded per-host pops, (priority, url) order within
-        host — this shard's round candidates."""
-        cand = self.frontier.pop_round(self.tokens_per_host)
+        host — this shard's round candidates (url_hash rides along so the
+        driver never re-hashes urls)."""
+        cand = self.frontier.pop_round_hashed(self.tokens_per_host)
         return pa.table(
             {
-                "priority": pa.array([p for p, _, _ in cand], pa.int64()),
-                "host": pa.array([h for _, h, _ in cand], pa.string()),
-                "url": pa.array([u for _, _, u in cand], pa.string()),
-                "shard": pa.array([self.shard] * len(cand), pa.int64()),
+                "priority": pa.array([p for p, _, _, _ in cand], pa.int64()),
+                "host": pa.array([h for _, h, _, _ in cand], pa.string()),
+                "url": pa.array([u for _, _, u, _ in cand], pa.string()),
+                "url_hash": pa.array(
+                    np.fromiter((x for _, _, _, x in cand), dtype=np.uint64, count=len(cand)), pa.uint64()
+                ),
+                "shard": pa.array(np.full(len(cand), self.shard, dtype=np.int64), pa.int64()),
             }
         )
 
@@ -225,7 +229,7 @@ class ShardActor:
         barrier count — rounds are latency-bound at small sizes)."""
         return {"dropped": self.begin_round(rnd, pages_refs, n_pshards), "candidates": self.schedule()}
 
-    def close_round(self, rnd: int, scheduled_urls: list[str], ckpt_dir: str | None) -> dict:
+    def close_round(self, rnd: int, scheduled_hashes, ckpt_dir: str | None) -> dict:
         """finalize_round + optional checkpoint in one RPC. Returns
         phase timings plus an object-store ref of this shard's sorted
         seen array — next round's route tasks use it as a broadcast
@@ -234,7 +238,7 @@ class ShardActor:
         import time as _time
 
         t0 = _time.time()
-        self.finalize_round(rnd, scheduled_urls)
+        self.finalize_round(rnd, scheduled_hashes)
         t1 = _time.time()
         if ckpt_dir is not None:
             self.checkpoint(ckpt_dir, rnd)
@@ -246,10 +250,13 @@ class ShardActor:
 
     def pushback(self, table: pa.Table) -> None:
         """Return candidates truncated by the global round cap."""
-        for prio, host, url in zip(
-            table.column("priority").to_pylist(), table.column("host").to_pylist(), table.column("url").to_pylist()
+        for prio, host, url, uh in zip(
+            table.column("priority").to_pylist(),
+            table.column("host").to_pylist(),
+            table.column("url").to_pylist(),
+            table.column("url_hash").to_pylist(),
         ):
-            self.frontier.push(host, url, prio)
+            self.frontier.push(host, url, prio, uh)
 
     def _allowed(self, url: str, host: str) -> bool:
         rules = self.robots.get(host)
@@ -264,10 +271,11 @@ class ShardActor:
         self.ingest(table)
         self._finalize_discoveries()
 
-    def finalize_round(self, rnd: int, scheduled_urls: list[str]) -> None:
+    def finalize_round(self, rnd: int, scheduled_hashes) -> None:
         """Round barrier work: commit window candidates in seq order,
         finalize discoveries (min-priority, robots, seen-filter, enqueue),
-        advance the lineage digest chain."""
+        advance the lineage digest chain (over this shard's scheduled
+        url-hash sequence, in global seq order)."""
         if self._pending_window:
             w = pa.concat_tables(self._pending_window)
             self._pending_window = []
@@ -279,9 +287,7 @@ class ShardActor:
                 self.window.push(WindowEntry(**r))
         self._finalize_discoveries()
         h = hashlib.blake2b(self.lineage.encode(), digest_size=16)
-        for u in scheduled_urls:
-            h.update(u.encode())
-            h.update(b"\n")
+        h.update(np.asarray(scheduled_hashes, dtype=np.uint64).tobytes())
         self.lineage = h.hexdigest()
 
     def _finalize_discoveries(self) -> None:
@@ -313,9 +319,9 @@ class ShardActor:
             for ok, k, u in zip(allowed, uh, urls):
                 if ok:
                     self.seen_urls[int(k)] = u
-        for ok, url, host, prio in zip(allowed, urls, hosts, prios):
+        for ok, url, host, prio, k in zip(allowed, urls, hosts, prios, uh):
             if ok:
-                self.frontier.push(host, url, int(prio))
+                self.frontier.push(host, url, int(prio), int(k))
 
     # --- introspection / persistence -----------------------------------
     def seen_table(self) -> pa.Table:
@@ -561,23 +567,24 @@ class CrawlEngine:
         # 4. fetch -> extract -> route, streaming over Arrow batches
         n_take = take.num_rows if take is not None else 0
         if n_take:
-            urls = take.column("url").to_pylist()
-            hosts = take.column("host").to_pylist()
             sched_t = pa.table(
                 {
                     "round": pa.array(np.full(n_take, rnd, dtype=np.int64), pa.int64()),
                     "seq": pa.array(np.arange(ndrop, ndrop + n_take, dtype=np.int64), pa.int64()),
                     "url": take.column("url"),
                     "host": take.column("host"),
-                    "url_hash": pa.array(hash64(urls), pa.uint64()),
+                    "url_hash": take.column("url_hash"),
                     "priority": take.column("priority"),
                     "shard": take.column("shard"),
                 },
                 schema=schemas.SCHEDULED,
             )
             # group blocks by physical page shard so each fetch batch is
-            # partition-local (one pshard file per batch — no cross-shard reads)
-            pshard = (hash64(hosts) % np.uint64(self.shared.n_shards)).astype(np.int64)
+            # partition-local; hash only the UNIQUE hosts (a round has
+            # thousands of hosts but up to 10^5+ urls)
+            host_codes, host_uniques = pd.factorize(take.column("host").to_pandas())
+            upshard = (hash64(list(host_uniques)) % np.uint64(self.shared.n_shards)).astype(np.int64)
+            pshard = upshard[host_codes]
             blocks = [sched_t.filter(pa.array(pshard == s)) for s in np.unique(pshard)]
             # batch size targets ~3 tasks per CPU per round so small rounds
             # still fan out (Ray Data coalesces blocks up to batch_size into
@@ -626,12 +633,15 @@ class CrawlEngine:
         _t["pipeline"] = _time.time() - _t0
         _t0 = _time.time()
         # 5+7. one barrier: finalize discoveries + lineage + checkpoint
-        shard_urls: dict[int, list[str]] = {s: [] for s in range(cfg.shards)}
+        empty = np.array([], dtype=np.uint64)
+        shard_hashes: dict[int, np.ndarray] = {s: empty for s in range(cfg.shards)}
         if n_take:
-            for u, s in zip(sched_t.column("url").to_pylist(), sched_t.column("shard").to_pylist()):
-                shard_urls[int(s)].append(u)
+            sh = sched_t.column("shard").to_numpy(zero_copy_only=False)
+            uh = sched_t.column("url_hash").to_numpy(zero_copy_only=False)
+            for s in np.unique(sh):
+                shard_hashes[int(s)] = uh[sh == s]
         closes = ray.get(
-            [a.close_round.remote(rnd, shard_urls[s], self.ckpt_dir) for s, a in enumerate(self.actors)]
+            [a.close_round.remote(rnd, shard_hashes[s], self.ckpt_dir) for s, a in enumerate(self.actors)]
         )
         self._seen_refs = {
             s: c["seen_ref"] for s, c in enumerate(closes) if c.get("seen_ref") is not None

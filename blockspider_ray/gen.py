@@ -39,6 +39,7 @@ SIZES = {
     "tiny": dict(hosts=20, pages=2_000, seeds=5),
     "small": dict(hosts=200, pages=60_000, seeds=20),
     "bench": dict(hosts=2_000, pages=600_000, seeds=100),
+    "bench4": dict(hosts=8_000, pages=2_400_000, seeds=400),
 }
 
 N_PAGE_SHARDS = 32  # fixed physical layout of the pages store

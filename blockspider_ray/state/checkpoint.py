@@ -63,13 +63,15 @@ def save_shard(
     os.makedirs(d, exist_ok=True)
     base = os.path.join(d, f"shard-{shard}")
 
-    items = frontier.items()  # (priority, url, host) deterministic order
+    items = frontier.items_hashed()  # (priority, url, host, uh) deterministic order
     ftab = pa.table(
         {
-            "priority": pa.array([p for p, _, _ in items], pa.int64()),
-            "url": pa.array([u for _, u, _ in items], pa.string()),
-            "host": pa.array([h for _, _, h in items], pa.string()),
-            "url_hash": pa.array(url_hash_of([u for _, u, _ in items]), pa.uint64()),
+            "priority": pa.array([p for p, _, _, _ in items], pa.int64()),
+            "url": pa.array([u for _, u, _, _ in items], pa.string()),
+            "host": pa.array([h for _, _, h, _ in items], pa.string()),
+            "url_hash": pa.array(
+                np.fromiter((x for _, _, _, x in items), dtype=np.uint64, count=len(items)), pa.uint64()
+            ),
             "round_discovered": pa.array([0] * len(items), pa.int64()),
         },
         schema=schemas.CHECKPOINT_FRONTIER,
@@ -150,10 +152,13 @@ def load_shard(ckpt_dir: str, rnd: int, shard: int, *, cuckoo_capacity: int, exa
 
     frontier = HostFrontier()
     ftab = pq.read_table(base + ".frontier.parquet")
-    for prio, url, host in zip(
-        ftab.column("priority").to_pylist(), ftab.column("url").to_pylist(), ftab.column("host").to_pylist()
+    for prio, url, host, uh in zip(
+        ftab.column("priority").to_pylist(),
+        ftab.column("url").to_pylist(),
+        ftab.column("host").to_pylist(),
+        ftab.column("url_hash").to_pylist(),
     ):
-        frontier.push(host, url, prio)
+        frontier.push(host, url, prio, uh)
 
     window = RollbackWindow(limit=1 << 30)  # caller resets limit
     wtab = pq.read_table(base + ".window.parquet")

@@ -50,15 +50,19 @@ class HostFrontier:
     """
 
     def __init__(self):
-        self._heaps: dict[str, list[tuple[int, str]]] = defaultdict(list)
+        self._heaps: dict[str, list[tuple[int, str, int]]] = defaultdict(list)
         self._queued: set[str] = set()  # urls currently queued (dedup guard)
         self.size = 0
 
-    def push(self, host: str, url: str, priority: int) -> bool:
-        """Queue a url; returns False if it is already queued."""
+    def push(self, host: str, url: str, priority: int, url_hash: int = 0) -> bool:
+        """Queue a url; returns False if it is already queued.
+
+        ``url_hash`` rides along so the scheduler never re-hashes urls
+        (urls are unique within a heap, so the trailing tuple element
+        never participates in heap ordering)."""
         if url in self._queued:
             return False
-        heapq.heappush(self._heaps[host], (priority, url))
+        heapq.heappush(self._heaps[host], (priority, url, url_hash))
         self._queued.add(url)
         self.size += 1
         return True
@@ -68,10 +72,23 @@ class HostFrontier:
         heap = self._heaps.get(host)
         out: list[tuple[int, str]] = []
         while heap and len(out) < k:
-            prio, url = heapq.heappop(heap)
+            prio, url, _ = heapq.heappop(heap)
             self._queued.discard(url)
             self.size -= 1
             out.append((prio, url))
+        if heap is not None and not heap:
+            del self._heaps[host]
+        return out
+
+    def pop_host_hashed(self, host: str, k: int) -> list[tuple[int, str, int]]:
+        """pop_host keeping the stored url_hash."""
+        heap = self._heaps.get(host)
+        out: list[tuple[int, str, int]] = []
+        while heap and len(out) < k:
+            prio, url, uh = heapq.heappop(heap)
+            self._queued.discard(url)
+            self.size -= 1
+            out.append((prio, url, uh))
         if heap is not None and not heap:
             del self._heaps[host]
         return out
@@ -86,13 +103,28 @@ class HostFrontier:
                 out.append((prio, host, url))
         return out
 
+    def pop_round_hashed(self, tokens_per_host: int) -> list[tuple[int, str, str, int]]:
+        """pop_round keeping url hashes: (priority, host, url, url_hash)."""
+        out: list[tuple[int, str, str, int]] = []
+        for host in sorted(self._heaps.keys()):
+            for prio, url, uh in self.pop_host_hashed(host, tokens_per_host):
+                out.append((prio, host, url, uh))
+        return out
+
     def items(self) -> list[tuple[int, str, str]]:
         """All queued (priority, url, host) — checkpoint snapshot order:
         (host, priority, url)."""
         out = []
         for host in sorted(self._heaps.keys()):
-            for prio, url in sorted(self._heaps[host]):
+            for prio, url, _ in sorted(self._heaps[host]):
                 out.append((prio, url, host))
+        return out
+
+    def items_hashed(self) -> list[tuple[int, str, str, int]]:
+        out = []
+        for host in sorted(self._heaps.keys()):
+            for prio, url, uh in sorted(self._heaps[host]):
+                out.append((prio, url, host, uh))
         return out
 
     def __len__(self) -> int:
