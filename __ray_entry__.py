@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": relational.filter_project,
         "join_customer_orders": relational.join_customer_orders,
         "join_orders_lineitem": relational.join_orders_lineitem,
+        "join_orders_lineitem_native": relational.join_orders_lineitem_native,
         "topk_orders": relational.topk_orders,
         "distinct_segments": relational.distinct_segments,
         "anti_join_customers": relational.anti_join_customers,
@@ -127,6 +128,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total_price, COUNT(*)::BIGINT AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "join_orders_lineitem_native": """
+            SELECT o_orderstatus,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
         """,
         "join_orders_lineitem": """
             SELECT o_orderstatus,

@@ -115,10 +115,72 @@ def join_customer_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
-def join_orders_lineitem(sf_dir: str) -> pd.DataFrame:
-    """Large-large hash-partitioned join (``Dataset.join``: both sides
-    shuffled on the key) followed by a grouped aggregate — the one
-    deliberate all-to-all in the relational battery."""
+def join_orders_lineitem(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
+    """Large-large join as an explicit partitioned hash join — the
+    portable pattern: both sides get a ``bucket = key % B`` column, the
+    tagged union is grouped by bucket, and each bucket joins + partially
+    aggregates inside ``map_groups`` (so the second shuffle moves one
+    partial row per (status, bucket), not the joined rows). One
+    deliberate all-to-all, with the combiner discipline of SURVEY.md §4.
+    Hot-key note: TPC-H keys are uniform; for skewed keys the bucket
+    column would be salted (key %% B + salt of the hot keys)."""
+    li = T(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        key = t["l_orderkey"]
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(key, n_buckets - 1), pa.int64()),
+                "key": key,
+                "rev": r,
+                "o_orderstatus": pa.nulls(t.num_rows, pa.string()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"]
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(key, n_buckets - 1), pa.int64()),
+                "key": key,
+                "rev": pa.nulls(t.num_rows, pa.float64()),
+                "o_orderstatus": t["o_orderstatus"],
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    left = li.map_batches(tag_left, batch_format="pyarrow")
+    right = T(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]).map_batches(
+        tag_right, batch_format="pyarrow"
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["key", "rev"]]
+        r = g[g["side"] == 1][["key", "o_orderstatus"]]
+        m = l.merge(r, on="key", how="inner")
+        part = m.groupby("o_orderstatus", as_index=False).agg(p_rev=("rev", "sum"), p_n=("rev", "size"))
+        return part
+
+    out = (
+        left.union(right)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def join_orders_lineitem_native(sf_dir: str) -> pd.DataFrame:
+    """Same join via ``Dataset.join`` (hash-shuffle join operator) — API
+    coverage for the built-in; the bucketed version above is the bench
+    path (the built-in's shuffle-aggregator actor pool has a large fixed
+    startup cost at small scale)."""
     li = T(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
@@ -127,7 +189,7 @@ def join_orders_lineitem(sf_dir: str) -> pd.DataFrame:
 
     li = li.map_batches(rev, batch_format="pyarrow")
     orders = T(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-    joined = li.join(orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = li.join(orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
     out = (
         joined.groupby("o_orderstatus")
         .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))

@@ -204,3 +204,25 @@ class TestMutationRetraction:
         # and the whole run still matches the oracle exactly
         assert elog.equals(olog)
         assert eseen.equals(oseen)
+
+
+class TestCuckooScalePath:
+    def test_inexact_seen_mode_crawl(self, tiny_fixture, tmp_path_factory):
+        """exact_seen=False runs the cuckoo filter alone (the 10^10-scale
+        path). At fixture scale the FP probability is ~2^-13 per probe and
+        the hash values are deterministic, so the crawl log still equals
+        the oracle's; the test also pins that the engine runs end-to-end
+        without the exact shadow structures."""
+        pages_dir, seeds = tiny_fixture
+        cfg = small_cfg(exact_seen=False, cuckoo_capacity_per_shard=1 << 16, max_rounds=4)
+        out = str(tmp_path_factory.mktemp("cuckoo_out"))
+        eng = CrawlEngine(pages_dir, seeds, cfg, out)
+        eng.run()
+        elog = eng.crawl_log()
+        stats = eng.stats()
+        eng.shutdown()
+
+        olog, oseen = OracleCrawler(pages_dir, seeds, small_cfg(max_rounds=4)).run()
+        assert elog.equals(olog)
+        # cuckoo counts match the true seen count (no fill-failures at this load)
+        assert sum(s["seen"] for s in stats) == oseen.num_rows
