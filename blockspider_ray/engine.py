@@ -87,7 +87,7 @@ def process_and_sink(
     rows = out.select([f.name for f in schemas.CRAWL_LOG]).cast(schemas.CRAWL_LOG)
     seq0 = rows.column("seq")[0].as_py() if rows.num_rows else 0
     path = os.path.join(round_dir, f"part-{seq0:09d}-{uuid.uuid4().hex[:8]}.parquet")
-    pq.write_table(rows, path)
+    pq.write_table(rows, path, compression="zstd", compression_level=1)
     if send_refs:
         ray.get(send_refs)  # delivery barrier AFTER the write overlapped it
     return pa.table({"n": pa.array([rows.num_rows], pa.int64())})
@@ -156,6 +156,9 @@ class ShardActor:
         self._pending_links: list[pa.Table] = []
         self._pending_window: list[pa.Table] = []
         self._pending_window_rows = 0
+        # seen-set additions since the last checkpoint (delta persistence)
+        self._seen_delta: list[np.ndarray] = []
+        self._seen_delta_urls: list[list[str]] = []
 
     # --- ingestion (called from RouteLinks tasks; order-independent) ----
     def ingest(self, table: pa.Table) -> None:
@@ -242,6 +245,10 @@ class ShardActor:
         t1 = _time.time()
         if ckpt_dir is not None:
             self.checkpoint(ckpt_dir, rnd)
+        else:
+            # no persistence: don't let delta buffers grow unboundedly
+            self._seen_delta = []
+            self._seen_delta_urls = []
         seen_ref = None
         if self.exact_seen:
             _, arr = self.seen.snapshot()
@@ -315,6 +322,8 @@ class ShardActor:
             (self._allowed(u, h) for u, h in zip(urls, hosts)), dtype=bool, count=len(urls)
         )
         self.seen.add_many(uh[allowed])
+        self._seen_delta.append(uh[allowed].copy())
+        self._seen_delta_urls.append([u for ok, u in zip(allowed, urls) if ok])
         if self.exact_seen:
             for ok, k, u in zip(allowed, uh, urls):
                 if ok:
@@ -346,37 +355,38 @@ class ShardActor:
         }
 
     def checkpoint(self, ckpt_dir: str, rnd: int) -> None:
+        delta_h = (
+            np.concatenate(self._seen_delta) if self._seen_delta else np.array([], dtype=np.uint64)
+        )
+        delta_u = [u for part in self._seen_delta_urls for u in part]
+        self._seen_delta = []
+        self._seen_delta_urls = []
         ckpt.save_shard(
             ckpt_dir,
             rnd,
             self.shard,
             frontier=self.frontier,
             window=self.window,
-            seen=self.seen,
             lineage=self.lineage,
-            url_hash_of=lambda urls: hash64(urls) if urls else np.array([], np.uint64),
-            host_hash_of=lambda hosts: hash64(hosts) if hosts else np.array([], np.uint64),
+            seen_delta_hashes=delta_h,
+            seen_delta_urls=delta_u if self.exact_seen else None,
+            seen_size=len(self.seen),
+            cuckoo_bytes=None if self.exact_seen else self.seen.filter.to_bytes(),
         )
-        # exact-mode sidecar: url_hash -> url mapping for seen_table()
-        if self.exact_seen:
-            base = os.path.join(ckpt.round_dir(ckpt_dir, rnd), f"shard-{self.shard}.seenurls.parquet")
-            tmp = base + ".tmp"
-            pq.write_table(self.seen_table(), tmp)
-            os.replace(tmp, base)
 
     def load_checkpoint(self, ckpt_dir: str, rnd: int) -> None:
-        frontier, window, seen, lineage, _ = ckpt.load_shard(
-            ckpt_dir, rnd, self.shard, cuckoo_capacity=self.cuckoo_capacity, exact=self.exact_seen
-        )
+        frontier, window, lineage, _ = ckpt.load_shard(ckpt_dir, rnd, self.shard)
         window.limit = self.window.limit
-        self.frontier, self.seen, self.lineage = frontier, seen, lineage
+        self.frontier, self.lineage = frontier, lineage
         self.window = window
+        hashes, urls, cuckoo_bytes = ckpt.load_seen(ckpt_dir, rnd, self.shard, exact=self.exact_seen)
         if self.exact_seen:
-            base = os.path.join(ckpt.round_dir(ckpt_dir, rnd), f"shard-{self.shard}.seenurls.parquet")
-            t = pq.read_table(base)
-            self.seen_urls = dict(
-                zip((int(x) for x in t.column("url_hash").to_pylist()), t.column("url").to_pylist())
-            )
+            self.seen = SeenSet.restore(b"", hashes, self.cuckoo_capacity, exact=True)
+            self.seen_urls = dict(zip((int(x) for x in hashes), urls))
+        else:
+            self.seen = SeenSet.restore(cuckoo_bytes, hashes, self.cuckoo_capacity, exact=False)
+        self._seen_delta = []
+        self._seen_delta_urls = []
 
 
 class CrawlEngine:
@@ -560,7 +570,7 @@ class CrawlEngine:
                 },
                 schema=schemas.CRAWL_LOG,
             )
-            pq.write_table(dt, os.path.join(round_dir, "part-dropped.parquet"))
+            pq.write_table(dt, os.path.join(round_dir, "part-dropped.parquet"), compression="zstd", compression_level=1)
 
         _t["order"] = _time.time() - _t0
         _t0 = _time.time()

@@ -45,4 +45,4 @@ def write_sinks(round_table: pa.Table, rnd: int, out_root: str, sinks: list[Sink
         if os.path.isdir(d):
             shutil.rmtree(d)
         os.makedirs(d, exist_ok=True)
-        pq.write_table(sub, os.path.join(d, "part-0.parquet"))
+        pq.write_table(sub, os.path.join(d, "part-0.parquet"), compression="zstd", compression_level=1)

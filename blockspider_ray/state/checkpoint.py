@@ -54,16 +54,17 @@ def save_shard(
     *,
     frontier: HostFrontier,
     window: RollbackWindow,
-    seen: SeenSet,
     lineage: str,
-    url_hash_of,
-    host_hash_of,
+    seen_delta_hashes: np.ndarray,
+    seen_delta_urls: list | None = None,
+    seen_size: int = 0,
+    cuckoo_bytes: bytes | None = None,
 ) -> None:
     d = round_dir(ckpt_dir, rnd)
     os.makedirs(d, exist_ok=True)
     base = os.path.join(d, f"shard-{shard}")
 
-    items = frontier.items_hashed()  # (priority, url, host, uh) deterministic order
+    items = frontier.items_unordered()  # restore is order-free (see HostFrontier.items_unordered)
     ftab = pa.table(
         {
             "priority": pa.array([p for p, _, _, _ in items], pa.int64()),
@@ -76,7 +77,7 @@ def save_shard(
         },
         schema=schemas.CHECKPOINT_FRONTIER,
     )
-    _atomic_write(base + ".frontier.parquet", lambda p: pq.write_table(ftab, p))
+    _atomic_write(base + ".frontier.parquet", lambda p: pq.write_table(ftab, p, compression="zstd", compression_level=1))
 
     ents = window.entries()
     wtab = pa.table(
@@ -92,17 +93,23 @@ def save_shard(
         },
         schema=schemas.CHECKPOINT_WINDOW,
     )
-    _atomic_write(base + ".window.parquet", lambda p: pq.write_table(wtab, p))
+    _atomic_write(base + ".window.parquet", lambda p: pq.write_table(wtab, p, compression="zstd", compression_level=1))
 
-    filter_bytes, exact_arr = seen.snapshot()
-    stab = pa.table({"url_hash": pa.array(exact_arr, pa.uint64())})
-    _atomic_write(base + ".seen.parquet", lambda p: pq.write_table(stab, p))
+    # seen-set persisted as PER-ROUND DELTAS (the set is append-only, so
+    # round r's state = concat of deltas 0..r): a full dump per round at
+    # 10^7+ urls would out-write the crawl log itself
+    cols = {"url_hash": pa.array(np.asarray(seen_delta_hashes, dtype=np.uint64), pa.uint64())}
+    if seen_delta_urls is not None:
+        cols["url"] = pa.array(seen_delta_urls, pa.string())
+    stab = pa.table(cols)
+    _atomic_write(base + ".seen.parquet", lambda p: pq.write_table(stab, p, compression="zstd", compression_level=1))
 
-    def _wb(p):
-        with open(p, "wb") as f:
-            f.write(filter_bytes)
+    if cuckoo_bytes is not None:
+        def _wb(p):
+            with open(p, "wb") as f:
+                f.write(cuckoo_bytes)
 
-    _atomic_write(base + ".cuckoo.bin", _wb)
+        _atomic_write(base + ".cuckoo.bin", _wb)
 
     header = {
         "round": rnd,
@@ -111,7 +118,8 @@ def save_shard(
         "updated_ms": int(time.time() * 1000),
         "frontier_size": len(frontier),
         "window_size": len(window),
-        "seen_size": len(seen),
+        "seen_size": int(seen_size),
+        "seen_delta": int(len(seen_delta_hashes)),
     }
 
     def _wj(p):
@@ -144,8 +152,33 @@ def latest_committed_round(ckpt_dir: str) -> int | None:
     return best
 
 
-def load_shard(ckpt_dir: str, rnd: int, shard: int, *, cuckoo_capacity: int, exact: bool = True):
-    """Returns (frontier, window, seen, lineage, header)."""
+def load_seen(ckpt_dir: str, upto_round: int, shard: int, *, exact: bool = True):
+    """Reassemble one shard's seen-set at ``upto_round`` from the
+    per-round delta files (all rounds <= upto_round are committed by the
+    time a resume targets upto_round). Returns (hashes, urls, cuckoo_bytes)."""
+    hashes = []
+    urls: list = []
+    for r in range(upto_round + 1):
+        base = os.path.join(round_dir(ckpt_dir, r), f"shard-{shard}")
+        p = base + ".seen.parquet"
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p)
+        hashes.append(np.asarray(t.column("url_hash").to_numpy(zero_copy_only=False), dtype=np.uint64))
+        if exact and "url" in t.column_names:
+            urls.extend(t.column("url").to_pylist())
+    h = np.concatenate(hashes) if hashes else np.array([], dtype=np.uint64)
+    cuckoo_bytes = b""
+    cb = os.path.join(round_dir(ckpt_dir, upto_round), f"shard-{shard}.cuckoo.bin")
+    if os.path.exists(cb):
+        with open(cb, "rb") as f:
+            cuckoo_bytes = f.read()
+    return h, urls, cuckoo_bytes
+
+
+def load_shard(ckpt_dir: str, rnd: int, shard: int):
+    """Returns (frontier, window, lineage, header); the seen-set is
+    assembled separately via load_seen (delta files)."""
     base = os.path.join(round_dir(ckpt_dir, rnd), f"shard-{shard}")
     with open(base + ".json") as f:
         header = json.load(f)
@@ -165,9 +198,4 @@ def load_shard(ckpt_dir: str, rnd: int, shard: int, *, cuckoo_capacity: int, exa
     for row in wtab.to_pylist():
         window.push(WindowEntry(**row))
 
-    stab = pq.read_table(base + ".seen.parquet")
-    exact_arr = np.asarray(stab.column("url_hash").to_numpy(zero_copy_only=False), dtype=np.uint64)
-    with open(base + ".cuckoo.bin", "rb") as f:
-        filter_bytes = f.read()
-    seen = SeenSet.restore(filter_bytes, exact_arr, cuckoo_capacity, exact=exact)
-    return frontier, window, seen, header["lineage"], header
+    return frontier, window, header["lineage"], header

@@ -127,5 +127,16 @@ class HostFrontier:
                 out.append((prio, url, host, uh))
         return out
 
+    def items_unordered(self) -> list[tuple[int, str, str, int]]:
+        """Checkpoint dump without per-host sorting: restore pushes every
+        entry back into heaps, so file order is irrelevant to state —
+        sorting ~10^5 queued urls per shard per round was pure overhead.
+        (Use items_hashed when byte-stable files matter, e.g. tests.)"""
+        out = []
+        for host in sorted(self._heaps.keys()):
+            for prio, url, uh in self._heaps[host]:
+                out.append((prio, url, host, uh))
+        return out
+
     def __len__(self) -> int:
         return self.size

@@ -151,19 +151,29 @@ class TestCheckpointRoundtrip:
         s.add_many(np.array([5, 6], dtype=np.uint64))
 
         d = str(tmp_path / "ckpt")
+        # two rounds of deltas: the seen-set reassembles from both
         ck.save_shard(
-            d, 3, 0, frontier=f, window=w, seen=s, lineage="abc123",
-            url_hash_of=lambda urls: hash64(urls) if urls else np.array([], np.uint64),
-            host_hash_of=lambda hosts: hash64(hosts) if hosts else np.array([], np.uint64),
+            d, 2, 0, frontier=f, window=w, lineage="before",
+            seen_delta_hashes=np.array([5], dtype=np.uint64),
+            seen_delta_urls=["http://h.example/a"], seen_size=1,
+        )
+        ck.save_shard(
+            d, 3, 0, frontier=f, window=w, lineage="abc123",
+            seen_delta_hashes=np.array([6], dtype=np.uint64),
+            seen_delta_urls=["http://g.example/b"], seen_size=2,
         )
         ck.commit_round(d, 3, 1)
         assert ck.latest_committed_round(d) == 3
 
-        f2, w2, s2, lineage, header = ck.load_shard(d, 3, 0, cuckoo_capacity=1024, exact=True)
+        f2, w2, lineage, header = ck.load_shard(d, 3, 0)
         assert lineage == "abc123"
         assert len(f2) == 2
         assert f2.pop_host("g.example", 1) == [(0, "http://g.example/b")]
         assert len(w2) == 1 and w2.entries()[0].digest == 42
+        hashes, urls, _ = ck.load_seen(d, 3, 0, exact=True)
+        assert sorted(hashes.tolist()) == [5, 6]
+        assert sorted(urls) == ["http://g.example/b", "http://h.example/a"]
+        s2 = SeenSet.restore(b"", hashes, 1024, exact=True)
         assert s2.contains_many(np.array([5, 6], dtype=np.uint64)).all()
 
     def test_uncommitted_round_invisible(self, tmp_path):
