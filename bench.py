@@ -139,6 +139,10 @@ def main() -> None:
                     os.environ,
                     RAY_GRAFT_CPUS=str(ncpu),
                     BSR_BENCH_ONLY="crawl",
+                    # scaling runs default to the large fixture: small
+                    # fixtures under-fill the high level and understate
+                    # efficiency (see BASELINE.md)
+                    BSR_BENCH_FIXTURE=os.environ.get("BSR_BENCH_FIXTURE", "bench"),
                 )
                 # pin the whole child (driver + raylet + workers + actors)
                 # to ncpu physical cores: ray's num_cpus is a scheduling
