@@ -59,7 +59,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from blockspider_ray.pipelines import dedup, multimodal, relational, similarity, textstats, windows
+    from blockspider_ray.pipelines import corpus, dedup, multimodal, relational, similarity, textstats, windows
 
     q: dict[str, Callable[[str], Any]] = {
         # relational core (SURVEY.md §2.2, §2.5, §2.6)
@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (binary payload columns; decode stubbed, plumbing real)
         "media_features": multimodal.media_features,
         "video_frame_samples": multimodal.video_frame_samples,
+        # flagship: crawl output -> dedup -> quality/lang -> partitioned corpus
+        "corpus_prep": corpus.corpus_prep_demo,
         # the crawl engine itself (deterministic tiny fixture; the oracle
         # equivalence is enforced in pytest, rows-only here)
         "crawl_log": lambda sf_dir: _crawl_tiny()[0],

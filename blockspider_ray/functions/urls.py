@@ -43,6 +43,11 @@ def canonicalize_url(href: str, base: str | None = None) -> str | None:
       - sort query parameters by (key, value); drop an empty query
       - empty path -> "/"
     """
+    # the fragment never survives nor influences resolution of the other
+    # components (RFC 3986 §5.3), so strip it first — this lets
+    # fragment-bearing hrefs take the fast paths below
+    if "#" in href:
+        href = href.split("#", 1)[0]
     if base is None:
         if _FAST_ABS.match(href):
             return href

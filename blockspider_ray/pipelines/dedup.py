@@ -107,10 +107,19 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
             }
         )
 
+    MAX_BUCKET = 256  # hot-bucket guard: a bucket of n docs emits O(n^2)
+    # pairs; past this bound (boilerplate-heavy corpora) we link each doc
+    # to the bucket's min id only (star pattern) — transitively complete
+    # for true duplicate CLUSTERS, and it caps the skew explosion the
+    # same way the engine caps mega-host share (SURVEY.md §4 skew row)
+
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(int(x) for x in g["doc_id"]))
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        if len(ids) > MAX_BUCKET:
+            root = ids[0]
+            return pd.DataFrame({"doc_a": [root] * (len(ids) - 1), "doc_b": ids[1:]})
         pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
         return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
 

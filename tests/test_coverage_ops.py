@@ -190,3 +190,46 @@ class TestMultimodal:
         from blockspider_ray.pipelines.multimodal import generate_media
 
         assert generate_media(50).equals(generate_media(50))
+
+
+class TestCorpusPrep:
+    def test_end_to_end(self, tmp_path_factory, tiny_fixture):
+        import pyarrow.dataset as pads
+
+        from blockspider_ray.config import CrawlConfig
+        from blockspider_ray.engine import CrawlEngine
+        from blockspider_ray.pipelines.corpus import corpus_prep
+
+        pages_dir, seeds = tiny_fixture
+        work = str(tmp_path_factory.mktemp("corpus"))
+        eng = CrawlEngine(pages_dir, seeds, CrawlConfig(max_rounds=3, shards=4), f"{work}/out", ckpt_dir=f"{work}/ckpt")
+        eng.run()
+        log = eng.crawl_log()
+        eng.shutdown()
+
+        res = corpus_prep(f"{work}/out", f"{work}/ckpt", f"{work}/corpus", min_quality=0.0, min_tokens=1)
+        n_accepted_unique = len(
+            {t for t, s in zip(log.column("text").to_pylist(), log.column("status").to_pylist()) if s == "ACCEPTED"}
+        )
+        assert res["kept"] == n_accepted_unique  # exact dedup, no quality loss at threshold 0
+
+        dset = pads.dataset(f"{work}/corpus", partitioning="hive")
+        t = dset.to_table()
+        assert set(t.column_names) >= {"url", "text", "quality", "n_tokens", "lang"}
+        # lang partition dirs exist
+        langs = {d.split("=")[1] for d in os.listdir(f"{work}/corpus") if d.startswith("lang=")}
+        assert langs
+
+    def test_quality_threshold_filters(self, tmp_path_factory, tiny_fixture):
+        from blockspider_ray.config import CrawlConfig
+        from blockspider_ray.engine import CrawlEngine
+        from blockspider_ray.pipelines.corpus import corpus_prep
+
+        pages_dir, seeds = tiny_fixture
+        work = str(tmp_path_factory.mktemp("corpus2"))
+        eng = CrawlEngine(pages_dir, seeds, CrawlConfig(max_rounds=2, shards=4), f"{work}/out", ckpt_dir=f"{work}/ckpt")
+        eng.run()
+        eng.shutdown()
+        lo = corpus_prep(f"{work}/out", f"{work}/ckpt", f"{work}/c_lo", min_quality=0.0, min_tokens=1)["kept"]
+        hi = corpus_prep(f"{work}/out", f"{work}/ckpt", f"{work}/c_hi", min_quality=0.9, min_tokens=1)["kept"]
+        assert hi <= lo
