@@ -85,9 +85,15 @@ def process_and_sink(
     out = extract_batch(fetch_batch(batch, pages_refs=pages_refs, n_pshards=n_pshards))
     out, send_refs = route_links(out, actor_ns=actor_ns, nshards=nshards, seen_refs=seen_refs, defer=True)
     rows = out.select([f.name for f in schemas.CRAWL_LOG]).cast(schemas.CRAWL_LOG)
+    # deterministic per-chunk file name + atomic rename: a Ray task RETRY
+    # overwrites its own file instead of appending a duplicate (the chunk's
+    # first seq is unique and stable within the round); actor sends are
+    # idempotent (seen-filter / keyed window), so retries are safe end to end
     seq0 = rows.column("seq")[0].as_py() if rows.num_rows else 0
-    path = os.path.join(round_dir, f"part-{seq0:09d}-{uuid.uuid4().hex[:8]}.parquet")
-    pq.write_table(rows, path, compression="zstd", compression_level=1)
+    path = os.path.join(round_dir, f"part-{seq0:09d}.parquet")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(rows, tmp, compression="zstd", compression_level=1)
+    os.replace(tmp, path)
     if send_refs:
         ray.get(send_refs)  # delivery barrier AFTER the write overlapped it
     return pa.table({"n": pa.array([rows.num_rows], pa.int64())})
