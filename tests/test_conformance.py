@@ -226,3 +226,30 @@ class TestCuckooScalePath:
         assert elog.equals(olog)
         # cuckoo counts match the true seen count (no fill-failures at this load)
         assert sum(s["seen"] for s in stats) == oseen.num_rows
+
+
+class TestSkewBound:
+    def test_mega_host_share_bounded_per_round(self, tiny_fixture, tmp_path_factory):
+        """The Zipf mega-host (host-0000 holds ~30% of tiny pages) can
+        never be scheduled more than tokens_per_host_per_round times in
+        any round — the politeness budget IS the skew bound (SURVEY.md §4
+        skew row). Also checks no single round exceeds the global cap."""
+        import collections
+
+        pages_dir, seeds = tiny_fixture
+        cfg = small_cfg(tokens_per_host_per_round=3, max_urls_per_round=40, max_rounds=6)
+        out = str(tmp_path_factory.mktemp("skew"))
+        eng = CrawlEngine(pages_dir, seeds, cfg, out)
+        eng.run()
+        log = eng.crawl_log()
+        eng.shutdown()
+
+        per_round_host = collections.Counter(
+            (r, h) for r, h, s in zip(
+                log.column("round").to_pylist(), log.column("host").to_pylist(), log.column("status").to_pylist()
+            ) if s != "DROPPED"
+        )
+        assert per_round_host, "no rows crawled"
+        assert max(per_round_host.values()) <= 3
+        per_round = collections.Counter(log.column("round").to_pylist())
+        assert max(per_round.values()) <= 40
