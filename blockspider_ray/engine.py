@@ -685,14 +685,37 @@ class CrawlEngine:
 
     def run(self, max_rounds: int | None = None) -> int:
         """Run rounds until the frontier drains or the cap hits; returns
-        the number of rounds executed."""
+        the number of rounds executed. Per-round metrics (the throughput
+        logger analog, /root/reference/crawler/logger.go:9-68) are kept in
+        self.metrics and flushed to <out_dir>/metrics.json at the end."""
         R = self.cfg.max_rounds if max_rounds is None else max_rounds
         executed = 0
         for rnd in range(self.start_round, R):
             if not self.run_round(rnd):
                 break
             executed += 1
+        self._flush_metrics()
         return executed
+
+    def _flush_metrics(self) -> None:
+        import json
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = os.path.join(self.out_dir, "metrics.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "rounds": self.metrics,
+                    "totals": {
+                        "scheduled": sum(m["scheduled"] for m in self.metrics),
+                        "dropped": sum(m["dropped"] for m in self.metrics),
+                    },
+                },
+                f,
+                indent=1,
+            )
+        os.replace(tmp, path)
 
     def _old_texts(self, dropped: pa.Table) -> list[str]:
         """Previously-emitted text per dropped row, read back from the

@@ -69,3 +69,51 @@ class TestResume:
 
         olog, _ = OracleCrawler(pages_dir, seeds, cfg(4)).run()
         assert elog.equals(olog)
+
+
+class TestResumeAcrossMutation:
+    def test_mutation_detected_after_resume(self, tiny_fixture, tmp_path_factory):
+        """Checkpoint -> engine torn down -> pages mutated on disk ->
+        fresh engine resumes: the resumed rollback window must detect the
+        mutation and emit DROPPED (lineage/window state survives the
+        restart — the StateFile-reload guarantee under a reorg that
+        happened while the daemon was down)."""
+        import shutil
+
+        import pyarrow.compute as pc
+
+        from blockspider_ray import gen
+
+        pages_dir, seeds = tiny_fixture
+        work = str(tmp_path_factory.mktemp("resmut"))
+        mut_pages = f"{work}/pages"
+        shutil.copytree(pages_dir, mut_pages)
+        out, ckpt_dir = f"{work}/out", f"{work}/ckpt"
+
+        eng1 = CrawlEngine(mut_pages, seeds, cfg(3), out, ckpt_dir=ckpt_dir)
+        eng1.run()
+        log1 = eng1.crawl_log()
+        # pick victims still inside the rollback window (last accepted rows)
+        acc = log1.filter(pc.equal(log1.column("status"), "ACCEPTED"))
+        victims = acc.column("url").to_pylist()[-2:]
+        eng1.shutdown()
+
+        gen.apply_mutations(mut_pages, victims)
+
+        eng2 = CrawlEngine(mut_pages, seeds, cfg(6), out, ckpt_dir=ckpt_dir, resume=True)
+        assert eng2.start_round == 3
+        eng2.run()
+        log2 = eng2.crawl_log()
+        eng2.shutdown()
+
+        dropped = log2.filter(pc.equal(log2.column("status"), "DROPPED"))
+        assert set(victims) <= set(dropped.column("url").to_pylist())
+        # dropped rows carry the pre-mutation text
+        for t in dropped.column("text").to_pylist():
+            assert "MUTATED" not in t
+        # and the victims were re-crawled with the new content
+        r3plus = log2.filter(pc.greater_equal(log2.column("round"), 3))
+        racc = r3plus.filter(pc.equal(r3plus.column("status"), "ACCEPTED"))
+        retexts = {u: t for u, t in zip(racc.column("url").to_pylist(), racc.column("text").to_pylist())}
+        for v in victims:
+            assert v in retexts and "MUTATED" in retexts[v]
