@@ -70,19 +70,16 @@ class RouteLinks:
         return _shard_actor(self.ns, shard)
 
     def __call__(self, batch: pa.Table, defer: bool = False):
-        links_col = batch.column("links")
+        import pyarrow.compute as pc
+
+        links_col = batch.column("links").combine_chunks()
         prios = batch.column("priority").to_numpy(zero_copy_only=False)
         refs = []
 
-        # 1. explode links and route to owner shards
-        flat_links: list[str] = []
-        flat_prio: list[int] = []
-        for i in range(batch.num_rows):
-            ls = links_col[i].as_py()
-            if ls:
-                p = int(prios[i]) + 1
-                flat_links.extend(ls)
-                flat_prio.extend([p] * len(ls))
+        # 1. explode links (one vectorized flatten, no per-row as_py)
+        counts = pc.list_value_length(links_col).to_numpy(zero_copy_only=False)
+        flat_links = links_col.flatten().to_pylist()
+        flat_prio = np.repeat(prios + 1, counts)
         if flat_links:
             hosts = [u.split("/")[2].split(":")[0] for u in flat_links]
             hh = hash64(hosts)
