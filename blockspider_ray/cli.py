@@ -45,7 +45,10 @@ def cmd_crawl(args) -> int:
     with open(args.seeds) as f:
         seeds = [ln.strip() for ln in f if ln.strip()]
     eng = CrawlEngine(args.pages, seeds, cfg, args.out, ckpt_dir=args.ckpt, resume=args.resume)
-    rounds = eng.run()
+    if args.follow:
+        rounds = eng.run_follow(interval_sec=args.interval, max_idle_ticks=args.max_idle)
+    else:
+        rounds = eng.run()
     stats = eng.stats()
     print(
         json.dumps(
@@ -97,6 +100,9 @@ def main(argv=None) -> int:
     c.add_argument("--config", default=None)
     c.add_argument("--ckpt", default=None)
     c.add_argument("--resume", action="store_true")
+    c.add_argument("--follow", action="store_true", help="daemon mode: poll the page store for changes (ticker analog)")
+    c.add_argument("--interval", type=float, default=1.0, help="--follow poll interval seconds")
+    c.add_argument("--max-idle", type=int, default=3, help="--follow: stop after this many idle polls")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_crawl)
 

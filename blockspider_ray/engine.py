@@ -454,12 +454,14 @@ class CrawlEngine:
             )
 
         self.start_round = 0
+        self._next_round = 0
         resumed = False
         if resume and ckpt_dir is not None:
             last = ckpt.latest_committed_round(ckpt_dir)
             if last is not None:
                 ray.get([a.load_checkpoint.remote(ckpt_dir, last) for a in self.actors])
                 self.start_round = last + 1
+                self._next_round = last + 1
                 self._clean_rounds_after(last)
                 resumed = True
         if not resumed:
@@ -514,9 +516,7 @@ class CrawlEngine:
             # test hook: the simulator rewrites pages mid-crawl (reorg analog)
             mutated = self.mutations[rnd]
             gen.apply_mutations(self.pages_dir, mutated)
-            hosts_m = [u.split("/")[2] for u in mutated]
-            pshards_m = np.unique(hash64(hosts_m) % np.uint64(self.shared.n_shards)) if hosts_m else []
-            self.shared.reput_shards(self.pages_dir, [int(s) for s in pshards_m])
+            self.shared.refresh_changed(self.pages_dir)
 
         # 1+2. one barrier: retraction scan + politeness-bounded candidates
         opened = ray.get(
@@ -681,6 +681,7 @@ class CrawlEngine:
                 "phase_sec": {k: round(v, 3) for k, v in _t.items()},
             }
         )
+        self._next_round = max(self._next_round, rnd + 1)
         return True
 
     def run(self, max_rounds: int | None = None) -> int:
@@ -690,10 +691,48 @@ class CrawlEngine:
         self.metrics and flushed to <out_dir>/metrics.json at the end."""
         R = self.cfg.max_rounds if max_rounds is None else max_rounds
         executed = 0
-        for rnd in range(self.start_round, R):
+        for rnd in range(self._next_round, R):
             if not self.run_round(rnd):
                 break
             executed += 1
+        self._flush_metrics()
+        return executed
+
+    def run_follow(
+        self,
+        *,
+        interval_sec: float = 1.0,
+        max_idle_ticks: int = 3,
+        max_rounds: int | None = None,
+    ) -> int:
+        """Daemon mode — the reference's polling ticker
+        (/root/reference/crawler/crawler.go:34-51): keep running rounds;
+        when the frontier drains, poll the page store for external
+        changes (mutated/appended shards re-enter via refresh_changed,
+        whose new digests trigger DROPPED + re-crawl) every
+        ``interval_sec`` until ``max_idle_ticks`` consecutive polls see
+        no progress. Rounds never overlap (the Syncing-flag guarantee is
+        by construction: one driver loop)."""
+        import time as _time
+
+        R = self.cfg.max_rounds if max_rounds is None else max_rounds
+        executed = 0
+        idle = 0
+        rnd = self._next_round
+        while rnd < R and idle <= max_idle_ticks:
+            # poll the store every tick (the reference reads the remote
+            # chain head on every tick, crawler/blocks.go:43) so external
+            # page rewrites are visible to this round's digest probe
+            self.shared.refresh_changed(self.pages_dir)
+            progressed = self.run_round(rnd)
+            if progressed:
+                executed += 1
+                rnd += 1
+                idle = 0
+                continue
+            idle += 1
+            _time.sleep(interval_sec)
+            self.shared.refresh_changed(self.pages_dir)
         self._flush_metrics()
         return executed
 

@@ -132,7 +132,36 @@ class SharedPages:
 
         store = PageStore(pages_dir)
         refs = {s: ray.put(store.load_shard_table(s)) for s in range(store.n_shards)}
-        return cls(refs, store.n_shards)
+        sp = cls(refs, store.n_shards)
+        sp._pages_dir = pages_dir
+        sp._mtimes = {s: sp._mtime(pages_dir, s) for s in range(store.n_shards)}
+        return sp
+
+    @staticmethod
+    def _mtime(pages_dir: str, s: int) -> float:
+        p = os.path.join(pages_dir, f"pshard={s}", "part.parquet")
+        return os.path.getmtime(p) if os.path.exists(p) else -1.0
+
+    def refresh_changed(self, pages_dir: str | None = None) -> list[int]:
+        """Re-put every physical shard whose file changed on disk since
+        the last load (external page mutation / append pickup — the
+        daemon's remote-head-poll analog). Returns changed shard ids."""
+        import ray
+
+        pages_dir = pages_dir or getattr(self, "_pages_dir", None)
+        if pages_dir is None:
+            return []
+        if not hasattr(self, "_mtimes"):
+            self._mtimes = {}
+        store = PageStore(pages_dir)
+        changed = []
+        for s in range(self.n_shards):
+            m = self._mtime(pages_dir, s)
+            if self._mtimes.get(s) != m:
+                self.refs[s] = ray.put(store.load_shard_table(s))
+                self._mtimes[s] = m
+                changed.append(s)
+        return changed
 
     def reput_shards(self, pages_dir: str, shard_ids) -> None:
         import ray

@@ -233,3 +233,45 @@ class TestCorpusPrep:
         lo = corpus_prep(f"{work}/out", f"{work}/ckpt", f"{work}/c_lo", min_quality=0.0, min_tokens=1)["kept"]
         hi = corpus_prep(f"{work}/out", f"{work}/ckpt", f"{work}/c_hi", min_quality=0.9, min_tokens=1)["kept"]
         assert hi <= lo
+
+
+class TestFollowMode:
+    def test_external_mutation_picked_up_by_follow(self, tiny_fixture, tmp_path_factory):
+        """Daemon-mode polling: the store is mutated EXTERNALLY (no
+        engine hook) while the engine idles; the next poll re-puts the
+        changed shards and the digest probe retracts the stale rows."""
+        import shutil
+
+        import pyarrow.compute as pc
+
+        from blockspider_ray import gen
+        from blockspider_ray.config import CrawlConfig
+        from blockspider_ray.engine import CrawlEngine
+
+        pages_dir, seeds = tiny_fixture
+        work = str(tmp_path_factory.mktemp("follow"))
+        mut_pages = f"{work}/pages"
+        shutil.copytree(pages_dir, mut_pages)
+
+        cfg = CrawlConfig(max_rounds=10, shards=4)
+        eng = CrawlEngine(mut_pages, seeds, cfg, f"{work}/out")
+        eng.run_round(0)
+        eng.run_round(1)
+        log1 = eng.crawl_log()
+        acc = log1.filter(pc.equal(log1.column("status"), "ACCEPTED"))
+        victims = acc.column("url").to_pylist()[-2:]
+
+        # external writer rewrites pages while the "daemon" is between rounds
+        gen.apply_mutations(mut_pages, victims)
+
+        executed = eng.run_follow(interval_sec=0.05, max_idle_ticks=2, max_rounds=6)
+        log2 = eng.crawl_log()
+        eng.shutdown()
+
+        assert executed >= 1
+        dropped = log2.filter(pc.equal(log2.column("status"), "DROPPED"))
+        assert set(victims) <= set(dropped.column("url").to_pylist())
+        # no round ran twice
+        rounds = log2.column("round").to_pylist()
+        seqs = log2.column("seq").to_pylist()
+        assert len(set(zip(rounds, seqs))) == len(rounds)
