@@ -107,7 +107,7 @@ def main(argv=None) -> int:
     c.set_defaults(fn=cmd_crawl)
 
     g = sub.add_parser("gen", help="generate a deterministic pages fixture (reorgd analog)")
-    g.add_argument("--size", default="tiny", choices=["tiny", "small", "bench"])
+    g.add_argument("--size", default="tiny", choices=["tiny", "small", "bench", "bench4"])
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_gen)
 

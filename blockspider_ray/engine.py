@@ -37,7 +37,6 @@ Scale notes (10^10-URL frontier):
 from __future__ import annotations
 
 import hashlib
-import math
 import os
 import shutil
 import uuid
