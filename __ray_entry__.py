@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_lineitem": relational.join_orders_lineitem,
         "join_orders_lineitem_native": relational.join_orders_lineitem_native,
         "topk_orders": relational.topk_orders,
+        "top_orders_per_segment": relational.top_orders_per_segment,
         "distinct_segments": relational.distinct_segments,
         "anti_join_customers": relational.anti_join_customers,
         "semi_join_parts": relational.semi_join_parts,
@@ -144,6 +145,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_custkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                     ORDER BY o_totalprice DESC, o_orderkey) <= 3
         """,
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice

@@ -232,10 +232,17 @@ class ShardActor:
             }
         )
 
-    def open_round(self, rnd: int, pages_refs: dict, n_pshards: int) -> dict:
+    def open_round(self, rnd: int, pages_refs: dict, n_pshards: int, check_window: bool = True) -> dict:
         """begin_round + schedule in one RPC (halves the per-round
-        barrier count — rounds are latency-bound at small sizes)."""
-        return {"dropped": self.begin_round(rnd, pages_refs, n_pshards), "candidates": self.schedule()}
+        barrier count — rounds are latency-bound at small sizes).
+
+        ``check_window=False`` skips the digest probe: the driver passes
+        it when the page store provably did not change since the last
+        probe (no mutation applied, no shard re-put), in which case no
+        digest can differ — content change is the ONLY retraction
+        trigger."""
+        dropped = self.begin_round(rnd, pages_refs, n_pshards) if check_window else _EMPTY_WINDOW
+        return {"dropped": dropped, "candidates": self.schedule()}
 
     def close_round(self, rnd: int, scheduled_hashes, ckpt_dir: str | None) -> dict:
         """finalize_round + optional checkpoint in one RPC. Returns
@@ -429,6 +436,11 @@ class CrawlEngine:
         # the simulated web, shared once via the object store (zero-copy
         # for every fetch task and shard actor on the node)
         self.shared = SharedPages.put_store(pages_dir)
+        # store-dirty flag: True whenever page content may have changed
+        # since the last retraction scan (engine start/resume, mutation
+        # hook, or follow-mode refresh) — rounds with a clean store skip
+        # the window digest probe entirely
+        self._store_dirty = True
 
         store = PageStore(pages_dir)
         robots_all = {h: parse_robots(t) for h, t in store.read_robots().items()}
@@ -516,11 +528,16 @@ class CrawlEngine:
             mutated = self.mutations[rnd]
             gen.apply_mutations(self.pages_dir, mutated)
             self.shared.refresh_changed(self.pages_dir)
+            self._store_dirty = True  # unconditionally: we just mutated
 
         # 1+2. one barrier: retraction scan + politeness-bounded candidates
         opened = ray.get(
-            [a.open_round.remote(rnd, self.shared.refs, self.shared.n_shards) for a in self.actors]
+            [
+                a.open_round.remote(rnd, self.shared.refs, self.shared.n_shards, self._store_dirty)
+                for a in self.actors
+            ]
         )
+        self._store_dirty = False
         dropped_parts = [o["dropped"] for o in opened if o["dropped"].num_rows]
         dropped = (
             pa.concat_tables(dropped_parts).sort_by([("round", "ascending"), ("seq", "ascending")])
@@ -722,7 +739,8 @@ class CrawlEngine:
             # poll the store every tick (the reference reads the remote
             # chain head on every tick, crawler/blocks.go:43) so external
             # page rewrites are visible to this round's digest probe
-            self.shared.refresh_changed(self.pages_dir)
+            if self.shared.refresh_changed(self.pages_dir):
+                self._store_dirty = True
             progressed = self.run_round(rnd)
             if progressed:
                 executed += 1
@@ -731,7 +749,8 @@ class CrawlEngine:
                 continue
             idle += 1
             _time.sleep(interval_sec)
-            self.shared.refresh_changed(self.pages_dir)
+            if self.shared.refresh_changed(self.pages_dir):
+                self._store_dirty = True
         self._flush_metrics()
         return executed
 

@@ -279,3 +279,42 @@ def explode_tokens(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k (window-function rank analog): the k largest
+    orders of each market segment — broadcast the customer->segment map,
+    per-batch partial top-k (combiner), final top-k per group."""
+    cust = T(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg_map = ray.get(ref)
+        segs = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False)).map(seg_map)
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": segs,
+                "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
+                "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                "o_totalprice": t["o_totalprice"].to_numpy(zero_copy_only=False),
+            }
+        )
+        part = (
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("c_mktsegment", as_index=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["c_mktsegment", "o_totalprice"], ascending=[True, False]).reset_index(drop=True)
