@@ -52,7 +52,7 @@ import ray.data as rd
 from . import gen, schemas
 from .config import CrawlConfig
 from .functions.robots import is_allowed, parse_robots
-from .functions.urls import canonicalize_url, hash64, url_host
+from .functions.urls import canonicalize_url, hash64, url_host, url_path
 from .sources.pages import PageStore, SharedPages
 from .stages.extractors import extract_batch
 from .stages.fetch import FetchSim, fetch_batch  # noqa: F401 (FetchSim kept for API)
@@ -281,8 +281,7 @@ class ShardActor:
         rules = self.robots.get(host)
         if not rules:
             return True
-        path = url[url.index(host) + len(host) :] or "/"
-        return is_allowed(path, rules)
+        return is_allowed(url_path(url), rules)
 
     def seed(self, table: pa.Table) -> None:
         """Cold-start seeding (cmd/blockspiderd/main.go:100-123 analog):
@@ -680,13 +679,18 @@ class CrawlEngine:
         }
         _t["close_finalize_max"] = max(c["finalize"] for c in closes)
         _t["close_ckpt_max"] = max(c["ckpt"] for c in closes)
-        if self.ckpt_dir is not None:
-            ckpt.commit_round(self.ckpt_dir, rnd, cfg.shards)
 
-        # 6. per-sink filtered streams from this round's committed rows
+        # 6. per-sink filtered streams from this round's rows — BEFORE the
+        # commit marker: a crash after commit would never re-run the round,
+        # so anything that must exist for a committed round (sink dirs
+        # included) is written first; an uncommitted crash re-runs the round
+        # and overwrites the idempotent round-keyed sink dirs.
         if cfg.sinks:
             round_table = pq.read_table(round_dir)
             write_sinks(round_table, rnd, self.out_dir, cfg.sinks)
+
+        if self.ckpt_dir is not None:
+            ckpt.commit_round(self.ckpt_dir, rnd, cfg.shards)
 
         _t["close"] = _time.time() - _t0
         self.metrics.append(
@@ -776,8 +780,14 @@ class CrawlEngine:
 
     def _old_texts(self, dropped: pa.Table) -> list[str]:
         """Previously-emitted text per dropped row, read back from the
-        crawl log by (round, seq). Part files are named part-<first seq>-*,
-        so only files whose seq range intersects are opened."""
+        crawl log by (round, seq).
+
+        File names alone cannot prune (chunks are pshard-grouped, so the
+        seq ranges of a round's part files interleave); instead each
+        file's parquet footer is consulted first and the file is only
+        READ when its row-group min/max ``seq`` statistics intersect the
+        wanted set — a retraction pays footer reads plus the one or two
+        parts that actually contain its rows, not a full-round scan."""
         rounds = dropped.column("round").to_pylist()
         seqs = dropped.column("seq").to_pylist()
         need: dict[int, set[int]] = {}
@@ -788,12 +798,33 @@ class CrawlEngine:
             d = os.path.join(self.out_dir, "crawl_log", f"round={r}")
             if not os.path.isdir(d):
                 continue
+            want_arr = np.sort(np.fromiter(want, dtype=np.int64, count=len(want)))
             for fname in sorted(os.listdir(d)):
                 if not fname.endswith(".parquet"):
                     continue
-                t = pq.read_table(os.path.join(d, fname), columns=["seq", "text"])
+                path = os.path.join(d, fname)
+                pf = pq.ParquetFile(path)
+                md = pf.metadata
+                try:
+                    seq_col = pf.schema_arrow.get_field_index("seq")
+                except KeyError:
+                    seq_col = -1
+                overlap = seq_col < 0
+                if not overlap:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(seq_col).statistics
+                        if st is None or not st.has_min_max:
+                            overlap = True
+                            break
+                        j = int(np.searchsorted(want_arr, st.min))
+                        if j < len(want_arr) and want_arr[j] <= st.max:
+                            overlap = True
+                            break
+                if not overlap:
+                    continue
+                t = pq.read_table(path, columns=["seq", "text"])
                 sv = t.column("seq").to_numpy(zero_copy_only=False)
-                hit = np.isin(sv, list(want))
+                hit = np.isin(sv, want_arr)
                 if hit.any():
                     tt = t.filter(pa.array(hit))
                     for s2, x in zip(tt.column("seq").to_pylist(), tt.column("text").to_pylist()):

@@ -86,6 +86,20 @@ def url_host(url: str) -> str:
     return urlsplit(url).hostname or ""
 
 
+def url_path(url: str) -> str:
+    """Path (+ '?query' if any) of an already-canonical URL, for robots
+    prefix matching.
+
+    Fast slice: the first '/' after the '://' separator starts the path —
+    exact for canonical URLs (no userinfo, no fragment, netloc cannot
+    contain '/'), including non-default ports and IPv6 literals, where
+    slicing after the host substring would keep ':port' in the path
+    (the defect this kernel replaces). Equivalence with
+    ``urlsplit``-based parsing is pinned by tests."""
+    i = url.find("/", url.find("://") + 3)
+    return url[i:] if i != -1 else "/"
+
+
 def hash64(values) -> np.ndarray:
     """Deterministic 64-bit hash of a sequence of strings -> uint64 ndarray.
 

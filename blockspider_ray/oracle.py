@@ -50,7 +50,7 @@ from . import schemas
 from .config import CrawlConfig
 from .functions.extract import content_digest, extract_links
 from .functions.robots import is_allowed, parse_robots
-from .functions.urls import canonicalize_url, hash64_one, url_host
+from .functions.urls import canonicalize_url, hash64_one, url_host, url_path
 from .state.frontier import HostFrontier
 from .state.window import RollbackWindow, WindowEntry
 
@@ -107,8 +107,7 @@ class OracleCrawler:
         return True
 
     def _allowed(self, url: str) -> bool:
-        host = url_host(url)
-        return is_allowed(url[url.index(host) + len(host) :] or "/", self.robots.get(host, []))
+        return is_allowed(url_path(url), self.robots.get(url_host(url), []))
 
     def _seed(self, seeds: list[str]) -> None:
         # cold start: push configured start urls (cmd/blockspiderd/main.go:100-123)

@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..functions import text as tx
@@ -17,6 +18,15 @@ from .common import T
 
 _MINHASH_PERMS = 64
 _LSH_BANDS = 16  # 16 bands x 4 rows
+
+# byte-wise popcount lookup (numpy<2 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 ndarray (any shape) -> int64."""
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(x.shape + (8,))
+    return _POP8[b].sum(axis=-1).astype(np.int64)
 
 
 def exact_dedup(sf_dir: str) -> rd.Dataset:
@@ -127,7 +137,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         ds.map_batches(bands, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])
         .map_groups(candidates, batch_format="pandas")
-        .to_pandas()
+        .to_pandas()  # candidate-PAIR frame only (ids, no text) — small
     )
     if len(cand) == 0:
         return pd.DataFrame(
@@ -135,48 +145,173 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         )
     cand = cand.drop_duplicates().reset_index(drop=True)
 
-    # verify true Jaccard for the (small) candidate set
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    docs = T(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
-    docs = docs[docs["doc_id"].isin(need)]
-    sh = {int(r.doc_id): set(tx.shingles(r.text, k=5)) for r in docs.itertuples()}
-    jac = [tx.jaccard(sh[int(x)], sh[int(y)]) for x, y in zip(cand["doc_a"], cand["doc_b"])]
-    cand["jaccard"] = np.round(jac, 4)
-    out = cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+    # --- distributed Jaccard verify -----------------------------------
+    # The documents table is never materialized: the candidate doc-id set
+    # and the pair list are broadcast ONCE (ray.put); each batch computes
+    # shingle-hash sets only for its candidate rows and emits one
+    # (pair_idx, doc_id, shingle-hashes) row per pair membership; a
+    # groupby(pair_idx) then scores each pair from its two endpoint sets.
+    # The only all-to-all moves candidate shingle-hash arrays — never the
+    # text, never non-candidate docs.
+    pair_a = cand["doc_a"].to_numpy(dtype=np.int64)
+    pair_b = cand["doc_b"].to_numpy(dtype=np.int64)
+    need = np.unique(np.concatenate([pair_a, pair_b]))
+    # endpoint index: doc_id -> pair ids, as two parallel sorted arrays
+    ep_doc = np.concatenate([pair_a, pair_b])
+    ep_pair = np.concatenate([np.arange(len(pair_a)), np.arange(len(pair_b))]).astype(np.int64)
+    order = np.argsort(ep_doc, kind="stable")
+    bcast = ray.put((pair_a, pair_b, need, ep_doc[order], ep_pair[order]))
+
+    _empty_sh = pa.table(
+        {
+            "pair_idx": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.list_(pa.uint64())),
+        }
+    )
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        _, _, need_, epd_, epp_ = ray.get(bcast)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(need_, ids), max(len(need_) - 1, 0))
+        m = need_[pos] == ids if len(need_) else np.zeros(len(ids), dtype=bool)
+        if not m.any():
+            return _empty_sh
+        sel = np.flatnonzero(m)
+        texts = t["text"].take(pa.array(sel)).to_pylist()
+        out_pair, out_doc, out_sh = [], [], []
+        for k, i in enumerate(sel):
+            d = int(ids[i])
+            s = tx.shingles(texts[k], k=5)
+            hv = np.unique(hash64(s)) if s else np.array([], dtype=np.uint64)
+            lo = int(np.searchsorted(epd_, d, side="left"))
+            hi = int(np.searchsorted(epd_, d, side="right"))
+            for p in epp_[lo:hi]:
+                out_pair.append(int(p))
+                out_doc.append(d)
+                out_sh.append(hv)
+        return pa.table(
+            {
+                "pair_idx": pa.array(out_pair, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "sh": pa.array([x.tolist() for x in out_sh], pa.list_(pa.uint64())),
+            }
+        )
+
+    def score_pair(g: pd.DataFrame) -> pd.DataFrame:
+        pair_a_, pair_b_, _, _, _ = ray.get(bcast)
+        pid = int(g["pair_idx"].iloc[0])
+        a, b = int(pair_a_[pid]), int(pair_b_[pid])
+        sets = {int(d): np.asarray(v, dtype=np.uint64) for d, v in zip(g["doc_id"], g["sh"])}
+        sa = sets.get(a, np.array([], dtype=np.uint64))
+        sb = sets.get(b, np.array([], dtype=np.uint64))
+        if sa.size == 0 and sb.size == 0:
+            j = 1.0
+        else:
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 1.0
+        return pd.DataFrame({"doc_a": [a], "doc_b": [b], "jaccard": [float(np.round(j, 4))]})
+
+    out = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("pair_idx")
+        .map_groups(score_pair, batch_format="pandas")
+        .to_pandas()  # verified-pair frame (3 columns, <= |candidates| rows)
+    )
+    out = out[out["jaccard"] >= threshold].astype({"doc_a": "int64", "doc_b": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+_SIM_CHUNK = 2048  # pairwise tile edge: 2048^2 uint64 xor = 32 MiB peak
+
+
 def simhash_near_dups(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
-    """SimHash near-dup pairs: 64-bit simhash per doc, bucket by the 4
-    16-bit quarters (any pair within hamming<=6 shares >=1 exact quarter
-    at these sizes is a heuristic recall filter), verify hamming."""
+    """SimHash near-dup pairs, fully distributed:
+
+      simhash per doc (vectorized map_batches)
+      -> explode to 4 (quarter_id, quarter_value, doc_id, simhash) rows
+      -> groupby(quarter) => in-group pairwise hamming, vectorized
+         (tiled XOR + byte-table popcount, ``_SIM_CHUNK`` x ``_SIM_CHUNK``
+         tiles bound memory on hot buckets)
+      -> emit a pair only from its MINIMAL matching quarter (computable
+         from the two simhashes alone), so cross-group duplicates never
+         exist and no second dedup shuffle is needed.
+
+    The only all-to-all moves 4 small fixed-width rows per document —
+    never the text. Quarter blocking (Manku et al., WWW'07) is lossless
+    for hamming<=3 (pigeonhole over 4 blocks); for the default
+    max_hamming=6 it is the same deliberate recall heuristic the
+    planted-dup tests pin (a pair must agree exactly on >=1 quarter)."""
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def sims(t: pa.Table) -> pa.Table:
+    def quarters(t: pa.Table) -> pa.Table:
         s = tx.simhash64(t["text"].to_pylist())
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(s, pa.uint64())})
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(doc_ids)
+        q = np.tile(np.arange(4, dtype=np.uint64), n)
+        sh_rep = np.repeat(s, 4)
+        qv = ((sh_rep >> (np.uint64(16) * q)) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "q": pa.array(q.astype(np.int64), pa.int64()),
+                "qv": pa.array(qv, pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, 4), pa.int64()),
+                "simhash": pa.array(sh_rep, pa.uint64()),
+            }
+        )
 
-    df = ds.map_batches(sims, batch_format="pyarrow").to_pandas()
-    sh = df["simhash"].to_numpy(dtype=np.uint64)
-    ids = df["doc_id"].to_numpy()
-    rows = []
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i in range(len(df)):
-        for q in range(4):
-            key = (q, int((int(sh[i]) >> (16 * q)) & 0xFFFF))
-            buckets.setdefault(key, []).append(i)
-    seen_pairs = set()
-    for idxs in buckets.values():
-        for ii, i in enumerate(idxs):
-            for j in idxs[ii + 1 :]:
-                if (i, j) in seen_pairs:
-                    continue
-                seen_pairs.add((i, j))
-                d = int(tx.hamming64(np.array([sh[i]]), np.array([sh[j]]))[0])
-                if d <= max_hamming:
-                    a_, b_ = sorted((int(ids[i]), int(ids[j])))
-                    rows.append((a_, b_, d))
-    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
-        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+    _empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+        }
     )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return _empty
+        q = int(g["q"].iloc[0])
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sh = g["simhash"].to_numpy(dtype=np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order]
+        out_a, out_b, out_h = [], [], []
+        for i0 in range(0, n, _SIM_CHUNK):
+            i1 = min(n, i0 + _SIM_CHUNK)
+            for j0 in range(i0, n, _SIM_CHUNK):
+                j1 = min(n, j0 + _SIM_CHUNK)
+                x = sh[i0:i1, None] ^ sh[None, j0:j1]
+                d = _popcount64(x)
+                mask = d <= max_hamming
+                # strict upper triangle (ids ascending => doc_a < doc_b)
+                mask &= np.arange(i0, i1)[:, None] < np.arange(j0, j1)[None, :]
+                # canonical quarter: skip pairs already emitted by a
+                # smaller matching quarter
+                for q2 in range(q):
+                    mask &= ((x >> np.uint64(16 * q2)) & np.uint64(0xFFFF)) != 0
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    out_a.append(ids[i0:i1][ii])
+                    out_b.append(ids[j0:j1][jj])
+                    out_h.append(d[mask])
+        if not out_a:
+            return _empty
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    out = (
+        ds.map_batches(quarters, batch_format="pyarrow")
+        .groupby(["q", "qv"])
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()  # verified-pair frame only
+    )
+    out = out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

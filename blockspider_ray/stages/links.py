@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..functions.urls import hash64
+from ..functions.urls import hash64, url_host
 
 
 # worker-process-global actor-handle cache (same persistence argument as
@@ -81,7 +81,16 @@ class RouteLinks:
         flat_links = links_col.flatten().to_pylist()
         flat_prio = np.repeat(prios + 1, counts)
         if flat_links:
-            hosts = [u.split("/")[2].split(":")[0] for u in flat_links]
+            # host extraction must equal the url_host kernel exactly (the
+            # seed path and shard keying use it) — fast slice of the
+            # canonical netloc, falling back to url_host for IPv6 literals
+            # whose netloc contains ':' inside brackets (equivalence pinned
+            # by test_kernels.TestRouteHostFastPath)
+            netlocs = [u.split("/", 3)[2] for u in flat_links]
+            hosts = [
+                n.split(":", 1)[0] if "[" not in n else url_host(u)
+                for n, u in zip(netlocs, flat_links)
+            ]
             hh = hash64(hosts)
             uh = hash64(flat_links)
             shard = (hh % np.uint64(self.nshards)).astype(np.int64)

@@ -126,6 +126,7 @@ class SeenSet:
         self._base = np.array([], dtype=np.uint64)  # sorted
         self._tail: list[np.ndarray] = []
         self._tail_n = 0
+        self.overflow = 0  # failed filter inserts (approximate mode)
 
     def __len__(self) -> int:
         if not self.exact:
@@ -160,8 +161,21 @@ class SeenSet:
         if len(keys) == 0:
             return
         if not self.exact:
+            failed = 0
             for k in keys:
-                self.filter.add(int(k))
+                if not self.filter.add(int(k)):
+                    failed += 1
+            if failed:
+                # a silently dropped insert is a false NEGATIVE forever:
+                # the url would be re-enqueued and re-crawled on every
+                # discovery. Fail loudly instead — the filter is sized by
+                # cfg.cuckoo_capacity_per_shard and must be grown.
+                self.overflow += failed
+                raise RuntimeError(
+                    f"cuckoo filter saturated ({self.filter.count} entries, "
+                    f"{self.overflow} dropped inserts): raise "
+                    "cuckoo_capacity_per_shard or add shards"
+                )
             return
         self._tail.append(keys.copy())
         self._tail_n += len(keys)
@@ -182,6 +196,7 @@ class SeenSet:
         s._base = np.array([], dtype=np.uint64)
         s._tail = []
         s._tail_n = 0
+        s.overflow = 0
         if exact:
             s.filter = None
             s._base = np.asarray(exact_arr, dtype=np.uint64).copy()

@@ -159,3 +159,59 @@ class TestCanonicalizeFastPath:
         for h in hrefs:
             if not h.startswith("/"):
                 assert canonicalize_url(h) == slow(h), h
+
+
+class TestUrlPath:
+    """url_path must equal urlsplit-based parsing (path + '?query') on
+    every canonical URL shape, including non-default ports and IPv6
+    literals — the robots-matching defect class ADVICE.md flagged."""
+
+    CASES = [
+        "http://host-0001.example/p/000001",
+        "http://host-0001.example/",
+        "http://host-0001.example:8080/p/000001",
+        "http://host-0001.example:8080/",
+        "https://host.example:8443/a/b?x=1&y=2",
+        "http://[::1]/p/1",
+        "http://[::1]:8080/p/1",
+        "http://host.example/p?q=/slashy",
+    ]
+
+    def test_equivalence(self):
+        from urllib.parse import urlsplit
+
+        from blockspider_ray.functions.urls import url_path
+
+        for u in self.CASES:
+            parts = urlsplit(u)
+            want = parts.path or "/"
+            if parts.query:
+                want = f"{want}?{parts.query}"
+            assert url_path(u) == want, u
+
+    def test_port_path_robots(self):
+        """Disallow prefixes must match URLs on non-default ports."""
+        from blockspider_ray.functions.urls import url_path
+
+        rules = parse_robots("User-agent: *\nDisallow: /p/00\n")
+        assert not is_allowed(url_path("http://h.example:8080/p/001"), rules)
+        assert is_allowed(url_path("http://h.example:8080/q/001"), rules)
+
+
+class TestRouteHostFastPath:
+    """The route stage's netloc-slice host extraction must equal the
+    url_host kernel on every canonical URL (shard keying identity)."""
+
+    def test_equivalence(self):
+        urls = [
+            "http://host-0001.example/p/000001",
+            "http://host-0001.example:8080/p/000001",
+            "https://a.b.example/x",
+            "http://[::1]/p/1",
+            "http://[::1]:8080/p/1",
+            "http://host.example/",
+        ]
+        for u in urls:
+            n = u.split("/", 3)[2]
+            fast = n.split(":", 1)[0] if "[" not in n else url_host(u)
+            assert fast == url_host(u), u

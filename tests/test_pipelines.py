@@ -104,6 +104,62 @@ class TestDedupSemantics:
         for a, b in pairs:
             assert a in (0, 1, 100, 101) or b in (100, 101, 102)
 
+    def test_near_dup_pipelines_scale_10x(self, tmp_path):
+        """~10x the sf0.001 doc count through BOTH distributed near-dup
+        pipelines. simhash output is checked for EXACT equality with a
+        brute-force all-pairs reference of the documented semantics
+        (hamming<=6 AND >=1 exact shared 16-bit quarter — the quarter
+        blocking is lossless only for hamming<=3, pigeonhole); minhash
+        must find every planted near-dup pair. Only pair frames reach
+        the driver (VERDICT round-1 done-criterion)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.functions import text as tx
+        from blockspider_ray.pipelines.dedup import minhash_lsh_pairs, simhash_near_dups
+
+        rng = np.random.default_rng(23)
+        words = [f"w{i}" for i in range(2000)]
+        n = 400
+        texts = [" ".join(rng.choice(words, size=100)) for _ in range(n)]
+        ids = list(range(n))
+        docs = list(texts)
+        planted = []
+        for k in range(10):
+            src_i = k * 7
+            toks = texts[src_i].split()
+            toks[50] = f"zz{k}"
+            docs.append(" ".join(toks))
+            ids.append(1000 + k)
+            planted.append((src_i, 1000 + k))
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs, pa.string())}),
+            f"{d}/documents.parquet",
+        )
+
+        out_m = minhash_lsh_pairs(d, threshold=0.5)
+        pairs_m = set(map(tuple, out_m[["doc_a", "doc_b"]].values))
+        for p in planted:
+            assert p in pairs_m, p
+
+        out_s = simhash_near_dups(d, max_hamming=6)
+        got = set(map(tuple, out_s[["doc_a", "doc_b", "hamming"]].values))
+        # brute-force reference over all pairs
+        sh = tx.simhash64(docs)
+        idarr = np.array(ids, dtype=np.int64)
+        want = set()
+        for i in range(len(docs)):
+            x = sh[i] ^ sh[i + 1 :]
+            dist = tx.hamming64(np.full(len(docs) - i - 1, sh[i], dtype=np.uint64), sh[i + 1 :])
+            shares_q = np.zeros(len(x), dtype=bool)
+            for q in range(4):
+                shares_q |= ((x >> np.uint64(16 * q)) & np.uint64(0xFFFF)) == 0
+            for j in np.flatnonzero((dist <= 6) & shares_q):
+                a, b = sorted((int(idarr[i]), int(idarr[i + 1 + j])))
+                want.add((a, b, int(dist[j])))
+        assert got == want
+
     def test_exact_dedup_keeps_min_doc_id(self, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq

@@ -188,3 +188,12 @@ class TestCheckpointRoundtrip:
         d = str(tmp_path / "ckpt")
         with pytest.raises(AssertionError):
             ck.commit_round(d, 0, 2)
+
+
+class TestSeenSetOverflow:
+    def test_approximate_mode_raises_on_saturation(self):
+        s = SeenSet(16, exact=False)  # tiny filter: 4 buckets x 4 slots
+        keys = np.arange(1, 20000, dtype=np.uint64)
+        with pytest.raises(RuntimeError, match="saturated"):
+            s.add_many(keys)
+        assert s.overflow > 0
