@@ -11,8 +11,15 @@ Dataset flow (the "user of the reference switches to this repo" story):
       -> write lang-partitioned Parquet corpus   [resumable layout]
 
 Everything streams; the only all-to-all is the dedup groupby, which
-moves (hash, round, seq) triples — never the text — and re-joins the
-text by (round, seq) against the round-keyed crawl log afterwards.
+moves (fp, round, seq) triples — never the text. The groupby emits the
+LOSER keys (duplicate rows beyond each fingerprint's first); losers are
+broadcast once (``ray.put`` of a sorted uint64 key array) and the text
+stream is anti-filtered per batch — so text never rides a shuffle and
+never lands on the driver. The broadcast is sized by the duplicate
+count, not the corpus: at 100 TB with d% duplicates the array is
+d% x 8 bytes/row, and a corpus degenerate enough to break that
+(>> 10^9 dups) should raise ``max_broadcast_losers`` or pre-partition
+by round range.
 """
 
 from __future__ import annotations
@@ -22,10 +29,52 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..functions import text as tx
 from .consumer import consume_crawl_log
+
+
+def _accepted_only(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return t.filter(pc.equal(t.column("status"), "ACCEPTED"))
+
+
+def dedup_keys(ds: rd.Dataset) -> rd.Dataset:
+    """Project the corpus stream to (fp, round, seq) triples — the ONLY
+    columns the dedup shuffle is allowed to move (schema pinned by
+    test_pipelines.TestCorpusPrep)."""
+
+    def fp_keys(t: pa.Table) -> pa.Table:
+        fp = tx.fingerprint64(t.column("text").to_pylist())
+        return pa.table(
+            {
+                "fp": pa.array(fp, pa.uint64()),
+                "round": t.column("round"),
+                "seq": t.column("seq"),
+            }
+        )
+
+    return ds.map_batches(fp_keys, batch_format="pyarrow")
+
+
+def loser_keys(keys: rd.Dataset) -> np.ndarray:
+    """First-wins dedup decision: groupby(fp) keeps the minimal
+    (round, seq) per fingerprint and emits every OTHER row's combined
+    ``round<<32|seq`` key. Returns the sorted loser-key array (sized by
+    the duplicate count only)."""
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["round", "seq"], kind="stable")
+        return g.iloc[1:][["round", "seq"]]
+
+    lose = keys.groupby("fp").map_groups(losers, batch_format="pandas").to_pandas()
+    if len(lose) == 0:
+        return np.array([], dtype=np.uint64)
+    k = (lose["round"].to_numpy(dtype=np.uint64) << np.uint64(32)) | lose["seq"].to_numpy(dtype=np.uint64)
+    return np.sort(k)
 
 
 def corpus_prep(
@@ -41,27 +90,31 @@ def corpus_prep(
     Output layout: ``corpus_dir/lang=XX/part-*.parquet`` — one directory
     per language, so a rerun can skip finished partitions and training
     readers can prune by language at the path level."""
-    ds = consume_crawl_log(out_dir, ckpt_dir, min_links=0)
+    ds = consume_crawl_log(out_dir, ckpt_dir, min_links=0).map_batches(
+        _accepted_only, batch_format="pyarrow"
+    )
 
-    def accepted_only(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # exact dedup, first-wins by (round, seq) per normalized-text hash.
+    # Pass 1 shuffles (fp, round, seq) triples only; the loser keys come
+    # back as one broadcast array; pass 2 re-reads the round-pruned log
+    # and anti-filters per batch. Two reads of the (column-pruned,
+    # round-keyed) log are far cheaper than one text-bearing shuffle.
+    lose = loser_keys(dedup_keys(ds))
+    lose_ref = ray.put(lose)
 
-        return t.filter(pc.equal(t.column("status"), "ACCEPTED"))
+    def drop_losers(t: pa.Table) -> pa.Table:
+        lose_ = ray.get(lose_ref)
+        if len(lose_) == 0:
+            return t
+        k = (t.column("round").to_numpy(zero_copy_only=False).astype(np.uint64) << np.uint64(32)) | t.column(
+            "seq"
+        ).to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.minimum(np.searchsorted(lose_, k), len(lose_) - 1)
+        return t.filter(pa.array(lose_[pos] != k))
 
-    ds = ds.map_batches(accepted_only, batch_format="pyarrow")
-
-    # exact dedup: first-wins by (round, seq) per normalized-text hash
-    def add_fp(t: pa.Table) -> pa.Table:
-        fp = tx.fingerprint64(t.column("text").to_pylist())
-        return t.append_column("fp", pa.array(fp, pa.uint64()))
-
-    ds = ds.map_batches(add_fp, batch_format="pyarrow")
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["round", "seq"], kind="stable")
-        return g.head(1)
-
-    ds = ds.groupby("fp").map_groups(first, batch_format="pandas")
+    ds = consume_crawl_log(out_dir, ckpt_dir, min_links=0).map_batches(
+        _accepted_only, batch_format="pyarrow"
+    ).map_batches(drop_losers, batch_format="pyarrow")
 
     # quality + language features, vectorized
     def score(t: pa.Table) -> pa.Table:

@@ -262,19 +262,40 @@ def explode_tokens(sf_dir: str) -> rd.Dataset:
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        import re
+        import numpy as np
+        import pyarrow.compute as pc
 
-        doc_ids, poss, toks = [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            ts = re.findall(r"\S+", text or "")
-            doc_ids.extend([did] * len(ts))
-            poss.extend(range(1, len(ts) + 1))
-            toks.extend(ts)
+        # all-Arrow flatten: split on whitespace runs, flatten with
+        # parent indices, drop boundary empties, recompute 1-based
+        # positions per parent with run arithmetic (no per-row python)
+        lst = pc.split_pattern_regex(t["text"].combine_chunks(), pattern=r"\s+")
+        flat = pc.list_flatten(lst)
+        par = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        par = par[keep]
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+            }
+        )
+        if len(par) == 0:
+            return empty
+        idx = np.arange(len(par), dtype=np.int64)
+        newrun = np.empty(len(par), dtype=bool)
+        newrun[0] = True
+        newrun[1:] = par[1:] != par[:-1]
+        run_starts = idx[newrun]
+        run_lens = np.diff(np.append(run_starts, len(par)))
+        pos = idx - np.repeat(run_starts, run_lens) + 1
+        doc_ids = pc.take(t["doc_id"].combine_chunks(), pa.array(par))
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "pos": pa.array(poss, pa.int64()),
-                "token": pa.array(toks, pa.string()),
+                "doc_id": doc_ids,
+                "pos": pa.array(pos, pa.int64()),
+                "token": flat,
             }
         )
 

@@ -31,8 +31,8 @@ def _emb_matrix(t: pa.Table) -> np.ndarray:
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     q = (
         T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < N_QUERIES)
-        .to_pandas()
+        .filter(expr=f"vec_id < {N_QUERIES}")
+        .to_pandas()  # N_QUERIES rows only
         .sort_values("vec_id")
     )
     qm = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"]])

@@ -173,23 +173,48 @@ class SharedPages:
         for s in shard_ids:
             self.refs[int(s)] = ray.put(store.load_shard_table(int(s)))
 
-    def lookup(self, urls: list[str], hosts: list[str]) -> list:
+    def lookup_col(self, url_col, host_values) -> "object":
+        """Vectorized url -> html gather: returns a binary Arrow array
+        aligned with ``url_col`` (null = missing page). Probe is
+        ``pc.index_in``, gather is null-safe ``pc.take`` — no per-row
+        ``as_py`` in the fetch hot path. ``host_values`` is any sequence
+        ``hash64`` accepts (numpy object array from an Arrow column is
+        zero-conversion)."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import ray
 
-        shards = (hash64(hosts) % np.uint64(self.n_shards)).astype(np.int64) if urls else np.array([], np.int64)
-        out: list = [None] * len(urls)
-        for s in np.unique(shards):
-            tbl = ray.get(self.refs[int(s)])
+        n = len(url_col)
+        if n == 0:
+            return pa.array([], pa.binary())
+        shards = (hash64(host_values) % np.uint64(self.n_shards)).astype(np.int64)
+        uniq = np.unique(shards)
+        if len(uniq) == 1:  # the common case: batches arrive pshard-grouped
+            tbl = ray.get(self.refs[int(uniq[0])])
+            idx = pc.index_in(url_col, value_set=tbl.column("url"))
+            return pc.take(tbl.column("html").combine_chunks(), idx)
+        parts, pos = [], []
+        for s in uniq:
             rows = np.flatnonzero(shards == s)
-            idx = pc.index_in(pa.array([urls[i] for i in rows], pa.string()), value_set=tbl.column("url"))
-            html_col = tbl.column("html")
-            for j, i in enumerate(rows):
-                k = idx[j].as_py()
-                if k is not None:
-                    out[i] = html_col[k].as_py()
-        return out
+            tbl = ray.get(self.refs[int(s)])
+            sub = url_col.take(pa.array(rows)) if hasattr(url_col, "take") else pa.array(
+                [url_col[i] for i in rows], pa.string()
+            )
+            idx = pc.index_in(sub, value_set=tbl.column("url"))
+            got = pc.take(tbl.column("html").combine_chunks(), idx)
+            parts.append(got.combine_chunks() if isinstance(got, pa.ChunkedArray) else got)
+            pos.append(rows)
+        cat = pa.concat_arrays(parts)
+        inv = np.empty(n, dtype=np.int64)
+        inv[np.concatenate(pos)] = np.arange(n, dtype=np.int64)
+        return cat.take(pa.array(inv))
+
+    def lookup(self, urls: list[str], hosts: list[str]) -> list:
+        import pyarrow as pa
+
+        if not urls:
+            return []
+        return self.lookup_col(pa.array(urls, pa.string()), hosts).to_pylist()
 
     def lookup_digests(self, urls: list[str], hosts: list[str]) -> np.ndarray:
         htmls = self.lookup(urls, hosts)

@@ -21,12 +21,16 @@ from ..sources.pages import PageStore, SharedPages
 
 
 def fetch_batch(batch: pa.Table, *, pages_refs: dict, n_pshards: int) -> pa.Table:
-    """Fetch-sim over the object-store-shared pages: + html column."""
+    """Fetch-sim over the object-store-shared pages: + html column.
+    Fully vectorized: the url column goes straight into the index_in
+    probe and the gather is a null-safe pc.take (no python round-trip)."""
     shared = SharedPages(pages_refs, n_pshards)
-    urls = batch.column("url").to_pylist()
-    hosts = batch.column("host").to_pylist()
-    htmls = shared.lookup(urls, hosts)
-    return batch.append_column("html", pa.array(htmls, pa.binary()))
+    url_col = batch.column("url").combine_chunks()
+    hosts = batch.column("host").to_numpy(zero_copy_only=False)
+    htmls = shared.lookup_col(url_col, hosts)
+    if isinstance(htmls, pa.ChunkedArray):
+        htmls = htmls.combine_chunks()
+    return batch.append_column("html", htmls)
 
 
 class FetchSim:

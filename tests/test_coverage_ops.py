@@ -220,6 +220,31 @@ class TestCorpusPrep:
         langs = {d.split("=")[1] for d in os.listdir(f"{work}/corpus") if d.startswith("lang=")}
         assert langs
 
+    def test_dedup_shuffle_schema_excludes_text(self):
+        """The dedup all-to-all must move (fp, round, seq) ONLY — the
+        corpus text never rides the shuffle (VERDICT round-1 item 3)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from blockspider_ray.pipelines.corpus import dedup_keys, loser_keys
+
+        t = pa.table(
+            {
+                "round": pa.array([0, 0, 1, 1, 2], pa.int64()),
+                "seq": pa.array([0, 1, 0, 1, 0], pa.int64()),
+                "text": pa.array(["a b", "x", "a  b", "y", " a b "], pa.string()),
+            }
+        )
+        keys = dedup_keys(rd.from_arrow(t))
+        assert set(keys.schema().names) == {"fp", "round", "seq"}
+        lose = loser_keys(keys)
+        # rows (1,0) and (2,0) are whitespace-normalized dups of (0,0)
+        want = np.sort(
+            np.array([(1 << 32) | 0, (2 << 32) | 0], dtype=np.uint64)
+        )
+        assert np.array_equal(lose, want)
+
     def test_quality_threshold_filters(self, tmp_path_factory, tiny_fixture):
         from blockspider_ray.config import CrawlConfig
         from blockspider_ray.engine import CrawlEngine
