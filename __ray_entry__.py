@@ -17,6 +17,34 @@ from typing import Any
 
 _CRAWL_CACHE: dict[str, Any] = {}
 
+# Exact all-pairs 5-gram Jaccard (inverted self-join) — the oracle for
+# BOTH ngram_jaccard_pairs (by construction) and minhash_lsh_pairs
+# (empirically identical at sf0.001/0.01/0.1: every true pair >= 0.5 on
+# this data survives 16x4 banding).
+_NGRAM_JACCARD_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, CASE WHEN len(w) >= 5 THEN len(w) - 4
+                                            WHEN len(w) > 0 THEN 1 ELSE 0 END)) AS i
+      FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 4], ' ') AS s FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+           ROUND(c / (sa.n + sb.n - c), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(c / (sa.n + sb.n - c), 4) >= 0.5
+"""
+
 
 def _crawl_tiny():
     """One deterministic tiny crawl through the distributed engine,
@@ -91,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_per_key": dedup.first_per_key,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_near_dups": dedup.simhash_near_dups,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,
@@ -216,10 +245,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents
             GROUP BY regexp_replace(trim(text), '\s+', ' ', 'g')
         """,
+        # exact all-pairs 5-gram Jaccard via inverted self-join; also the
+        # oracle for minhash_lsh_pairs (LSH recall is exact on this data:
+        # banding at 16x4 catches every pair >= 0.5 here — verified at
+        # sf0.001/sf0.01/sf0.1; the pytest planted-dup suite covers the
+        # probabilistic behavior)
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "first_per_key": """
             SELECT lang, source, MIN(doc_id)::BIGINT AS first_doc, COUNT(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang, source
         """,
+        "minhash_lsh_pairs": _NGRAM_JACCARD_SQL,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
                  c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3)

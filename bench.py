@@ -104,6 +104,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "exact_dedup",
         "minhash_lsh_pairs",
         "simhash_near_dups",
+        "ngram_jaccard_pairs",
         "knn_cosine",
         "knn_lsh",
         "label_centroids",

@@ -46,6 +46,14 @@ class CrawlConfig:
     # run with the exact shadow set enabled (SURVEY.md §2.6 D1)
     cuckoo_capacity_per_shard: int = 1 << 20
     exact_seen: bool = True
+    # Degradation path for giant rounds (SURVEY.md §4 / engine.py scale
+    # notes): when one round's scheduled-candidate METADATA exceeds this
+    # many rows, subsequent rounds switch (sticky) to per-shard quotas of
+    # ``max_urls_per_round // shards`` with shard-LOCAL (priority, host,
+    # url) ordering — the driver then concatenates and orders at most
+    # ``max_urls_per_round`` rows instead of the whole politeness pop.
+    # 0 = quota mode from round 0.
+    driver_order_threshold: int = 2_000_000
 
     @classmethod
     def from_json(cls, path: str) -> "CrawlConfig":

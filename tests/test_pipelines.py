@@ -30,6 +30,8 @@ SWEEP = [
     "doc_stats_by_lang",
     "exact_dedup",
     "first_per_key",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
     "knn_cosine",
     "label_centroids",
 ]
