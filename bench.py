@@ -27,6 +27,18 @@ import sys
 import time
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — the host of this VM
+    throttles sustained CPU (burst credits), so every measurement records
+    how much of it was stolen; numbers with steal_pct >> 0 under-report
+    the code's true throughput (see BASELINE.md 'Hardware ceiling')."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def _quiet():
     import logging
 
@@ -68,10 +80,12 @@ def bench_crawl(fixture: str) -> dict:
         cuckoo_capacity_per_shard=1 << 22,
         exact_seen=True,
     )
+    s0, tot0 = _cpu_ticks()
     t0 = time.time()
     eng = CrawlEngine(pages_dir, seeds, cfg, out, ckpt_dir=ckpt, batch_size=2048)
     rounds = eng.run()
     sec = time.time() - t0
+    s1, tot1 = _cpu_ticks()
     n_urls = sum(m["scheduled"] + m["dropped"] for m in eng.metrics)
     eng.shutdown()
     shutil.rmtree(out, ignore_errors=True)
@@ -81,6 +95,7 @@ def bench_crawl(fixture: str) -> dict:
         "urls": int(n_urls),
         "sec": round(sec, 2),
         "urls_per_sec": round(n_urls / sec, 1),
+        "steal_pct": round(100.0 * (s1 - s0) / max(tot1 - tot0, 1), 1),
     }
 
 
@@ -170,6 +185,12 @@ def main() -> None:
                     "scaling_efficiency": round(t_hi / ((hi / lo) * t_lo), 3),
                     "fixture": results[hi]["crawl"]["fixture"],
                     "urls": results[hi]["crawl"]["urls"],
+                    # hypervisor CPU-steal during each level's best run —
+                    # numbers with high steal under-report true throughput
+                    "steal_pct": {
+                        str(lo): results[lo]["crawl"].get("steal_pct"),
+                        str(hi): results[hi]["crawl"].get("steal_pct"),
+                    },
                 }
             )
         )

@@ -81,10 +81,19 @@ def process_and_sink(
     (custom sink inside the stage: removes two operator barriers and the
     write operator's per-round fixed overhead, which dominates small
     rounds; at large rounds the same fusion just removes two object-store
-    round-trips per batch). Returns a one-row summary per batch."""
-    out = extract_batch(fetch_batch(batch, pages_refs=pages_refs, n_pshards=n_pshards))
+    round-trips per batch). Returns a one-row summary per batch with
+    per-stage wall times (aggregated into engine metrics — the stats()
+    hook for the fused operator)."""
+    import time as _time
+
+    t0 = _time.time()
+    f = fetch_batch(batch, pages_refs=pages_refs, n_pshards=n_pshards)
+    t1 = _time.time()
+    out = extract_batch(f)
+    t2 = _time.time()
     out, send_refs = route_links(out, actor_ns=actor_ns, nshards=nshards, seen_refs=seen_refs, defer=True)
-    rows = out.select([f.name for f in schemas.CRAWL_LOG]).cast(schemas.CRAWL_LOG)
+    t3 = _time.time()
+    rows = out.select([f2.name for f2 in schemas.CRAWL_LOG]).cast(schemas.CRAWL_LOG)
     # deterministic per-chunk file name + atomic rename: a Ray task RETRY
     # overwrites its own file instead of appending a duplicate (the chunk's
     # first seq is unique and stable within the round); actor sends are
@@ -94,9 +103,20 @@ def process_and_sink(
     tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
     pq.write_table(rows, tmp, compression="zstd", compression_level=1)
     os.replace(tmp, path)
+    t4 = _time.time()
     if send_refs:
         ray.get(send_refs)  # delivery barrier AFTER the write overlapped it
-    return pa.table({"n": pa.array([rows.num_rows], pa.int64())})
+    t5 = _time.time()
+    return pa.table(
+        {
+            "n": pa.array([rows.num_rows], pa.int64()),
+            "t_fetch": pa.array([t1 - t0], pa.float64()),
+            "t_extract": pa.array([t2 - t1], pa.float64()),
+            "t_route": pa.array([t3 - t2], pa.float64()),
+            "t_write": pa.array([t4 - t3], pa.float64()),
+            "t_wait": pa.array([t5 - t4], pa.float64()),
+        }
+    )
 
 
 # plain-task form of the fused stage, for tail/drain rounds (see run_round)
@@ -669,8 +689,12 @@ class CrawlEngine:
                 # as plain tasks over the pre-built chunks instead. Large
                 # rounds (the 10^10-scale steady state) always take the
                 # Dataset path below.
-                refs = [_process_task.remote(c, **fn_kwargs) for c in chunks]
-                n_written = sum(r["n"][0].as_py() for r in ray.get(refs))
+                summaries = [r for r in ray.get([_process_task.remote(c, **fn_kwargs) for c in chunks])]
+                n_written = sum(r["n"][0].as_py() for r in summaries)
+                stage_sec = {
+                    k: round(sum(r[k][0].as_py() for r in summaries), 3)
+                    for k in ("t_fetch", "t_extract", "t_route", "t_write", "t_wait")
+                }
             else:
                 # a single task-pool operator (fetch+extract+route+sink
                 # fused; worker-process-global caches give per-process
@@ -683,7 +707,13 @@ class CrawlEngine:
                     batch_size=bs,
                     num_cpus=1,
                 )
-                n_written = sum(r["n"] for r in ds.take_all())
+                rows_sum = ds.take_all()
+                n_written = sum(r["n"] for r in rows_sum)
+                stage_sec = {
+                    k: round(sum(r[k] for r in rows_sum), 3)
+                    for k in ("t_fetch", "t_extract", "t_route", "t_write", "t_wait")
+                }
+            _t.update(stage_sec)  # summed task-side wall across all workers
             assert n_written == n_take, f"round {rnd}: wrote {n_written} rows, scheduled {n_take}"
 
         _t["pipeline"] = _time.time() - _t0

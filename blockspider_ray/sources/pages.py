@@ -189,10 +189,13 @@ class SharedPages:
             return pa.array([], pa.binary())
         shards = (hash64(host_values) % np.uint64(self.n_shards)).astype(np.int64)
         uniq = np.unique(shards)
+        # NB: never combine_chunks() the shared table's html column — that
+        # would copy the whole shard's payload per batch; take() accepts a
+        # ChunkedArray and only the GATHERED rows are ever materialized.
         if len(uniq) == 1:  # the common case: batches arrive pshard-grouped
             tbl = ray.get(self.refs[int(uniq[0])])
             idx = pc.index_in(url_col, value_set=tbl.column("url"))
-            return pc.take(tbl.column("html").combine_chunks(), idx)
+            return pc.take(tbl.column("html"), idx)
         parts, pos = [], []
         for s in uniq:
             rows = np.flatnonzero(shards == s)
@@ -201,7 +204,7 @@ class SharedPages:
                 [url_col[i] for i in rows], pa.string()
             )
             idx = pc.index_in(sub, value_set=tbl.column("url"))
-            got = pc.take(tbl.column("html").combine_chunks(), idx)
+            got = pc.take(tbl.column("html"), idx)  # gathers |rows| cells only
             parts.append(got.combine_chunks() if isinstance(got, pa.ChunkedArray) else got)
             pos.append(rows)
         cat = pa.concat_arrays(parts)
