@@ -130,6 +130,45 @@ class TestSeedAppend:
         assert elog.equals(olog)
         assert eseen.equals(oseen)
 
+    def test_webhook_auth_path_feeds_engine(self, tiny_fixture, tmp_path_factory):
+        """Full push-ingest flow (M8+S12): a signed webhook payload
+        appends seeds that the NEXT round schedules; a forged payload
+        changes nothing."""
+        import json
+
+        from blockspider_ray.config import CrawlConfig
+        from blockspider_ray.engine import CrawlEngine
+        from blockspider_ray.sources.webhook import WebhookIngest, sign_body
+
+        pages_dir, seeds = tiny_fixture
+        import pyarrow.parquet as pq
+
+        allurls = []
+        for d in sorted(os.listdir(pages_dir)):
+            t = pq.read_table(os.path.join(pages_dir, d, "part.parquet"), columns=["url"])
+            allurls += t.column("url").to_pylist()
+        seeded_hosts = {s.split("/")[2] for s in seeds}
+        extra = [u for u in allurls if u.split("/")[2] not in seeded_hosts and "/p/" in u][:2]
+        assert extra
+
+        out = str(tmp_path_factory.mktemp("webhook"))
+        eng = CrawlEngine(pages_dir, seeds, CrawlConfig(max_rounds=4, shards=4), out)
+        wh = WebhookIngest(eng, b"push-secret")
+        eng.run_round(0)
+        seen_before = eng.seen_table().num_rows
+        # forged: wrong key — must not change crawl state
+        body = json.dumps({"seeds": extra}).encode()
+        assert wh.handle(body, sign_body(body, b"wrong"))["status"] == 400
+        assert eng.seen_table().num_rows == seen_before
+        # authentic: seeds enter the seen set and get scheduled later
+        assert wh.handle(body, sign_body(body, b"push-secret"))["status"] == 200
+        assert eng.seen_table().num_rows == seen_before + len(extra)
+        for rnd in range(1, 4):
+            eng.run_round(rnd)
+        log_urls = set(eng.crawl_log().column("url").to_pylist())
+        eng.shutdown()
+        assert set(extra) <= log_urls
+
 
 class TestConsumer:
     def test_watermark_and_filter(self, tiny_fixture, tmp_path_factory):

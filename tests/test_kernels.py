@@ -215,3 +215,75 @@ class TestRouteHostFastPath:
             n = u.split("/", 3)[2]
             fast = n.split(":", 1)[0] if "[" not in n else url_host(u)
             assert fast == url_host(u), u
+
+
+class TestDisplayHelpers:
+    """util.go:28-51,103-115 analogs (display-only; exact-decimal
+    divergence documented in functions/display.py)."""
+
+    def test_from_wei(self):
+        from blockspider_ray.functions.display import from_wei, from_wei_to_gwei
+
+        assert from_wei("1000000000000000000") == "1"
+        assert from_wei("1500000000000000000") == "1.5"
+        assert from_wei("1") == "0.000000000000000001"
+        assert from_wei("0") == "0"
+        assert from_wei_to_gwei("1000000000") == "1"
+        assert from_wei_to_gwei("2500000000") == "2.5"
+
+    def test_float_to_string(self):
+        from blockspider_ray.functions.display import float_to_string
+
+        assert float_to_string(1.5) == "1.50000000"
+        assert float_to_string(0.0) == "0.00000000"
+
+    def test_big_float_to_string(self):
+        from blockspider_ray.functions.display import big_float_to_string
+
+        assert big_float_to_string("12", 2) == "12.00"
+        assert big_float_to_string("12.5", 2) == "12.50"
+        assert big_float_to_string("12.3456", 2) == "12.34"  # truncates, not rounds
+        assert big_float_to_string("12.3456", 3) == "12.345"
+
+
+class TestWebhookAuth:
+    """HMAC push-ingest (cmd/transmuted/main.go:66-72,141-174 analog)."""
+
+    def test_signature_roundtrip(self):
+        from blockspider_ray.sources.webhook import sign_body, verify_signature
+
+        body = b'{"seeds": ["http://h.example/"]}'
+        key = b"secret-key"
+        sig = sign_body(body, key)
+        assert verify_signature(body, sig, key)
+        assert not verify_signature(body + b" ", sig, key)
+        assert not verify_signature(body, sig, b"other-key")
+        assert not verify_signature(body, "deadbeef", key)
+
+    def test_handle_filters_invalid(self):
+        from blockspider_ray.sources.webhook import WebhookIngest, sign_body
+
+        class Sink:
+            def __init__(self):
+                self.calls = []
+
+            def append_seeds(self, seeds):
+                self.calls.append(list(seeds))
+
+        sink = Sink()
+        wh = WebhookIngest(sink, b"k1")
+        good = b'{"seeds": ["http://a.example/", "http://b.example/x"]}'
+        r = wh.handle(good, sign_body(good, b"k1"))
+        assert r["status"] == 200 and r["n_seeds"] == 2
+        # bad signature: rejected, no state change
+        r = wh.handle(good, "0" * 64)
+        assert r["status"] == 400 and "signature" in r["error"]
+        # valid signature, malformed payload: rejected
+        bad = b'{"seeds": "notalist"}'
+        r = wh.handle(bad, sign_body(bad, b"k1"))
+        assert r["status"] == 400
+        bad2 = b"not json"
+        r = wh.handle(bad2, sign_body(bad2, b"k1"))
+        assert r["status"] == 400
+        assert sink.calls == [["http://a.example/", "http://b.example/x"]]
+        assert wh.accepted == 1 and wh.rejected == 3
