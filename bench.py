@@ -146,9 +146,14 @@ def main() -> None:
         # (one raylet per node) does not suffer — see BASELINE.md.
         lo, hi = (int(x) for x in os.environ.get("BSR_SCALING_PAIR", "4,16").split(","))
         results = {}
-        for ncpu in (lo, hi):
+        # high level FIRST: this host is burst-credit throttled, and the
+        # level that runs later inherits a depleted budget — running hi
+        # on the freshest credits and lo (which burns 4x less CPU) after
+        # is the least-biased ordering (steal_pct records the residual)
+        runs_per_level = int(os.environ.get("BSR_SCALING_RUNS", "2"))
+        for ncpu in (hi, lo):
             best = None
-            for _ in range(2):
+            for _ in range(runs_per_level):
                 os.sync()
                 time.sleep(20)
                 env = dict(

@@ -293,8 +293,33 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 5) -> pd.D
         ii, jj = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj], "n_a": ns[ii], "n_b": ns[jj]})
 
+    # Pass 1 — document-frequency prefilter: a shingle held by ONE doc
+    # can never produce a pair, and almost all shingles are singletons.
+    # A native (vectorized) Count aggregate finds the df>=2 shingles;
+    # only those rows enter the python pair-expansion groupby, cutting
+    # its group count by orders of magnitude. Output is provably
+    # unchanged (singleton groups emit nothing).
+    shingles_ds = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    hot = (
+        shingles_ds.groupby("sh")
+        .aggregate(Count(alias_name="df"))
+        .filter(expr="df >= 2")
+        .to_pandas()  # df>=2 shingle keys only — duplicate-sized, small
+    )
+    hot_keys = np.sort(hot["sh"].to_numpy(dtype=np.uint64))
+    hot_ref = ray.put(hot_keys)
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        hot_ = ray.get(hot_ref)
+        if len(hot_) == 0:
+            return t.slice(0, 0)
+        k = t["sh"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(hot_, k), len(hot_) - 1)
+        return t.filter(pa.array(hot_[pos] == k))
+
     agg = (
         ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .map_batches(only_hot, batch_format="pyarrow")
         .groupby("sh")
         .map_groups(co_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
