@@ -339,3 +339,37 @@ class TestFollowMode:
         rounds = log2.column("round").to_pylist()
         seqs = log2.column("seq").to_pylist()
         assert len(set(zip(rounds, seqs))) == len(rounds)
+
+
+class TestSharedPagesLookup:
+    def test_multi_shard_gather_order_and_nulls(self, tiny_fixture):
+        """lookup_col's multi-pshard scatter/gather must return results
+        aligned with the input order, null for missing urls — pinned
+        because the engine's pshard-grouped batches rarely exercise it."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.sources.pages import SharedPages
+
+        pages_dir, _ = tiny_fixture
+        shared = SharedPages.put_store(pages_dir)
+        # urls from every pshard, interleaved, plus missing ones
+        urls, want = [], []
+        for d in sorted(os.listdir(pages_dir)):
+            t = pq.read_table(os.path.join(pages_dir, d, "part.parquet"), columns=["url", "html"])
+            for i in range(0, min(4, t.num_rows)):
+                urls.append(t.column("url")[i].as_py())
+                want.append(t.column("html")[i].as_py())
+        urls.append("http://host-0001.example/definitely-missing")
+        want.append(None)
+        # interleave deterministically
+        rng = np.random.default_rng(3)
+        perm = rng.permutation(len(urls))
+        urls = [urls[i] for i in perm]
+        want = [want[i] for i in perm]
+        hosts = [u.split("/")[2] for u in urls]
+        got = shared.lookup_col(pa.array(urls, pa.string()), np.array(hosts, dtype=object))
+        assert got.to_pylist() == want
+        # list API parity
+        assert shared.lookup(urls, hosts) == want
