@@ -40,6 +40,7 @@ SIZES = {
     "small": dict(hosts=200, pages=60_000, seeds=20),
     "bench": dict(hosts=2_000, pages=600_000, seeds=100),
     "bench4": dict(hosts=8_000, pages=2_400_000, seeds=400),
+    "bench10": dict(hosts=32_000, pages=10_000_000, seeds=1_600),
 }
 
 N_PAGE_SHARDS = 32  # fixed physical layout of the pages store
@@ -172,8 +173,12 @@ def generate_pages(
     host_of_page = np.repeat(np.arange(H), counts)  # global page index -> host
     # page urls, globally numbered (FIXTURES.md §1)
     urls = [f"http://{host_name(int(h))}/p/{i:06d}" for i, h in enumerate(host_of_page)]
-    # pages of each host, for same-host link sampling
-    pages_of_host = [np.flatnonzero(host_of_page == h) for h in range(H)]
+    # pages of each host, for same-host link sampling. host_of_page is
+    # np.repeat over ascending host ids, so each host's pages are one
+    # contiguous index range: split is O(P) and yields arrays identical
+    # to the former per-host flatnonzero scan (which was O(H*P) — hours
+    # at the 10M-page bench10 size).
+    pages_of_host = np.split(np.arange(P, dtype=np.int64), np.cumsum(counts)[:-1])
 
     n_links = rng.integers(0, 41, size=P)
     # cross-host preferential to low host ids: weights ~ 1/(h+1)
