@@ -306,7 +306,142 @@ def apply_mutations(pages_dir: str, mutate_urls: list[str], seed: int = 1042) ->
     return changed
 
 
+def _gen_chunk_sharded(
+    start: int,
+    end: int,
+    host_of_page,
+    pages_of_host,
+    hw_cum,
+    n_links,
+    seed: int,
+    dead_link_rate: float,
+    n_shards: int,
+    base_us: int,
+):
+    """Generate pages [start, end) and split them into per-pshard piece
+    tables, each ``ray.put`` into the object store. Returns a list of
+    ``n_shards`` ObjectRefs — so a downstream shard writer pulls ONLY its
+    own shard's pieces, never the whole chunk. This is what lets the 10M-
+    page fixture generate without ever assembling the corpus on one node."""
+    import ray as _ray
+
+    htmls, texts = _gen_chunk(start, end, host_of_page, pages_of_host, hw_cum, n_links, seed, dead_link_rate)
+    langs = ["en", "de", "fr", "es", "zh"]
+    hosts_i = host_of_page[start:end]
+    urls = [f"http://{host_name(int(h))}/p/{i:06d}" for i, h in zip(range(start, end), hosts_i)]
+    host_names = [host_name(int(h)) for h in hosts_i]
+    shard = (hash64(host_names) % np.uint64(n_shards)).astype(np.int64)
+    ts = base_us + np.arange(start, end, dtype=np.int64) * 1_000_000
+    tbl = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([langs[int(h) % 5] for h in hosts_i], pa.string()),
+        },
+        schema=schemas.PAGES,
+    )
+    return [_ray.put(tbl.filter(pa.array(shard == s))) for s in range(n_shards)]
+
+
+def _write_shard(out_dir: str, s: int, piece_refs: list, robots_piece) -> int:
+    """Concat one pshard's pieces (chunk order, robots last — the exact row
+    order of the serial ``write_pages_store`` path) and write part.parquet."""
+    import ray as _ray
+
+    pieces = _ray.get(list(piece_refs)) + [robots_piece]
+    tbl = pa.concat_tables([p for p in pieces if p.num_rows > 0]).combine_chunks()
+    d = os.path.join(out_dir, f"pshard={s}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d, "part.parquet"))
+    return tbl.num_rows
+
+
+def generate_store_distributed(
+    size: str,
+    out_dir: str,
+    *,
+    seed: int = 42,
+    dead_link_rate: float = 0.01,
+    n_shards: int = N_PAGE_SHARDS,
+    chunk: int = 20_000,
+) -> list:
+    """Generate + write the host-sharded pages store WITHOUT materializing
+    the corpus on the driver: chunk tasks put per-pshard pieces into the
+    object store; one writer task per pshard concats its pieces and writes
+    part.parquet. Output tables are identical to the serial
+    ``generate_pages`` + ``write_pages_store`` path (pinned by
+    test_conformance). Returns the seed url list."""
+    import ray as _ray
+
+    cfg = SIZES[size]
+    H, P, K = cfg["hosts"], cfg["pages"], cfg["seeds"]
+    rng = np.random.default_rng(seed)
+    counts = _zipf_counts(H, P)
+    host_of_page = np.repeat(np.arange(H), counts)
+    pages_of_host = np.split(np.arange(P, dtype=np.int64), np.cumsum(counts)[:-1])
+    n_links = rng.integers(0, 41, size=P)
+    hw = 1.0 / (np.arange(H) + 1.0)
+    hw /= hw.sum()
+    hw_cum = np.cumsum(hw)
+    base_us = np.int64(1_767_225_600_000_000)
+
+    # robots pages ride behind all content pages, exactly as in generate_pages
+    langs = ["en", "de", "fr", "es", "zh"]
+    robots_rows = {
+        "url": [], "warc_ts": [], "html": [], "text": [], "lang": [],
+    }
+    robots_hosts = []
+    for h in range(H):
+        body = "User-agent: *\nDisallow: /p/00\n" if h % 10 == 3 else "User-agent: *\nDisallow:\n"
+        robots_rows["url"].append(f"http://{host_name(h)}/robots.txt")
+        robots_rows["warc_ts"].append(int(base_us) + (P + h) * 1_000_000)
+        robots_rows["html"].append(body.encode())
+        robots_rows["text"].append(body)
+        robots_rows["lang"].append(langs[h % 5])
+        robots_hosts.append(host_name(h))
+    robots_tbl = pa.table(
+        {
+            "url": pa.array(robots_rows["url"], pa.string()),
+            "warc_ts": pa.array(np.asarray(robots_rows["warc_ts"], np.int64), pa.timestamp("us", tz="UTC")),
+            "html": pa.array(robots_rows["html"], pa.binary()),
+            "text": pa.array(robots_rows["text"], pa.string()),
+            "lang": pa.array(robots_rows["lang"], pa.string()),
+        },
+        schema=schemas.PAGES,
+    )
+    robots_shard = (hash64(robots_hosts) % np.uint64(n_shards)).astype(np.int64)
+
+    gen_task = _ray.remote(num_cpus=1)(_gen_chunk_sharded)
+    write_task = _ray.remote(num_cpus=1)(_write_shard)
+    hop_ref = _ray.put(host_of_page)
+    poh_ref = _ray.put(pages_of_host)
+    nl_ref = _ray.put(n_links)
+    chunk_refs = [
+        gen_task.remote(s, min(s + chunk, P), hop_ref, poh_ref, hw_cum, nl_ref, seed, dead_link_rate, n_shards, int(base_us))
+        for s in range(0, P, chunk)
+    ]
+    # chunk_refs[k] resolves to a list of n_shards piece ObjectRefs
+    piece_lists = _ray.get(chunk_refs)
+    os.makedirs(out_dir, exist_ok=True)
+    writes = [
+        write_task.remote(
+            out_dir, s, [pl[s] for pl in piece_lists], robots_tbl.filter(pa.array(robots_shard == s))
+        )
+        for s in range(n_shards)
+    ]
+    total = sum(_ray.get(writes))
+    assert total == P + H, f"distributed store wrote {total} rows, expected {P + H}"
+    first_page = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return [f"http://{host_name(h)}/p/{int(first_page[h]):06d}" for h in range(min(K, H))]
+
+
 GEN_VERSION = 3  # bump to invalidate cached fixtures when generation rules change
+
+# sizes at/above this page count use the distributed store writer in
+# ensure_fixture (driver never holds the corpus)
+_DISTRIBUTED_GEN_THRESHOLD = 1_000_000
 
 
 def ensure_fixture(size: str, root: str = "/tmp/blockspider_ray_fixtures", seed: int = 42):
@@ -316,9 +451,20 @@ def ensure_fixture(size: str, root: str = "/tmp/blockspider_ray_fixtures", seed:
     marker = os.path.join(out, "_COMPLETE")
     seeds_path = os.path.join(out, "seeds.txt")
     if not os.path.exists(marker):
-        table, seeds = generate_pages(size, seed=seed)
+        use_dist = False
+        if SIZES.get(size, {}).get("pages", 0) >= _DISTRIBUTED_GEN_THRESHOLD:
+            try:
+                import ray as _ray
+
+                use_dist = _ray.is_initialized()
+            except Exception:
+                use_dist = False
         os.makedirs(out, exist_ok=True)
-        write_pages_store(table, os.path.join(out, "pages"))
+        if use_dist:
+            seeds = generate_store_distributed(size, os.path.join(out, "pages"), seed=seed)
+        else:
+            table, seeds = generate_pages(size, seed=seed)
+            write_pages_store(table, os.path.join(out, "pages"))
         with open(seeds_path, "w") as f:
             f.write("\n".join(seeds))
         with open(marker, "w") as f:
