@@ -31,21 +31,22 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def exact_dedup(sf_dir: str) -> rd.Dataset:
     """Exact dedup by normalized-text fingerprint: hash per batch ->
-    groupby(hash) -> keep min doc_id per group."""
+    groupby(hash) -> native Min aggregate keeps the min doc_id per group
+    (vectorized — no per-group python). The fingerprint ships as the
+    int64 bit pattern of the uint64 hash (equality-only key; keeps every
+    shuffle column int64-safe for Arrow inference)."""
+    from ray.data.aggregate import Min
+
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_fp(t: pa.Table) -> pa.Table:
-        return t.append_column("fp", pa.array(tx.fingerprint64(t["text"].to_pylist()), pa.uint64())).select(
-            ["doc_id", "fp"]
-        )
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())], "fp": [g["fp"].iloc[0]]})
+        fp = tx.fingerprint64(t["text"].to_pylist()).view(np.int64)
+        return t.append_column("fp", pa.array(fp, pa.int64())).select(["doc_id", "fp"])
 
     return (
         ds.map_batches(add_fp, batch_format="pyarrow")
         .groupby("fp")
-        .map_groups(first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
     )
 
@@ -53,32 +54,29 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
 def first_per_key(sf_dir: str) -> pd.DataFrame:
     """First-wins dedup per (lang, source) — the reorg-walk first-wins
     dedup analog (crawler/blocks.go:133,146-155: first block per height
-    wins)."""
+    wins). Native Min/Count aggregates — no per-group python."""
+    from ray.data.aggregate import Count, Min
+
     ds = T(sf_dir, "documents", columns=["doc_id", "lang", "source"])
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "lang": [g["lang"].iloc[0]],
-                "source": [g["source"].iloc[0]],
-                "first_doc": [int(g["doc_id"].min())],
-                "n_docs": [len(g)],
-            }
-        )
-
-    out = ds.groupby(["lang", "source"]).map_groups(first, batch_format="pandas").to_pandas()
+    out = (
+        ds.groupby(["lang", "source"])
+        .aggregate(Min("doc_id", alias_name="first_doc"), Count(alias_name="n_docs"))
+        .to_pandas()
+    )
     out["first_doc"] = out["first_doc"].astype("int64")
     out["n_docs"] = out["n_docs"].astype("int64")
-    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)[["lang", "source", "first_doc", "n_docs"]]
 
 
-def _signatures(t: pa.Table, a: np.ndarray, b: np.ndarray, k: int = 5) -> tuple[list, np.ndarray]:
+def _signatures(t: pa.Table, a: np.ndarray, b: np.ndarray, k: int = 5) -> tuple[list, np.ndarray, np.ndarray]:
     texts = t["text"].to_pylist()
     sigs = np.empty((len(texts), len(a)), dtype=np.uint64)
+    nonempty = np.zeros(len(texts), dtype=bool)
     for i, x in enumerate(texts):
         sh = tx.shingles(x, k=k)
+        nonempty[i] = bool(sh)
         sigs[i] = tx.minhash_signature(hash64(sh) if sh else np.array([], np.uint64), a, b)
-    return texts, sigs
+    return texts, sigs, nonempty
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
@@ -97,8 +95,13 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
     def bands(t: pa.Table) -> pa.Table:
-        _, sigs = _signatures(t, a, b)
+        _, sigs, nonempty = _signatures(t, a, b)
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # zero-shingle (empty/whitespace) docs emit NO band rows: their
+        # constant empty-set signature would otherwise collide in every
+        # band, and the exact-Jaccard semantics (both the SQL oracle and
+        # ngram_jaccard_pairs) define no pairs for shingle-less docs.
+        doc_ids, sigs = doc_ids[nonempty], sigs[nonempty]
         band_ids = np.repeat(np.arange(_LSH_BANDS, dtype=np.int64)[None, :], len(doc_ids), axis=0).ravel()
         # hash each band's rows into one bucket key
         bh = np.zeros((len(doc_ids), _LSH_BANDS), dtype=np.uint64)
@@ -109,10 +112,14 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
             for c in range(rows_per_band):
                 acc = (acc ^ seg[:, c]) * np.uint64(1099511628211)
             bh[:, bi] = acc
+        # band_hash ships as the int64 BIT PATTERN of the uint64 bucket
+        # key: every shuffle column stays in int64 range so no pandas/
+        # python round-trip can overflow Arrow int inference into the
+        # pickled-object fallback (equality-only key, order irrelevant).
         return pa.table(
             {
                 "band_id": pa.array(band_ids, pa.int64()),
-                "band_hash": pa.array(bh.ravel(), pa.uint64()),
+                "band_hash": pa.array(bh.ravel().view(np.int64), pa.int64()),
                 "doc_id": pa.array(np.repeat(doc_ids, _LSH_BANDS), pa.int64()),
             }
         )
@@ -162,11 +169,17 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     order = np.argsort(ep_doc, kind="stable")
     bcast = ray.put((pair_a, pair_b, need, ep_doc[order], ep_pair[order]))
 
+    # shingle hashes travel as list<int64> BIT VIEWS of the uint64 hash
+    # values: Arrow list columns that round-trip pandas/python inside the
+    # groupby would otherwise overflow int64 inference (values > 2^63)
+    # and silently degrade the whole all-to-all to pickled python objects
+    # (observed live in round 2). Set intersection is equality-based, so
+    # the bit-pattern reinterpretation changes nothing.
     _empty_sh = pa.table(
         {
             "pair_idx": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
-            "sh": pa.array([], pa.list_(pa.uint64())),
+            "sh": pa.array([], pa.list_(pa.int64())),
         }
     )
 
@@ -183,18 +196,25 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         for k, i in enumerate(sel):
             d = int(ids[i])
             s = tx.shingles(texts[k], k=5)
-            hv = np.unique(hash64(s)) if s else np.array([], dtype=np.uint64)
+            hv = np.unique(hash64(s)).view(np.int64) if s else np.array([], dtype=np.int64)
             lo = int(np.searchsorted(epd_, d, side="left"))
             hi = int(np.searchsorted(epd_, d, side="right"))
             for p in epp_[lo:hi]:
                 out_pair.append(int(p))
                 out_doc.append(d)
                 out_sh.append(hv)
+        # ListArray built from one flat int64 buffer + offsets — no
+        # python list materialization of the hash values
+        lens = np.fromiter((len(x) for x in out_sh), dtype=np.int64, count=len(out_sh))
+        offsets = np.zeros(len(out_sh) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        flat = np.concatenate(out_sh) if out_sh else np.array([], dtype=np.int64)
+        sh_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(flat, pa.int64()))
         return pa.table(
             {
                 "pair_idx": pa.array(out_pair, pa.int64()),
                 "doc_id": pa.array(out_doc, pa.int64()),
-                "sh": pa.array([x.tolist() for x in out_sh], pa.list_(pa.uint64())),
+                "sh": sh_col,
             }
         )
 
@@ -202,15 +222,14 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         pair_a_, pair_b_, _, _, _ = ray.get(bcast)
         pid = int(g["pair_idx"].iloc[0])
         a, b = int(pair_a_[pid]), int(pair_b_[pid])
-        sets = {int(d): np.asarray(v, dtype=np.uint64) for d, v in zip(g["doc_id"], g["sh"])}
-        sa = sets.get(a, np.array([], dtype=np.uint64))
-        sb = sets.get(b, np.array([], dtype=np.uint64))
-        if sa.size == 0 and sb.size == 0:
-            j = 1.0
-        else:
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j = inter / union if union else 1.0
+        sets = {int(d): np.asarray(v, dtype=np.int64) for d, v in zip(g["doc_id"], g["sh"])}
+        sa = sets.get(a, np.array([], dtype=np.int64))
+        sb = sets.get(b, np.array([], dtype=np.int64))
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        # no-shingles docs never reach here (no band rows); a defensive
+        # empty endpoint scores 0.0 — the oracle's no-shingles-no-pairs
+        j = inter / union if union else 0.0
         return pd.DataFrame({"doc_a": [a], "doc_b": [b], "jaccard": [float(np.round(j, 4))]})
 
     out = (
@@ -223,30 +242,43 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 5) -> pd.DataFrame:
+def ngram_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.5, k: int = 5, df_ceiling: int = 256
+) -> pd.DataFrame:
     """EXACT n-gram Jaccard near-duplicate pairs via a distributed
     inverted index (the SQL-oracle-able member of the near-dup family;
     minhash_lsh_pairs is its sublinear approximation):
 
       per batch: distinct k-shingle hashes per doc -> (sh, doc_id, n_sh)
+      (ONE shingling pass, materialized — both the df pass and the pair
+      pass consume the same dataset)
+      -> groupby(sh).Count: document frequency; keep 2 <= df <= ceiling
       -> groupby(sh): co-occurring docs -> (doc_a, doc_b, n_a, n_b) rows
-      -> groupby(pair): count = |A∩B|; |A∪B| = n_a + n_b - count
-      -> filter jaccard >= threshold.
+      -> groupby(pair): count = |A∩B over kept shingles|
+      -> jaccard = count / (n_a + n_b - count), filter >= threshold.
 
     Both shuffles move fixed-width id rows, never text. Docs with zero
     shingles (empty text) have no rows and thus no pairs — the same
-    semantics as the SQL oracle. Scale note: a boilerplate shingle
-    shared by d docs emits O(d^2) pair rows; exactness forbids the LSH
-    star-guard, so corpora with stop-shingles should use
-    minhash_lsh_pairs or add a document-frequency cut (prefix filtering,
-    Xiao et al. WWW'08) accepted by both sides of the oracle."""
+    semantics as the SQL oracle.
+
+    ``df_ceiling`` is the prefix-filtering document-frequency cut (Xiao
+    et al. WWW'08): a shingle held by d docs emits O(d^2) pair rows, so
+    one boilerplate stop-shingle in 10^6 docs would otherwise be a
+    round-killer. Shingles with df > ceiling are dropped from the
+    INTERSECTION index only; union sizes still count every shingle, so
+    the estimate is conservative (a pair whose similarity rests purely
+    on boilerplate may be missed, never over-scored). The SQL oracle
+    applies the identical cut. df <= 1 removal is a pure optimization
+    (singletons can't pair); the materialize keeps shingling from
+    running twice — at extreme corpus scale swap it for a parquet spill
+    of the same rows."""
     from ray.data.aggregate import Count, Max
 
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
     _empty_rows = pa.table(
         {
-            "sh": pa.array([], pa.uint64()),
+            "sh": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
             "n_sh": pa.array([], pa.int64()),
         }
@@ -260,7 +292,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 5) -> pd.D
             s = tx.shingles(x, k=k)
             if not s:
                 continue
-            hv = np.unique(hash64(s))
+            # int64 bit view of the uint64 hash — equality-only key,
+            # keeps the shuffle column Arrow-int64-safe
+            hv = np.unique(hash64(s)).view(np.int64)
             parts.append(hv)
             docs.append(np.full(len(hv), ids[i], dtype=np.int64))
             ns.append(np.full(len(hv), len(hv), dtype=np.int64))
@@ -268,7 +302,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 5) -> pd.D
             return _empty_rows
         return pa.table(
             {
-                "sh": pa.array(np.concatenate(parts), pa.uint64()),
+                "sh": pa.array(np.concatenate(parts), pa.int64()),
                 "doc_id": pa.array(np.concatenate(docs), pa.int64()),
                 "n_sh": pa.array(np.concatenate(ns), pa.int64()),
             }
@@ -293,33 +327,31 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 5) -> pd.D
         ii, jj = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj], "n_a": ns[ii], "n_b": ns[jj]})
 
-    # Pass 1 — document-frequency prefilter: a shingle held by ONE doc
-    # can never produce a pair, and almost all shingles are singletons.
-    # A native (vectorized) Count aggregate finds the df>=2 shingles;
-    # only those rows enter the python pair-expansion groupby, cutting
-    # its group count by orders of magnitude. Output is provably
-    # unchanged (singleton groups emit nothing).
-    shingles_ds = ds.map_batches(shingle_rows, batch_format="pyarrow")
-    hot = (
+    # Pass 1 — document-frequency filter over ONE materialized shingling
+    # (shingling text is the dominant per-doc cost; the df pass and the
+    # pair pass share the same dataset). df>=2: singletons can't pair
+    # (pure optimization — almost all shingles are singletons).
+    # df<=ceiling: the prefix-filtering cut documented above.
+    shingles_ds = ds.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    keep = (
         shingles_ds.groupby("sh")
         .aggregate(Count(alias_name="df"))
-        .filter(expr="df >= 2")
-        .to_pandas()  # df>=2 shingle keys only — duplicate-sized, small
+        .filter(expr=f"df >= 2 and df <= {int(df_ceiling)}")
+        .to_pandas()  # kept shingle keys only — duplicate-sized, small
     )
-    hot_keys = np.sort(hot["sh"].to_numpy(dtype=np.uint64))
-    hot_ref = ray.put(hot_keys)
+    keep_keys = np.sort(keep["sh"].to_numpy(dtype=np.int64))
+    keep_ref = ray.put(keep_keys)
 
-    def only_hot(t: pa.Table) -> pa.Table:
-        hot_ = ray.get(hot_ref)
-        if len(hot_) == 0:
+    def only_kept(t: pa.Table) -> pa.Table:
+        keep_ = ray.get(keep_ref)
+        if len(keep_) == 0:
             return t.slice(0, 0)
-        k = t["sh"].to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(hot_, k), len(hot_) - 1)
-        return t.filter(pa.array(hot_[pos] == k))
+        kk = t["sh"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keep_, kk), len(keep_) - 1)
+        return t.filter(pa.array(keep_[pos] == kk))
 
     agg = (
-        ds.map_batches(shingle_rows, batch_format="pyarrow")
-        .map_batches(only_hot, batch_format="pyarrow")
+        shingles_ds.map_batches(only_kept, batch_format="pyarrow")
         .groupby("sh")
         .map_groups(co_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])

@@ -207,9 +207,22 @@ def topk_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def distinct_segments(sf_dir: str) -> pd.DataFrame:
-    """Distinct + counts (dedup-map analog, D1)."""
+    """Distinct + counts (dedup-map analog, D1). In-batch partial counts
+    first: the shuffle moves one row per (segment, batch) — the same
+    combiner discipline as every other aggregate here
+    (pipelines/common.py)."""
     ds = T(sf_dir, "customer", columns=["c_mktsegment"])
-    out = ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers")).to_pandas()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate([([], "count_all")])
+        return rename(g, {"count_all": "p_n"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("p_n", alias_name="n_customers"))
+        .to_pandas()
+    )
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 

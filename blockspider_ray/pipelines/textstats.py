@@ -92,6 +92,32 @@ def quality(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def quality_langid(sf_dir: str) -> rd.Dataset:
+    """Fused quality + language-id pass: both feature families share the
+    same scan, so one map_batches emits them side by side — no join, no
+    driver-side assembly."""
+    ds = T(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        feats = tx.quality_features(texts)
+        score = tx.quality_score(feats)
+        detected = [tx.detect_lang(x) for x in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(feats["n_chars"], pa.int64()),
+                "n_tokens": pa.array(feats["n_tokens"], pa.int64()),
+                "alpha_ratio": pa.array(np.round(feats["alpha_ratio"], 4), pa.float64()),
+                "quality_score": pa.array(np.round(score, 4), pa.float64()),
+                "lang": t["lang"],
+                "detected": pa.array(detected, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def fingerprints(sf_dir: str) -> rd.Dataset:
     """64-bit rolling-hash fingerprint + simhash per document."""
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])

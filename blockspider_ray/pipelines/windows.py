@@ -12,7 +12,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from .common import T, rename
 
@@ -84,11 +84,18 @@ def enrich_props(sf_dir: str) -> pd.DataFrame:
 
 def events_stats(sf_dir: str) -> pd.DataFrame:
     """Running per-type counters (T4 throughput-aggregator analog,
-    crawler/logger.go:9-68)."""
+    crawler/logger.go:9-68). In-batch partials: the shuffle moves one
+    row per (event_type, batch), not one per event."""
     ds = T(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([([], "count_all"), ("value", "sum")])
+        return rename(g, {"count_all": "p_n", "value_sum": "p_sum"})
+
     out = (
-        ds.groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_sum", alias_name="sum_value"))
         .to_pandas()
     )
     out["sum_value"] = out["sum_value"].round(2)

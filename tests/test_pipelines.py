@@ -31,7 +31,6 @@ SWEEP = [
     "exact_dedup",
     "first_per_key",
     "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
     "knn_cosine",
     "label_centroids",
 ]
@@ -76,6 +75,48 @@ def test_query_matches_oracle(name, ddb):
 
 
 class TestDedupSemantics:
+    def test_minhash_subset_of_exact_pairs(self, ddb):
+        """minhash_lsh_pairs is probabilistic (16x4 banding), so it is
+        NOT held to exact equality with the all-pairs SQL — that held in
+        round 2 only by data luck. The sound contract, valid for ANY
+        fixture/seed: the verify stage recomputes true Jaccard, so every
+        emitted pair must appear in the exact all-pairs set (no df cut)
+        with the identical jaccard value."""
+        import __ray_entry__ as em
+        from blockspider_ray.pipelines.dedup import minhash_lsh_pairs
+
+        exact_sql = r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(1, CASE WHEN len(w) >= 5 THEN len(w) - 4
+                                                    WHEN len(w) > 0 THEN 1 ELSE 0 END)) AS i
+              FROM toks
+            ),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 4], ' ') AS s FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+                   ROUND(c / (sa.n + sb.n - c), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ROUND(c / (sa.n + sb.n - c), 4) >= 0.5
+        """
+        want = ddb.sql(exact_sql).df()
+        exact = {(int(a), int(b)): float(j) for a, b, j in want[["doc_a", "doc_b", "jaccard"]].values}
+        got = minhash_lsh_pairs(SF, threshold=0.5)
+        assert len(got) > 0, "fixture should contain near-dup pairs"
+        for a, b, j in got[["doc_a", "doc_b", "jaccard"]].values:
+            key = (int(a), int(b))
+            assert key in exact, f"minhash emitted a pair not in the exact set: {key}"
+            assert abs(float(j) - exact[key]) < 1e-9, (key, j, exact[key])
+
     def test_minhash_finds_planted_near_dups(self, tmp_path):
         """Plant near-duplicates into a private documents table and check
         the MinHash-LSH pipeline finds exactly those pairs."""
@@ -180,6 +221,70 @@ class TestDedupSemantics:
         )
         kept = sorted(exact_dedup(d).to_pandas()["doc_id"])
         assert kept == [3, 9]  # whitespace-normalized dups collapse to min id
+
+    def test_ngram_df_ceiling_bounds_hot_shingle(self, tmp_path):
+        """Planted boilerplate: 1500 otherwise-random docs end with the
+        SAME 5 words, so one shingle has df=1500. Without the prefix-
+        filtering df ceiling that single group would expand to ~1.1M
+        pair rows; with it the query completes with bounded group output
+        and still finds the genuinely near-duplicate planted pair. The
+        result must equal the SQL oracle (which applies the same cut)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as em
+        from blockspider_ray.pipelines.dedup import ngram_jaccard_pairs
+
+        rng = np.random.default_rng(31)
+        words = [f"w{i}" for i in range(5000)]
+        boiler = "cc0 cc1 cc2 cc3 cc4"
+        n = 1500
+        docs = [" ".join(rng.choice(words, size=60)) + " " + boiler for _ in range(n)]
+        ids = list(range(n))
+        # one true near-dup pair: doc 2000 = doc 0 with one word changed
+        toks = docs[0].split()
+        toks[30] = "zzz"
+        docs.append(" ".join(toks))
+        ids.append(2000)
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs, pa.string())}),
+            f"{d}/documents.parquet",
+        )
+        out = ngram_jaccard_pairs(d, threshold=0.5)
+        pairs = set(map(tuple, out[["doc_a", "doc_b"]].values))
+        assert (0, 2000) in pairs
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+        want = con.sql(em.oracle_sql()["ngram_jaccard_pairs"]).df()
+        want_pairs = set(map(tuple, want[["doc_a", "doc_b"]].values.astype(np.int64)))
+        assert pairs == want_pairs
+
+    def test_near_dup_pipelines_skip_empty_docs(self, tmp_path):
+        """Zero-shingle (empty/whitespace) docs emit no band rows and no
+        shingle rows: no pipeline may pair them (the oracle's
+        no-shingles-no-pairs semantics), even though their empty-set
+        minhash signatures are identical constants."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "text": pa.array(["", "   ", "\n\t", "real text here words", "real text here words"], pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        out_m = minhash_lsh_pairs(d, threshold=0.5)
+        assert set(map(tuple, out_m[["doc_a", "doc_b"]].values)) == {(4, 5)}
+        out_n = ngram_jaccard_pairs(d, threshold=0.5)
+        assert set(map(tuple, out_n[["doc_a", "doc_b"]].values)) == {(4, 5)}
 
 
 class TestSimilaritySemantics:
