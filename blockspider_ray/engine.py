@@ -242,15 +242,17 @@ class ShardActor:
         driver never re-hashes urls).
 
         ``quota`` (giant-round degradation, cfg.driver_order_threshold):
-        sort THIS shard's candidates by (priority, host, url), keep the
-        first ``quota``, push the rest back — the driver then handles at
-        most shards x quota rows instead of the full politeness pop."""
-        cand = self.frontier.pop_round_hashed(self.tokens_per_host)
-        if quota is not None and len(cand) > quota:
-            cand.sort(key=lambda t: (t[0], t[1], t[2]))
-            for prio, host, url, uh in cand[quota:]:
-                self.frontier.push(host, url, prio, uh)
-            cand = cand[:quota]
+        THIS shard's globally-first ``quota`` candidates by (priority,
+        host, url) — the driver then handles at most shards x quota rows
+        instead of the full politeness pop. Selected via the frontier's
+        lazy k-way merge (pop_round_quota): only ``quota + n_hosts``
+        entries are popped per round, not the whole politeness pop, and
+        nothing is bulk re-pushed — exactly the giant-round regime this
+        degradation exists for."""
+        if quota is not None:
+            cand = self.frontier.pop_round_quota(self.tokens_per_host, quota)
+        else:
+            cand = self.frontier.pop_round_hashed(self.tokens_per_host)
         return pa.table(
             {
                 "priority": pa.array([p for p, _, _, _ in cand], pa.int64()),

@@ -385,38 +385,68 @@ def ngram_jaccard_pairs(
 _SIM_CHUNK = 2048  # pairwise tile edge: 2048^2 uint64 xor = 32 MiB peak
 
 
-def simhash_near_dups(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+def simhash_near_dups(
+    sf_dir: str, max_hamming: int = 6, blocks: int = 4, match_blocks: int = 1
+) -> pd.DataFrame:
     """SimHash near-dup pairs, fully distributed:
 
       simhash per doc (vectorized map_batches)
-      -> explode to 4 (quarter_id, quarter_value, doc_id, simhash) rows
-      -> groupby(quarter) => in-group pairwise hamming, vectorized
+      -> explode to C(blocks, match_blocks) (combo_id, key, doc_id,
+         simhash) rows — ``key`` concatenates the combo's block values
+      -> groupby(combo, key) => in-group pairwise hamming, vectorized
          (tiled XOR + byte-table popcount, ``_SIM_CHUNK`` x ``_SIM_CHUNK``
          tiles bound memory on hot buckets)
-      -> emit a pair only from its MINIMAL matching quarter (computable
+      -> emit a pair only from its MINIMAL matching combo (computable
          from the two simhashes alone), so cross-group duplicates never
          exist and no second dedup shuffle is needed.
 
-    The only all-to-all moves 4 small fixed-width rows per document —
-    never the text. Quarter blocking (Manku et al., WWW'07) is lossless
-    for hamming<=3 (pigeonhole over 4 blocks); for the default
-    max_hamming=6 it is the same deliberate recall heuristic the
-    planted-dup tests pin (a pair must agree exactly on >=1 quarter)."""
+    The only all-to-all moves C(blocks, match_blocks) small fixed-width
+    rows per document — never the text. Blocking is Manku et al.
+    (WWW'07): split the 64-bit simhash into ``blocks`` equal blocks and
+    bucket on every ``match_blocks``-combination of them; by pigeonhole
+    the scheme is LOSSLESS for hamming <= blocks - match_blocks. The
+    default (blocks=4, match_blocks=1: 4 single-quarter tables, 16-bit
+    keys) is the round-1/2 behavior, lossless to hamming<=3 and the
+    pinned recall heuristic for the default max_hamming=6.
+
+    ``match_blocks`` is the scale knob the 10^10-doc regime needs:
+    16-bit keys cap the table at 65k buckets (bucket size ~n/65k, and
+    in-bucket verify is O(m^2)). Raising match_blocks widens the key —
+    e.g. blocks=4, match_blocks=2 gives 6 tables of 32-bit keys
+    (buckets ~n/4x10^9) at the cost of losslessness dropping to
+    hamming <= 2; blocks=8, match_blocks=4 gives 70 tables of 32-bit
+    keys, lossless to hamming <= 4."""
+    import itertools
+
+    if not (1 <= match_blocks <= blocks <= 64) or 64 % blocks:
+        raise ValueError("need 1 <= match_blocks <= blocks, blocks | 64")
+    width = 64 // blocks
+    bmask = np.uint64((1 << width) - 1)
+    combos = list(itertools.combinations(range(blocks), match_blocks))
+    # per-combo 64-bit mask over the simhash bits it keys on (for the
+    # minimal-combo check inside verify)
+    combo_bitmasks = np.array(
+        [sum(((1 << width) - 1) << (width * b) for b in c) for c in combos], dtype=np.uint64
+    )
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def quarters(t: pa.Table) -> pa.Table:
+    def explode(t: pa.Table) -> pa.Table:
         s = tx.simhash64(t["text"].to_pylist())
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(doc_ids)
-        q = np.tile(np.arange(4, dtype=np.uint64), n)
-        sh_rep = np.repeat(s, 4)
-        qv = ((sh_rep >> (np.uint64(16) * q)) & np.uint64(0xFFFF)).astype(np.int64)
+        nc = len(combos)
+        # key for combo c = its block values concatenated LSB-first —
+        # ships as the int64 bit pattern (equality-only key)
+        keys = np.zeros((n, nc), dtype=np.uint64)
+        for ci, c in enumerate(combos):
+            for pos, b in enumerate(c):
+                keys[:, ci] |= ((s >> np.uint64(width * b)) & bmask) << np.uint64(width * pos)
         return pa.table(
             {
-                "q": pa.array(q.astype(np.int64), pa.int64()),
-                "qv": pa.array(qv, pa.int64()),
-                "doc_id": pa.array(np.repeat(doc_ids, 4), pa.int64()),
-                "simhash": pa.array(sh_rep, pa.uint64()),
+                "q": pa.array(np.tile(np.arange(nc, dtype=np.int64), n), pa.int64()),
+                "qv": pa.array(keys.ravel().view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, nc), pa.int64()),
+                "simhash": pa.array(np.repeat(s, nc), pa.uint64()),
             }
         )
 
@@ -447,10 +477,11 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
                 mask = d <= max_hamming
                 # strict upper triangle (ids ascending => doc_a < doc_b)
                 mask &= np.arange(i0, i1)[:, None] < np.arange(j0, j1)[None, :]
-                # canonical quarter: skip pairs already emitted by a
-                # smaller matching quarter
+                # canonical combo: skip pairs already emitted by a
+                # smaller matching combo (its keyed bits all equal <=>
+                # xor restricted to its bitmask is zero)
                 for q2 in range(q):
-                    mask &= ((x >> np.uint64(16 * q2)) & np.uint64(0xFFFF)) != 0
+                    mask &= (x & combo_bitmasks[q2]) != 0
                 ii, jj = np.nonzero(mask)
                 if len(ii):
                     out_a.append(ids[i0:i1][ii])
@@ -467,7 +498,7 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
         )
 
     out = (
-        ds.map_batches(quarters, batch_format="pyarrow")
+        ds.map_batches(explode, batch_format="pyarrow")
         .groupby(["q", "qv"])
         .map_groups(verify, batch_format="pandas")
         .to_pandas()  # verified-pair frame only

@@ -111,6 +111,55 @@ class HostFrontier:
                 out.append((prio, host, url, uh))
         return out
 
+    def pop_round_quota(self, tokens_per_host: int, quota: int) -> list[tuple[int, str, str, int]]:
+        """Global top-``quota`` round candidates by (priority, host, url)
+        ascending, politeness-capped per host — WITHOUT materializing the
+        full politeness pop.
+
+        Equivalent to ``sorted(pop_round_hashed(t))[:quota]`` + pushing
+        the rest back, but implemented as a lazy k-way merge over the
+        per-host (priority, url)-ordered streams: each host contributes
+        at most one in-flight entry to the merge heap, so only
+        ``quota + n_hosts`` entries are ever popped (vs the whole
+        politeness pop — millions in the giant-round regime this quota
+        degradation exists for). In-flight entries left in the merge heap
+        when the quota fills are pushed straight back (at most one per
+        host). Selection and output order are bit-identical to the
+        sort-based form: (priority, host, url) is unique shard-wide, so
+        the trailing url_hash never participates in comparisons."""
+        taken: dict[str, int] = {}
+
+        def pull(host: str):
+            heap = self._heaps.get(host)
+            if not heap or taken.get(host, 0) >= tokens_per_host:
+                if heap is not None and not heap:
+                    del self._heaps[host]
+                return None
+            prio, url, uh = heapq.heappop(heap)
+            self._queued.discard(url)
+            self.size -= 1
+            taken[host] = taken.get(host, 0) + 1
+            if not heap:
+                del self._heaps[host]
+            return (prio, host, url, uh)
+
+        merge: list[tuple[int, str, str, int]] = []
+        for host in list(self._heaps.keys()):
+            e = pull(host)
+            if e is not None:
+                merge.append(e)
+        heapq.heapify(merge)
+        out: list[tuple[int, str, str, int]] = []
+        while merge and len(out) < quota:
+            e = heapq.heappop(merge)
+            out.append(e)
+            nxt = pull(e[1])
+            if nxt is not None:
+                heapq.heappush(merge, nxt)
+        for prio, host, url, uh in merge:  # in-flight leftovers: <= 1/host
+            self.push(host, url, prio, uh)
+        return out
+
     def items(self) -> list[tuple[int, str, str]]:
         """All queued (priority, url, host) — checkpoint snapshot order:
         (host, priority, url)."""

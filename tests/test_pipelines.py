@@ -203,6 +203,61 @@ class TestDedupSemantics:
                 want.add((a, b, int(dist[j])))
         assert got == want
 
+    def test_simhash_blocking_depth_config(self, tmp_path):
+        """Deeper blocking (blocks=4, match_blocks=2: 6 tables keyed on
+        32-bit block pairs — the 10^10-doc bucket-size knob) against a
+        brute-force reference of its documented semantics: hamming<=h
+        AND >=1 of the C(4,2) block-pairs exactly equal. Lossless for
+        hamming<=2 by pigeonhole, so with max_hamming=2 the output must
+        equal the UNBLOCKED brute force too."""
+        import itertools
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.functions import text as tx
+        from blockspider_ray.pipelines.dedup import simhash_near_dups
+
+        rng = np.random.default_rng(31)
+        words = [f"w{i}" for i in range(1500)]
+        texts = [" ".join(rng.choice(words, size=80)) for _ in range(200)]
+        ids = list(range(200))
+        for k in range(8):  # near-identical planted pairs (tiny edits)
+            toks = texts[k * 11].split()
+            toks[40] = f"q{k}"
+            texts.append(" ".join(toks))
+            ids.append(2000 + k)
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}),
+            f"{d}/documents.parquet",
+        )
+
+        sh = tx.simhash64(texts)
+        idarr = np.array(ids, dtype=np.int64)
+        combos = list(itertools.combinations(range(4), 2))
+        masks = [np.uint64(sum(0xFFFF << (16 * b) for b in c)) for c in combos]
+
+        for h in (2, 6):
+            out = simhash_near_dups(d, max_hamming=h, blocks=4, match_blocks=2)
+            got = set(map(tuple, out[["doc_a", "doc_b", "hamming"]].values))
+            want, want_unblocked = set(), set()
+            for i in range(len(texts)):
+                x = sh[i] ^ sh[i + 1 :]
+                dist = tx.hamming64(np.full(len(x), sh[i], dtype=np.uint64), sh[i + 1 :])
+                shares = np.zeros(len(x), dtype=bool)
+                for m in masks:
+                    shares |= (x & m) == 0
+                for j in np.flatnonzero((dist <= h) & shares):
+                    a, b = sorted((int(idarr[i]), int(idarr[i + 1 + j])))
+                    want.add((a, b, int(dist[j])))
+                for j in np.flatnonzero(dist <= h):
+                    a, b = sorted((int(idarr[i]), int(idarr[i + 1 + j])))
+                    want_unblocked.add((a, b, int(dist[j])))
+            assert got == want, f"max_hamming={h}"
+            if h == 2:  # pigeonhole losslessness: blocking loses nothing
+                assert got == want_unblocked
+
     def test_exact_dedup_keeps_min_doc_id(self, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq

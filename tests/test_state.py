@@ -88,6 +88,32 @@ class TestHostFrontier:
         assert [h for _, h, _ in got] == ["a.example", "a.example", "b.example", "b.example"]
         assert len(f) == 6
 
+    def test_pop_round_quota_equals_sorted_prefix(self):
+        """pop_round_quota is bit-equivalent to the sort-based form:
+        sorted(pop_round_hashed(t))[:quota] for the output, and identical
+        frontier state afterwards (the lazy merge pops only quota+hosts
+        entries, but what it leaves queued must be the same set)."""
+        import random
+
+        rng = random.Random(7)
+        urls = [
+            (f"h{rng.randrange(12)}.example", f"http://x/{i}", rng.randrange(4), rng.getrandbits(63))
+            for i in range(300)
+        ]
+        for tokens, quota in [(3, 10), (2, 0), (5, 17), (1, 1000)]:
+            fa, fb = HostFrontier(), HostFrontier()
+            for h, u, p, uh in urls:
+                fa.push(h, u, p, uh)
+                fb.push(h, u, p, uh)
+            ref = sorted(fa.pop_round_hashed(tokens), key=lambda t: (t[0], t[1], t[2]))
+            for p, h, u, uh in ref[quota:]:
+                fa.push(h, u, p, uh)
+            ref = ref[:quota]
+            got = fb.pop_round_quota(tokens, quota)
+            assert got == ref
+            assert sorted(fa.items_hashed()) == sorted(fb.items_hashed())
+            assert len(fa) == len(fb)
+
     def test_insert_order_independence(self):
         import itertools
 
