@@ -176,6 +176,55 @@ class TestSinks:
         assert all(s <= {"ACCEPTED"} for _, _, _, s in rec.published)
 
 
+    def test_sqlite_queue_transport_end_to_end(self, tiny_fixture, tmp_path_factory):
+        """The SQLite queue transport (the second real SinkTransport
+        impl) through a full engine run: per-(topic, round) messages
+        arrive in round order, reassemble byte-equal to the crawl log,
+        and a simulated crash-and-rerun re-publish of an already-
+        published round overwrites (one copy, latest content) instead
+        of appending — the idempotence half of the transport contract."""
+        import pyarrow as pa
+
+        from blockspider_ray.stages.sinks import SinkTransport, SQLiteQueueSink
+
+        pages_dir, seeds = tiny_fixture
+        work = str(tmp_path_factory.mktemp("sink_sqlite"))
+        q = SQLiteQueueSink(f"{work}/queue.db")
+        assert isinstance(q, SinkTransport)
+        cfg = small_cfg(
+            max_rounds=3,
+            sinks=[
+                SinkSpec(path="topic-all", predicate=None),
+                SinkSpec(path="topic-acc", predicate={"status": ["ACCEPTED"]}),
+            ],
+        )
+        eng = CrawlEngine(pages_dir, seeds, cfg, f"{work}/out", sink_transport=q)
+        eng.run()
+        log = eng.crawl_log()
+        eng.shutdown()
+
+        msgs = q.read_topic("topic-all")
+        assert [r for r, _ in msgs] == [0, 1, 2]  # ascending round order
+        assert q.high_water("topic-all") == 2
+        got = pa.concat_tables([t for _, t in msgs]).sort_by(
+            [("round", "ascending"), ("seq", "ascending")]
+        )
+        assert got.equals(log.sort_by([("round", "ascending"), ("seq", "ascending")]))
+        acc = pa.concat_tables([t for _, t in q.read_topic("topic-acc")])
+        assert set(acc.column("status").to_pylist()) <= {"ACCEPTED"}
+
+        # crash-and-rerun: round 1 is re-published (same topic+round,
+        # re-computed content). Must overwrite, not append.
+        round1 = next(t for r, t in msgs if r == 1)
+        q.publish("topic-all", 1, round1)
+        again = q.read_topic("topic-all")
+        assert [r for r, _ in again] == [0, 1, 2]
+        assert again[1][1].equals(round1)
+        # committed-offset style resume: only rounds past the offset
+        assert [r for r, _ in q.read_topic("topic-all", from_round=2)] == [2]
+        q.close()
+
+
 class TestMutationRetraction:
     def test_dropped_and_recrawl(self, tiny_fixture, tmp_path_factory):
         """Mutate crawled pages between rounds => DROPPED retractions with
