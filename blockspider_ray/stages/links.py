@@ -35,6 +35,23 @@ from ..functions.urls import hash64, url_host
 # stages.fetch.worker_store: worker processes outlive rounds)
 _HANDLES: dict[str, "ray.actor.ActorHandle"] = {}
 
+# worker-process-global cache of resolved seen-snapshot arrays, keyed by
+# ObjectRef. The broadcast refs change once per round but every batch of
+# the round re-reads them — without the cache that is nshards plasma
+# round-trips per batch (a measurable share of route time at 32 cores,
+# all hitting the one raylet). Bounded: refs of finished rounds are
+# evicted when a new round's ref replaces them.
+_SEEN_CACHE: dict[int, tuple["ray.ObjectRef", "np.ndarray"]] = {}
+
+
+def _seen_array(shard: int, ref):
+    hit = _SEEN_CACHE.get(shard)
+    if hit is not None and hit[0] == ref:
+        return hit[1]
+    arr = ray.get(ref)  # sorted uint64, zero-copy from plasma
+    _SEEN_CACHE[shard] = (ref, arr)
+    return arr
+
 
 def _shard_actor(ns: str, shard: int):
     key = f"{ns}-shard-{shard}"
@@ -78,25 +95,28 @@ class RouteLinks:
 
         # 1. explode links (one vectorized flatten, no per-row as_py)
         counts = pc.list_value_length(links_col).to_numpy(zero_copy_only=False)
-        flat_links = links_col.flatten().to_pylist()
+        flat = links_col.flatten()
         flat_prio = np.repeat(prios + 1, counts)
-        if flat_links:
+        if len(flat):
             # host extraction must equal the url_host kernel exactly (the
-            # seed path and shard keying use it) — fast slice of the
-            # canonical netloc, falling back to url_host for IPv6 literals
-            # whose netloc contains ':' inside brackets (equivalence pinned
-            # by test_kernels.TestRouteHostFastPath)
-            netlocs = [u.split("/", 3)[2] for u in flat_links]
-            hosts = [
-                n.split(":", 1)[0] if "[" not in n else url_host(u)
-                for n, u in zip(netlocs, flat_links)
-            ]
+            # seed path and shard keying use it) — vectorized RE2 over the
+            # Arrow array (canonical URLs: host runs to the first ':' '/'
+            # or '['), falling back to url_host for the rows the pattern
+            # rejects (IPv6 literals). ~6x the python netloc-split path
+            # (equivalence pinned by test_kernels.TestRouteHostFastPath).
+            ex = pc.extract_regex(flat, pattern=r"^[^:]+://(?P<host>[^/:\[]+)")
+            hosts = pc.struct_field(ex, "host").to_numpy(zero_copy_only=False)
+            flat_np = flat.to_numpy(zero_copy_only=False)
+            miss = pc.is_null(ex).to_numpy(zero_copy_only=False)
+            if miss.any():
+                for i in np.flatnonzero(miss):
+                    hosts[i] = url_host(flat_np[i])
             hh = hash64(hosts)
-            uh = hash64(flat_links)
+            uh = hash64(flat_np)
             shard = (hh % np.uint64(self.nshards)).astype(np.int64)
             ltab = pa.table(
                 {
-                    "url": pa.array(flat_links, pa.string()),
+                    "url": flat,
                     "host": pa.array(hosts, pa.string()),
                     "url_hash": pa.array(uh, pa.uint64()),
                     "priority": pa.array(flat_prio, pa.int64()),
@@ -116,7 +136,7 @@ class RouteLinks:
                 sub = ltab.filter(pa.array(shard == s)).drop_columns(["shard"])
                 ref = self.seen_refs.get(int(s))
                 if ref is not None:
-                    seen_arr = ray.get(ref)  # sorted uint64, zero-copy
+                    seen_arr = _seen_array(int(s), ref)  # worker-cached
                     k = sub.column("url_hash").to_numpy(zero_copy_only=False)
                     if len(seen_arr):
                         idx = np.searchsorted(seen_arr, k)

@@ -199,10 +199,15 @@ class TestUrlPath:
 
 
 class TestRouteHostFastPath:
-    """The route stage's netloc-slice host extraction must equal the
-    url_host kernel on every canonical URL (shard keying identity)."""
+    """The route stage's vectorized RE2 host extraction (with url_host
+    fallback for rows the pattern rejects) must equal the url_host
+    kernel on every canonical URL (shard keying identity)."""
 
     def test_equivalence(self):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         urls = [
             "http://host-0001.example/p/000001",
             "http://host-0001.example:8080/p/000001",
@@ -211,10 +216,75 @@ class TestRouteHostFastPath:
             "http://[::1]:8080/p/1",
             "http://host.example/",
         ]
-        for u in urls:
-            n = u.split("/", 3)[2]
-            fast = n.split(":", 1)[0] if "[" not in n else url_host(u)
-            assert fast == url_host(u), u
+        flat = pa.array(urls, pa.string())
+        # identical pattern + fallback to stages/links.py RouteLinks
+        ex = pc.extract_regex(flat, pattern=r"^[^:]+://(?P<host>[^/:\[]+)")
+        hosts = pc.struct_field(ex, "host").to_numpy(zero_copy_only=False)
+        miss = pc.is_null(ex).to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(miss):
+            hosts[i] = url_host(urls[i])
+        assert list(hosts) == [url_host(u) for u in urls]
+        assert miss.tolist() == [False, False, False, True, True, False]
+
+    def test_route_links_shard_keying_end_to_end(self, ray_session):
+        """RouteLinks on a batch containing fast-path AND fallback URLs
+        routes every link to hash64(url_host(url)) % nshards."""
+        import numpy as np
+        import pyarrow as pa
+        import ray as _ray
+
+        from blockspider_ray.functions.urls import hash64
+        from blockspider_ray.stages.links import RouteLinks
+
+        links = [
+            "http://host-0001.example/p/000001",
+            "http://[::1]/p/1",
+            "https://a.b.example/x",
+        ]
+
+        @_ray.remote(num_cpus=0)
+        class Sink:
+            def __init__(self):
+                self.rows = []
+
+            def ingest(self, t):
+                self.rows.append(t)
+
+            def got(self):
+                import pyarrow as pa2
+
+                return pa.concat_tables(self.rows) if self.rows else None
+
+        ns = "test-route-ns"
+        nshards = 4
+        sinks = [Sink.options(name=f"{ns}-shard-{s}", namespace=None).remote() for s in range(nshards)]
+        batch = pa.table(
+            {
+                "round": pa.array([0], pa.int64()),
+                "seq": pa.array([0], pa.int64()),
+                "url": pa.array(["http://src.example/"], pa.string()),
+                "host": pa.array(["src.example"], pa.string()),
+                "url_hash": pa.array(hash64(["http://src.example/"]), pa.uint64()),
+                "priority": pa.array([0], pa.int64()),
+                "shard": pa.array([0], pa.int64()),
+                "status": pa.array(["MISSING"], pa.string()),
+                "digest": pa.array([0], pa.uint64()),
+                "n_links": pa.array([len(links)], pa.int64()),
+                "links": pa.array([links], pa.list_(pa.string())),
+            }
+        )
+        RouteLinks(ns, nshards)(batch)
+        got = {}
+        for s in range(nshards):
+            t = _ray.get(sinks[s].got.remote())
+            if t is not None:
+                for u, h in zip(t.column("url").to_pylist(), t.column("host").to_pylist()):
+                    got[u] = (s, h)
+        for u in links:
+            h = url_host(u)
+            assert got[u] == (int(hash64([h])[0]) % nshards, h), u
+        for s in sinks:
+            _ray.kill(s)
 
 
 class TestDisplayHelpers:
