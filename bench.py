@@ -70,13 +70,21 @@ def bench_crawl(fixture: str) -> dict:
     # politeness budget scales with fixture size so steady-state rounds are
     # compute-dominated (the budget is identical across parallelism levels,
     # as the scaling criterion requires)
-    tokens = {"tiny": 200, "small": 2000, "bench": 100000, "bench4": 100000}.get(fixture, 2000)
+    tokens = {"tiny": 200, "small": 2000, "bench": 100000, "bench4": 100000, "bench10": 100000}.get(
+        fixture, 2000
+    )
+    # BSR_BENCH_MAX_ROUNDS caps the crawl (default: run to drain). For the
+    # 10M-page bench10 fixture a full drain is ~16M URLs — the cap measures
+    # the same deterministic ramp + steady-state 1M-URL rounds at every
+    # parallelism level (identical work per level, which is all the scaling
+    # ratio needs) without burning this throttled VM's whole CPU budget.
+    max_rounds = int(os.environ.get("BSR_BENCH_MAX_ROUNDS", "100"))
     cfg = CrawlConfig(
         tokens_per_host_per_round=tokens,
         max_urls_per_round=1_000_000,
         shards=32,
         rollback_window=64,
-        max_rounds=100,
+        max_rounds=max_rounds,
         cuckoo_capacity_per_shard=1 << 22,
         exact_seen=True,
     )
@@ -196,6 +204,9 @@ def main() -> None:
                         str(lo): results[lo]["crawl"].get("steal_pct"),
                         str(hi): results[hi]["crawl"].get("steal_pct"),
                     },
+                    # full per-level crawl records (sec, rounds, ...) so a
+                    # surprising ratio can be post-mortemed from the line
+                    "levels": {str(n): results[n]["crawl"] for n in (lo, hi)},
                 }
             )
         )

@@ -89,6 +89,26 @@ def cmd_consume(args) -> int:
     return 0
 
 
+def cmd_simd(args) -> int:
+    """Serve a page store over JSON-RPC (the reorgd daemon analog,
+    /root/reference/cmd/reorgd/main.go:255-271). No Ray session — the
+    façade is pure stdlib."""
+    from .sources.httpd import SimulatorHTTPD
+
+    srv = SimulatorHTTPD(args.pages, port=args.port).start()
+    print(json.dumps({"url": srv.url, "pages_dir": args.pages}), flush=True)
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="blockspider_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -107,7 +127,7 @@ def main(argv=None) -> int:
     c.set_defaults(fn=cmd_crawl)
 
     g = sub.add_parser("gen", help="generate a deterministic pages fixture (reorgd analog)")
-    g.add_argument("--size", default="tiny", choices=["tiny", "small", "bench", "bench4"])
+    g.add_argument("--size", default="tiny", choices=["tiny", "small", "bench", "bench4", "bench10"])
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_gen)
 
@@ -117,6 +137,11 @@ def main(argv=None) -> int:
     n.add_argument("--min-links", type=int, default=1)
     n.add_argument("--num-cpus", type=int, default=None)
     n.set_defaults(fn=cmd_consume)
+
+    d = sub.add_parser("simd", help="serve a page store over JSON-RPC (reorgd daemon analog)")
+    d.add_argument("--pages", required=True)
+    d.add_argument("--port", type=int, default=8545)
+    d.set_defaults(fn=cmd_simd)
 
     args = p.parse_args(argv)
     return args.fn(args)

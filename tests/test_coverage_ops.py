@@ -341,6 +341,86 @@ class TestFollowMode:
         assert len(set(zip(rounds, seqs))) == len(rounds)
 
 
+class TestSimulatorHTTPD:
+    def test_rpc_surface(self, tiny_fixture, tmp_path_factory):
+        """The JSON-RPC façade (reorgd analog, cmd/reorgd/main.go:175-253):
+        client version, head poll, point lookup + latest special + defined
+        -39001 errors, unknown-method null."""
+        import base64
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.sources.httpd import CLIENT_VERSION, SimulatorHTTPD, rpc
+
+        pages_dir, _ = tiny_fixture
+        work = str(tmp_path_factory.mktemp("httpd"))
+        mut_pages = f"{work}/pages"
+        shutil.copytree(pages_dir, mut_pages)
+
+        srv = SimulatorHTTPD(mut_pages).start()
+        try:
+            assert rpc(srv.url, "sim_clientVersion")["result"] == CLIENT_VERSION
+            head = rpc(srv.url, "sim_head")["result"]
+            assert head["version"] == 0 and head["n_pages"] > 0 and head["n_pshards"] > 0
+
+            t0 = pq.read_table(f"{mut_pages}/pshard=0/part.parquet")
+            url0 = t0.column("url")[0].as_py()
+            page = rpc(srv.url, "sim_getPage", [url0])["result"]
+            assert page["url"] == url0
+            assert base64.b64decode(page["html"]) == t0.column("html")[0].as_py()
+
+            latest = rpc(srv.url, "sim_getPage", ["latest"])["result"]
+            assert latest["url"] == max(t0.column("url").to_pylist())
+            assert rpc(srv.url, "sim_getPage", ["http://nosuch.example/x"])["result"] is None
+            err = rpc(srv.url, "sim_getPage", ["pending"])["error"]
+            assert err["code"] == -39001
+            assert rpc(srv.url, "sim_nonsense")["result"] is None
+        finally:
+            srv.close()
+
+    def test_mutation_over_http_picked_up_by_follow(self, tiny_fixture, tmp_path_factory):
+        """The network path end-to-end: a crawl runs, a reorg arrives as
+        a sim_mutate RPC (not a direct file write), the follow-mode poll
+        sees the rewritten store and emits DROPPED retractions — the
+        reference's reorgd-drives-crawler loop over HTTP."""
+        import shutil
+
+        import pyarrow.compute as pc
+
+        from blockspider_ray.config import CrawlConfig
+        from blockspider_ray.engine import CrawlEngine
+        from blockspider_ray.sources.httpd import SimulatorHTTPD, rpc
+
+        pages_dir, seeds = tiny_fixture
+        work = str(tmp_path_factory.mktemp("httpd_follow"))
+        mut_pages = f"{work}/pages"
+        shutil.copytree(pages_dir, mut_pages)
+
+        srv = SimulatorHTTPD(mut_pages).start()
+        try:
+            cfg = CrawlConfig(max_rounds=10, shards=4)
+            eng = CrawlEngine(mut_pages, seeds, cfg, f"{work}/out")
+            eng.run_round(0)
+            eng.run_round(1)
+            log1 = eng.crawl_log()
+            acc = log1.filter(pc.equal(log1.column("status"), "ACCEPTED"))
+            victims = acc.column("url").to_pylist()[-2:]
+
+            res = rpc(srv.url, "sim_mutate", [victims])["result"]
+            assert res["mutated"] >= 1 and res["version"] == 1
+            assert rpc(srv.url, "sim_head")["result"]["version"] == 1
+
+            executed = eng.run_follow(interval_sec=0.05, max_idle_ticks=2, max_rounds=6)
+            log2 = eng.crawl_log()
+            eng.shutdown()
+            assert executed >= 1
+            dropped = log2.filter(pc.equal(log2.column("status"), "DROPPED"))
+            assert set(victims) <= set(dropped.column("url").to_pylist())
+        finally:
+            srv.close()
+
+
 class TestSharedPagesLookup:
     def test_multi_shard_gather_order_and_nulls(self, tiny_fixture):
         """lookup_col's multi-pshard scatter/gather must return results
