@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
         "label_centroids": similarity.label_centroids,
         # multimodal (binary payload columns; decode stubbed, plumbing real)
         "media_features": multimodal.media_features,
@@ -268,6 +270,16 @@ def oracle_sql() -> dict[str, str]:
             FROM q CROSS JOIN c
             QUALIFY row_number() OVER (PARTITION BY qid
                      ORDER BY list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[]) DESC, vec_id) <= 5
+        """,
+        # exact all-pairs cosine near-dups (the embedding-dedup analog of
+        # ngram_jaccard_pairs). embedding_near_dup_lsh is deliberately NOT
+        # oracled: hyperplane LSH recall < 1 at this threshold; pytest
+        # pins pairs ⊆ exact + planted-dup recall instead.
+        "embedding_near_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         """,
         "label_centroids": """
             WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS dim,

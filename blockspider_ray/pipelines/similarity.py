@@ -156,6 +156,136 @@ def knn_lsh(sf_dir: str, n_tables: int = 32, n_planes: int = 5) -> pd.DataFrame:
     return out.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
 
 
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate PAIRS, exact (the SQL-oracle-able
+    member of the embedding-dedup family; ``embedding_near_dup_lsh`` is
+    its sublinear approximation):
+
+      normalized corpus matrix broadcast once (ray.put) -> per batch,
+      one (B x N) matmul of the batch's rows against the corpus ->
+      emit (vec_a, vec_b, sim) where sim >= threshold and vec_a < vec_b.
+
+    Each pair is emitted exactly once (the smaller id's batch owns it).
+    O(n^2/p) compute with n-vector broadcast state — the right baseline
+    up to ~10^6 vectors; past that the LSH variant bounds the scan."""
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    allv = ds.to_pandas().sort_values("vec_id")  # corpus matrix (small side)
+    vids_all = allv["vec_id"].to_numpy(dtype=np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in allv["embedding"]])
+    mn_all = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((vids_all, mn_all))
+
+    _empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        vids_all_, mn_all_ = ray.get(ref)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mb = _emb_matrix(t)
+        mbn = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = mbn @ mn_all_.T  # (B, N)
+        mask = (sims >= threshold) & (vids[:, None] < vids_all_[None, :])
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return _empty
+        return pa.table(
+            {
+                "vec_a": pa.array(vids[ii], pa.int64()),
+                "vec_b": pa.array(vids_all_[jj], pa.int64()),
+                "sim": pa.array(np.round(sims[mask], 3), pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    out = out.astype({"vec_a": "int64", "vec_b": "int64"})
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_lsh(
+    sf_dir: str, threshold: float = 0.4, n_tables: int = 24, n_planes: int = 4
+) -> pd.DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the 10^9-vector scale
+    path: random-hyperplane signatures (Charikar '02), L tables of P
+    planes; only same-bucket pairs are scored.
+
+      per batch: P-bit signature per (vector, table)
+      -> explode to (table_id, bucket, vec_id, vector, signature) rows
+      -> groupby(table, bucket): in-group pairwise cosine (one matmul)
+      -> emit a pair only from its MINIMAL matching table (both rows
+         carry the full signature vector, so the check is in-group) —
+         no cross-group duplicates, no second dedup shuffle.
+
+    The all-to-all moves L fixed-width rows per vector (dim+L floats);
+    never the corpus matrix. Approximate (recall < 1 at low cosine):
+    rows-only oracle; pytest pins pairs ⊆ exact and planted-dup
+    recall. ``n_tables``/``n_planes`` trade scan fraction vs recall
+    exactly as in ``knn_lsh``."""
+    rng = np.random.default_rng(29)
+    dsA = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # plane count is independent of corpus size; dim read from one row
+    dim = len(dsA.take(1)[0]["embedding"])
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    pw = 1 << np.arange(n_planes, dtype=np.int64)
+    pref = ray.put(planes)
+
+    def explode(t: pa.Table) -> pa.Table:
+        planes_ = ray.get(pref)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(t)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sig = np.stack([(mn @ planes_[tb].T > 0) @ pw for tb in range(n_tables)], axis=1)  # (B, L)
+        n = len(vids)
+        return pa.table(
+            {
+                "tbl": pa.array(np.tile(np.arange(n_tables, dtype=np.int64), n), pa.int64()),
+                "bucket": pa.array(sig.ravel(), pa.int64()),
+                "vec_id": pa.array(np.repeat(vids, n_tables), pa.int64()),
+                "vec": pa.array(list(np.repeat(mn, n_tables, axis=0)), pa.list_(pa.float64())),
+                "sig": pa.array(list(np.repeat(sig, n_tables, axis=0)), pa.list_(pa.int64())),
+            }
+        )
+
+    _empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "sim": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty
+        tb = int(g["tbl"].iloc[0])
+        vids = g["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(vids, kind="stable")
+        vids = vids[order]
+        mn = np.stack([np.asarray(v) for v in g["vec"].iloc[order]])
+        sig = np.stack([np.asarray(s) for s in g["sig"].iloc[order]])
+        sims = mn @ mn.T
+        mask = (sims >= threshold) & (vids[:, None] < vids[None, :])
+        # minimal matching table: skip pairs already owned by a smaller
+        # table (their buckets there are equal)
+        for t2 in range(tb):
+            mask &= sig[:, t2][:, None] != sig[:, t2][None, :]
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return _empty
+        return pd.DataFrame(
+            {"vec_a": vids[ii], "vec_b": vids[jj], "sim": np.round(sims[ii, jj], 3)}
+        )
+
+    out = (
+        dsA.map_batches(explode, batch_format="pyarrow")
+        .groupby(["tbl", "bucket"])
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"vec_a": "int64", "vec_b": "int64"})
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
 def label_centroids(sf_dir: str) -> pd.DataFrame:
     """Mean embedding per label via per-batch partial sums (mergeable
     sketch pattern); outputs label, n, centroid norm rounded 4."""

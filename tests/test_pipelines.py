@@ -32,6 +32,7 @@ SWEEP = [
     "first_per_key",
     "ngram_jaccard_pairs",
     "knn_cosine",
+    "embedding_near_dup_pairs",
     "label_centroids",
 ]
 
@@ -358,6 +359,53 @@ class TestSimilaritySemantics:
         # i.e. no real cluster structure), the worst case for LSH; the
         # defaults are tuned for ~0.6 expected recall there
         assert np.mean(recalls) >= 0.45, f"ANN recall too low: {recalls}"
+
+    def test_embedding_near_dup_lsh_subset_and_planted_recall(self, tmp_path):
+        """embedding_near_dup_lsh is approximate, so no SQL oracle; the
+        sound contract: every emitted pair appears in the exact all-pairs
+        set with the identical sim (subset), and PLANTED near-identical
+        vectors (cos >= 0.95 — the regime dedup actually targets, where
+        hyperplane collision probability per table is high) are all
+        recovered."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.similarity import (
+            embedding_near_dup_lsh,
+            embedding_near_dup_pairs,
+        )
+
+        rng = np.random.default_rng(41)
+        n, dim = 300, 64
+        m = rng.standard_normal((n, dim))
+        ids = list(range(n))
+        planted = []
+        for k in range(10):  # tiny perturbations of existing vectors
+            src = k * 13
+            v = m[src] + 0.05 * rng.standard_normal(dim)
+            m = np.vstack([m, v])
+            ids.append(5000 + k)
+            planted.append((src, 5000 + k))
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([row.astype(np.float32) for row in m], pa.list_(pa.float32())),
+                    "label": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+                }
+            ),
+            f"{d}/embeddings.parquet",
+        )
+
+        exact = embedding_near_dup_pairs(d, threshold=0.4)
+        lsh = embedding_near_dup_lsh(d, threshold=0.4)
+        epairs = {(a, b): s for a, b, s in exact[["vec_a", "vec_b", "sim"]].itertuples(index=False)}
+        for a, b, s in lsh[["vec_a", "vec_b", "sim"]].itertuples(index=False):
+            assert (a, b) in epairs and abs(epairs[(a, b)] - s) < 1e-9
+        lpairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+        for p in planted:
+            assert p in lpairs, f"planted near-dup {p} missed"
 
 
 class TestTextSemantics:
