@@ -130,6 +130,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "ngram_jaccard_pairs",
         "knn_cosine",
         "knn_lsh",
+        "embedding_near_dup_pairs",
         "label_centroids",
     ]
     qs = em.queries()
