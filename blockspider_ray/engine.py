@@ -482,8 +482,11 @@ class CrawlEngine:
         # the window digest probe entirely
         self._store_dirty = True
 
-        store = PageStore(pages_dir)
-        robots_all = {h: parse_robots(t) for h, t in store.read_robots().items()}
+        # robots scan: one Ray task per physical shard (overlaps the
+        # parallel page-shard loads fired by put_store above)
+        from .sources.pages import read_robots_parallel
+
+        robots_all = {h: parse_robots(t) for h, t in read_robots_parallel(pages_dir).items()}
         host_shard = {
             h: int(s) for h, s in zip(robots_all, hash64(list(robots_all)) % np.uint64(cfg.shards))
         } if robots_all else {}

@@ -114,13 +114,68 @@ class PageStore:
         return out
 
 
+def _load_shard_table_remote(pages_dir: str, s: int):
+    """Ray-task body: read one physical shard's (url, html) table. The
+    task's RETURN ref is the plasma object every fetch task reads —
+    parquet decode runs on a worker, in parallel across shards, and the
+    driver never touches the bytes (at 10M+ pages the serial
+    read-and-ray.put loop this replaces was seconds of driver wall per
+    run)."""
+    return PageStore(pages_dir).load_shard_table(s)
+
+
+def _shard_robots_remote(path: str) -> dict[str, str]:
+    """Ray-task body: one shard's robots bodies (host -> text)."""
+    if not os.path.exists(path):
+        return {}
+    t = pq.read_table(path, columns=["url", "text"])
+    out = {}
+    for u, x in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
+        if u.endswith("/robots.txt"):
+            out[u.split("/")[2]] = x
+    return out
+
+
+_LOAD_TASK = None
+_ROBOTS_TASK = None
+
+
+def _tasks():
+    """Lazily wrap the task bodies (`ray.remote` at import time would
+    bind before workers exist in some embedding contexts)."""
+    global _LOAD_TASK, _ROBOTS_TASK
+    if _LOAD_TASK is None:
+        import ray
+
+        _LOAD_TASK = ray.remote(num_cpus=1)(_load_shard_table_remote)
+        _ROBOTS_TASK = ray.remote(num_cpus=1)(_shard_robots_remote)
+    return _LOAD_TASK, _ROBOTS_TASK
+
+
+def read_robots_parallel(pages_dir: str) -> dict[str, str]:
+    """host -> robots.txt body for every host that has one, scanned by
+    one Ray task per physical shard (the serial driver loop in
+    PageStore.read_robots is kept for the oracle, which must not need a
+    Ray session)."""
+    import ray
+
+    store = PageStore(pages_dir)
+    _, robots_task = _tasks()
+    parts = ray.get([robots_task.remote(store._shard_path(s)) for s in range(store.n_shards)])
+    out: dict[str, str] = {}
+    for d in parts:
+        out.update(d)
+    return out
+
+
 class SharedPages:
     """Zero-copy view of the pages store shared via the Ray object store.
 
     ``refs`` maps physical shard id -> ObjectRef of that shard's
-    (url, html) Arrow table (put once by the engine driver; re-put per
-    shard after a mutation). ``ray.get`` of an Arrow table is zero-copy
-    from plasma, so N workers share one physical copy."""
+    (url, html) Arrow table (loaded by parallel Ray tasks at engine
+    start; re-loaded per shard after a mutation). ``ray.get`` of an
+    Arrow table is zero-copy from plasma, so N workers share one
+    physical copy."""
 
     def __init__(self, refs: dict[int, "object"], n_shards: int):
         self.refs = refs
@@ -128,10 +183,11 @@ class SharedPages:
 
     @classmethod
     def put_store(cls, pages_dir: str) -> "SharedPages":
-        import ray
-
         store = PageStore(pages_dir)
-        refs = {s: ray.put(store.load_shard_table(s)) for s in range(store.n_shards)}
+        load_task, _ = _tasks()
+        # fire one read task per shard; the task-return refs ARE the
+        # shared objects (no driver readback, no serial decode)
+        refs = {s: load_task.remote(pages_dir, s) for s in range(store.n_shards)}
         sp = cls(refs, store.n_shards)
         sp._pages_dir = pages_dir
         sp._mtimes = {s: sp._mtime(pages_dir, s) for s in range(store.n_shards)}
@@ -153,25 +209,23 @@ class SharedPages:
             return []
         if not hasattr(self, "_mtimes"):
             self._mtimes = {}
-        store = PageStore(pages_dir)
+        load_task, _ = _tasks()
         changed = []
         for s in range(self.n_shards):
             m = self._mtime(pages_dir, s)
             if self._mtimes.get(s) != m:
-                self.refs[s] = ray.put(store.load_shard_table(s))
+                self.refs[s] = load_task.remote(pages_dir, s)
                 self._mtimes[s] = m
                 changed.append(s)
         return changed
 
     def reput_shards(self, pages_dir: str, shard_ids) -> None:
-        import ray
-
-        # plasma objects are immutable: a mutation re-puts the shard table
-        # and later rounds read the new refs (old objects are GC'd once no
-        # task holds them)
-        store = PageStore(pages_dir)
+        # plasma objects are immutable: a mutation re-loads the shard
+        # table (parallel tasks) and later rounds read the new refs (old
+        # objects are GC'd once no task holds them)
+        load_task, _ = _tasks()
         for s in shard_ids:
-            self.refs[int(s)] = ray.put(store.load_shard_table(int(s)))
+            self.refs[int(s)] = load_task.remote(pages_dir, int(s))
 
     def lookup_col(self, url_col, host_values) -> "object":
         """Vectorized url -> html gather: returns a binary Arrow array
