@@ -90,13 +90,27 @@ class PageStore:
         return np.fromiter((content_digest(h) if h is not None else 0 for h in htmls), dtype=np.uint64, count=len(urls))
 
     def load_shard_table(self, s: int, columns=("url", "html")):
-        """One physical shard as an Arrow table (for object-store sharing)."""
+        """One physical shard as an Arrow table (for object-store sharing).
+
+        The html column is cast to large_binary (64-bit offsets) and
+        combined to a SINGLE chunk here, once, at load: a 10M-page store
+        has >2 GB of html per shard, which overflows 32-bit binary
+        offsets the moment ``pc.take`` concatenates chunks — and the
+        single chunk also makes every later gather a direct kernel call
+        instead of an implicit whole-column chunk concat per batch."""
+        import pyarrow as pa
+
         path = self._shard_path(s)
         if not os.path.exists(path):
-            import pyarrow as pa
-
-            return pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())})
-        return pq.read_table(path, columns=list(columns))
+            return pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.large_binary())})
+        t = pq.read_table(path, columns=list(columns))
+        cols = {}
+        for name in t.column_names:
+            c = t.column(name)
+            if name == "html":
+                c = c.cast(pa.large_binary())
+            cols[name] = c.combine_chunks()
+        return pa.table(cols)
 
     def read_robots(self) -> dict[str, str]:
         """host -> robots.txt body for every host that has one (preloaded
