@@ -91,18 +91,28 @@ def bench_crawl(fixture: str) -> dict:
     s0, tot0 = _cpu_ticks()
     t0 = time.time()
     eng = CrawlEngine(pages_dir, seeds, cfg, out, ckpt_dir=ckpt, batch_size=2048)
+    startup = time.time() - t0
     rounds = eng.run()
     sec = time.time() - t0
     s1, tot1 = _cpu_ticks()
     n_urls = sum(m["scheduled"] + m["dropped"] for m in eng.metrics)
     eng.shutdown()
     shutil.rmtree(out, ignore_errors=True)
+    # startup_sec is fixture mechanics, not crawl work: it decodes the
+    # ENTIRE synthetic web store into the object store so fetch tasks can
+    # read it zero-copy (a production crawl fetches over the network and
+    # has no analog of this phase). urls_per_sec_crawl is therefore the
+    # number that models engine throughput; urls_per_sec keeps the
+    # historical full-wall definition so rounds stay comparable.
+    crawl_sec = max(sec - startup, 1e-9)
     return {
         "fixture": fixture,
         "rounds": rounds,
         "urls": int(n_urls),
         "sec": round(sec, 2),
+        "startup_sec": round(startup, 2),
         "urls_per_sec": round(n_urls / sec, 1),
+        "urls_per_sec_crawl": round(n_urls / crawl_sec, 1),
         "steal_pct": round(100.0 * (s1 - s0) / max(tot1 - tot0, 1), 1),
     }
 
@@ -223,6 +233,8 @@ def main() -> None:
             results[ncpu] = best
         t_lo = results[lo]["crawl"]["urls_per_sec"]
         t_hi = results[hi]["crawl"]["urls_per_sec"]
+        c_lo = results[lo]["crawl"].get("urls_per_sec_crawl", t_lo)
+        c_hi = results[hi]["crawl"].get("urls_per_sec_crawl", t_hi)
         print(
             json.dumps(
                 {
@@ -231,6 +243,9 @@ def main() -> None:
                     f"urls_per_sec_{lo}cpu": t_lo,
                     f"urls_per_sec_{hi}cpu": t_hi,
                     "scaling_efficiency": round(t_hi / ((hi / lo) * t_lo), 3),
+                    # crawl-only (store-decode startup excluded; see
+                    # bench_crawl docnote — startup is fixture mechanics)
+                    "scaling_efficiency_crawl": round(c_hi / ((hi / lo) * c_lo), 3),
                     "fixture": results[hi]["crawl"]["fixture"],
                     "urls": results[hi]["crawl"]["urls"],
                     # hypervisor CPU-steal during each level's best run —
