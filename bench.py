@@ -88,9 +88,16 @@ def bench_crawl(fixture: str) -> dict:
         cuckoo_capacity_per_shard=1 << 22,
         exact_seen=True,
     )
+    # A/B knob: rounds with <= this many URLs skip the Dataset executor and
+    # run the same fused stage as plain Ray tasks (engine default 30000;
+    # raise above max_urls_per_round to make EVERY round direct-task)
+    direct_thr = int(os.environ.get("BSR_DIRECT_THRESHOLD", "30000"))
     s0, tot0 = _cpu_ticks()
     t0 = time.time()
-    eng = CrawlEngine(pages_dir, seeds, cfg, out, ckpt_dir=ckpt, batch_size=2048)
+    eng = CrawlEngine(
+        pages_dir, seeds, cfg, out, ckpt_dir=ckpt, batch_size=2048,
+        direct_task_threshold=direct_thr,
+    )
     startup = time.time() - t0
     rounds = eng.run()
     sec = time.time() - t0

@@ -139,15 +139,23 @@ def _load_shard_table_remote(pages_dir: str, s: int):
 
 
 def _shard_robots_remote(path: str) -> dict[str, str]:
-    """Ray-task body: one shard's robots bodies (host -> text)."""
+    """Ray-task body: one shard's robots bodies (host -> text).
+
+    The robots mask is computed on the url column alone (a few MB even
+    at 10M pages) and the wide text column is only decoded when the
+    shard actually holds robots rows; the match itself is a vectorized
+    Arrow kernel, not a python loop over every page."""
+    import pyarrow.compute as pc
+
     if not os.path.exists(path):
         return {}
-    t = pq.read_table(path, columns=["url", "text"])
-    out = {}
-    for u, x in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
-        if u.endswith("/robots.txt"):
-            out[u.split("/")[2]] = x
-    return out
+    urls = pq.read_table(path, columns=["url"]).column("url")
+    mask = pc.ends_with(urls, pattern="/robots.txt")
+    if pc.sum(mask).as_py() in (None, 0):
+        return {}
+    texts = pq.read_table(path, columns=["text"]).column("text").filter(mask)
+    hosts = pc.split_pattern(urls.filter(mask), "/")
+    return {h[2].as_py(): x for h, x in zip(hosts, texts.to_pylist())}
 
 
 _LOAD_TASK = None
