@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textstats.langid,
         "quality": textstats.quality,
         "fingerprints": textstats.fingerprints,
+        "repetition_stats": textstats.repetition_stats,
+        "vocab_topk": textstats.vocab_topk,
+        "token_doc_freq": textstats.token_doc_freq,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "first_per_key": dedup.first_per_key,
@@ -244,6 +247,42 @@ def oracle_sql() -> dict[str, str]:
                    SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))::BIGINT AS sum_tokens,
                    COUNT(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang
+        """,
+        # integer-exact repetition signals (keep rule in int arithmetic —
+        # no float-rounding tie hazard between DuckDB and numpy)
+        "repetition_stats": r"""
+            WITH pairs AS (
+                SELECT doc_id, u.tok AS tok
+                FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
+            ),
+            cnt AS (
+                SELECT doc_id, tok, COUNT(*)::BIGINT AS c FROM pairs GROUP BY doc_id, tok
+            ),
+            agg AS (
+                SELECT doc_id, SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS d, MAX(c)::BIGINT AS top
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT doc.doc_id,
+                   COALESCE(a.n, 0)::BIGINT AS n_tokens,
+                   COALESCE(a.d, 0)::BIGINT AS n_distinct_tokens,
+                   COALESCE(a.top, 0)::BIGINT AS top_token_count,
+                   (CASE WHEN 10 * (COALESCE(a.n, 0) - COALESCE(a.d, 0)) <= 3 * COALESCE(a.n, 0)
+                              AND 5 * COALESCE(a.top, 0) <= COALESCE(a.n, 0)
+                         THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
+        """,
+        "vocab_topk": r"""
+            SELECT u.tok AS token, COUNT(*)::BIGINT AS n
+            FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
+            GROUP BY u.tok ORDER BY n DESC, token LIMIT 100
+        """,
+        "token_doc_freq": r"""
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, u.tok AS tok
+                FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
+            )
+            SELECT tok AS token, COUNT(*)::BIGINT AS df
+            FROM pairs GROUP BY tok ORDER BY df DESC, token LIMIT 100
         """,
         "exact_dedup": r"""
             SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents

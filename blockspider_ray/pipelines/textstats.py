@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -116,6 +117,122 @@ def quality_langid(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _token_pairs(t: pa.Table) -> pa.Table:
+    """Explode a documents batch to ``(doc_id, tok)`` rows, Arrow-native.
+
+    Split on ``\\s+`` then drop empties — identical to
+    ``re.findall(r'\\S+')`` on the ASCII corpus (RE2's ``\\s`` class,
+    which Arrow and the DuckDB oracle share). No per-row Python: the
+    flatten is one kernel, parent doc_ids come from ``np.repeat`` over
+    the list lengths.
+    """
+    text = pc.fill_null(t["text"].combine_chunks(), "")
+    toks = pc.split_pattern_regex(text, pattern=r"\s+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = np.repeat(t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False), lens)
+    pairs = pa.table({"doc_id": pa.array(doc, pa.int64()), "tok": pc.list_flatten(toks)})
+    return pairs.filter(pc.not_equal(pairs["tok"], ""))
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1 repetition filters): total tokens, distinct tokens, the top
+    token's count, and the keep/drop decision (duplicate-token fraction
+    <= 0.3 AND top-token fraction <= 0.2).
+
+    Batch-local (a document is one row, never split across batches), so
+    there is NO shuffle — one map_batches, all-Arrow group_bys inside.
+    Outputs are integer-exact and the keep rule is evaluated in integer
+    arithmetic (``10*dup <= 3*n``), so the DuckDB oracle matches with no
+    float-rounding tie hazards.
+    """
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        pairs = _token_pairs(t)
+        cnt = pairs.group_by(["doc_id", "tok"]).aggregate([([], "count_all")])
+        agg = cnt.group_by("doc_id").aggregate(
+            [("count_all", "sum"), ("count_all", "count"), ("count_all", "max")]
+        )
+        # left-join back so zero-token docs keep a row (n=0, keep=1)
+        base = pa.table({"doc_id": t["doc_id"].combine_chunks()})
+        j = base.join(agg, "doc_id", join_type="left outer")
+        zero = pa.scalar(0, pa.int64())
+        n = pc.cast(pc.coalesce(j["count_all_sum"], zero), pa.int64())
+        d = pc.cast(pc.coalesce(j["count_all_count"], zero), pa.int64())
+        top = pc.cast(pc.coalesce(j["count_all_max"], zero), pa.int64())
+        dup = pc.subtract(n, d)
+        keep = pc.and_(
+            pc.less_equal(pc.multiply(dup, pa.scalar(10, pa.int64())), pc.multiply(n, pa.scalar(3, pa.int64()))),
+            pc.less_equal(pc.multiply(top, pa.scalar(5, pa.int64())), n),
+        )
+        return pa.table(
+            {
+                "doc_id": j["doc_id"],
+                "n_tokens": n,
+                "n_distinct_tokens": d,
+                "top_token_count": top,
+                "keep": pc.cast(keep, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def vocab_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Corpus vocabulary heavy hitters: top-``k`` tokens by total count
+    (vocabulary building / BPE seeding pass).
+
+    In-batch partial counts first — the shuffle moves one row per
+    (token, batch), not one per token occurrence; the global topk is a
+    groupby-sum then sort+limit over the (already small) vocab table.
+    Ties break on token asc in both Ray and the SQL oracle.
+    """
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = _token_pairs(t).group_by("tok").aggregate([([], "count_all")])
+        return rename(g, {"tok": "token", "count_all": "p_n"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+def token_doc_freq(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Document-frequency table (the IDF numerator): top-``k`` tokens by
+    the number of distinct documents containing them.
+
+    The in-batch partial dedups (doc_id, token) pairs BEFORE the shuffle
+    — and because a document is exactly one row in exactly one batch,
+    per-batch distinct pairs are globally distinct, so the per-token
+    partial counts are additive and the global step is a plain Sum (no
+    distinct-count shuffle of raw pairs).
+    """
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        distinct = _token_pairs(t).group_by(["doc_id", "tok"]).aggregate([])
+        g = distinct.group_by("tok").aggregate([([], "count_all")])
+        return rename(g, {"tok": "token", "count_all": "p_df"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_df", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
 
 
 def fingerprints(sf_dir: str) -> rd.Dataset:

@@ -28,6 +28,9 @@ SWEEP = [
     "events_stats",
     "token_counts",
     "doc_stats_by_lang",
+    "repetition_stats",
+    "vocab_topk",
+    "token_doc_freq",
     "exact_dedup",
     "first_per_key",
     "ngram_jaccard_pairs",
