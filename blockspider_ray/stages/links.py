@@ -92,6 +92,8 @@ class RouteLinks:
         links_col = batch.column("links").combine_chunks()
         prios = batch.column("priority").to_numpy(zero_copy_only=False)
         refs = []
+        link_subs: dict[int, pa.Table] = {}
+        window_subs: dict[int, pa.Table] = {}
 
         # 1. explode links (one vectorized flatten, no per-row as_py)
         counts = pc.list_value_length(links_col).to_numpy(zero_copy_only=False)
@@ -145,7 +147,7 @@ class RouteLinks:
                         if not unseen.all():
                             sub = sub.filter(pa.array(unseen))
                 if sub.num_rows:
-                    refs.append(self._actor(int(s)).ingest.remote(sub))
+                    link_subs[int(s)] = sub
 
         # 2. window candidates for ACCEPTED rows, to the row's own shard
         acc_mask = pa.compute.equal(batch.column("status"), "ACCEPTED")
@@ -154,8 +156,14 @@ class RouteLinks:
             wtab = acc.select(["round", "seq", "url", "host", "url_hash", "priority", "digest", "n_links"])
             shards = acc.column("shard").to_numpy(zero_copy_only=False)
             for s in np.unique(shards):
-                sub = wtab.filter(pa.array(shards == s))
-                refs.append(self._actor(int(s)).window_candidates.remote(sub))
+                window_subs[int(s)] = wtab.filter(pa.array(shards == s))
+
+        # 3. one fused deliver RPC per target shard (links + window
+        # candidates together): halves the per-batch actor-RPC count
+        for s in sorted(set(link_subs) | set(window_subs)):
+            refs.append(
+                self._actor(s).deliver.remote(link_subs.get(s), window_subs.get(s))
+            )
 
         out = batch.drop_columns(["links", "digest"])
         if defer:

@@ -67,6 +67,22 @@ class HostFrontier:
         self.size += 1
         return True
 
+    def extend_host_unqueued(self, host: str, items: list[tuple[int, str, int]]) -> None:
+        """Bulk enqueue of one host's urls KNOWN not to be queued.
+
+        Sound only for fresh-unseen discoveries: the engine marks every
+        url seen at enqueue time, so an url that passed the seen-filter
+        cannot already be queued (queued ⊆ seen). List extend + one
+        heapify is C-level O(m + heap) vs m python ``heappush`` calls —
+        the finalize-barrier hot path (engine._finalize_discoveries)."""
+        if not items:
+            return
+        heap = self._heaps[host]
+        heap.extend(items)
+        heapq.heapify(heap)
+        self._queued.update(u for _, u, _ in items)
+        self.size += len(items)
+
     def pop_host(self, host: str, k: int) -> list[tuple[int, str]]:
         """Pop up to k urls of one host in (priority, url) order."""
         heap = self._heaps.get(host)

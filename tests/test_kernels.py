@@ -250,6 +250,11 @@ class TestRouteHostFastPath:
             def ingest(self, t):
                 self.rows.append(t)
 
+            def deliver(self, links, window):
+                # mirrors ShardActor.deliver (fused per-batch RPC)
+                if links is not None:
+                    self.ingest(links)
+
             def got(self):
                 import pyarrow as pa2
 
