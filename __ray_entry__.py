@@ -52,6 +52,44 @@ _NGRAM_JACCARD_SQL = r"""
     WHERE ROUND(c / (sa.n + sb.n - c), 4) >= 0.5
 """
 
+# same tokenization/shingling CTEs as the n-gram oracle; eval set =
+# the deterministic doc_id % 50 == 0 slice (pipelines/dedup.decontaminate)
+_DECONTAM_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, CASE WHEN len(w) >= 5 THEN len(w) - 4
+                                            WHEN len(w) > 0 THEN 1 ELSE 0 END)) AS i
+      FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 4], ' ') AS s FROM pos),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+    SELECT doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_overlap
+    FROM sh JOIN ev USING (s)
+    WHERE doc_id % 50 <> 0
+    GROUP BY doc_id
+"""
+
+# DuckDB's native ASOF JOIN is the oracle for the bucketed merge_asof
+# composition (pipelines/relational.asof_join_events)
+_ASOF_SQL = r"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT user_id, epoch_us(ts) AS signup_ts_us, MAX(value) AS signup_value
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    )
+    SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
+           p.ts_us::BIGINT AS ts_us, s.signup_ts_us::BIGINT AS signup_ts_us,
+           s.signup_value AS signup_value
+    FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts_us >= s.signup_ts_us
+"""
+
 
 def _crawl_tiny():
     """One deterministic tiny crawl through the distributed engine,
@@ -125,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_near_dups": dedup.simhash_near_dups,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "decontaminate": dedup.decontaminate,
+        # temporal join (custom operator: bucketed merge_asof)
+        "asof_join_events": relational.asof_join_events,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,
@@ -297,6 +338,8 @@ def oracle_sql() -> dict[str, str]:
         # change; pytest pins it instead as pairs ⊆ exact-pairs (the
         # verify stage recomputes true Jaccard) + planted-dup recall.
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "decontaminate": _DECONTAM_SQL,
+        "asof_join_events": _ASOF_SQL,
         "first_per_key": """
             SELECT lang, source, MIN(doc_id)::BIGINT AS first_doc, COUNT(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang, source

@@ -505,3 +505,78 @@ def simhash_near_dups(
     )
     out = out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def decontaminate(sf_dir: str, k: int = 5, every: int = 50) -> rd.Dataset:
+    """Benchmark decontamination: count, per training document, the
+    distinct k-gram shingles it shares with a held-out eval set — the
+    standard pre-training hygiene op (n-gram overlap against benchmark
+    suites). The eval set here is the deterministic ``doc_id % every
+    == 0`` slice (a stand-in for a real benchmark suite, which is small
+    and fixed).
+
+    Scale shape — the broadcast-small-side pattern, zero shuffle:
+
+      pass 1 (small side): distinct shingle hashes of the eval slice,
+        np.unique'd per batch then once on the driver; the collected
+        array is sized by the BENCHMARK SUITE, not the corpus, and is
+        broadcast once via ray.put
+      pass 2 (corpus): embarrassingly parallel map_batches — per doc,
+        sorted-array membership count (searchsorted) against the
+        broadcast set; emits (doc_id, n_overlap) only for contaminated
+        docs.
+
+    Shingle hashes ride as int64 bit views (equality-only keys, Arrow
+    inference-safe). Docs with zero shingles emit nothing — the same
+    no-shingles-no-rows semantics as the n-gram/SQL oracles."""
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def eval_hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        parts = []
+        for i, x in enumerate(texts):
+            if ids[i] % every:
+                continue
+            s = tx.shingles(x, k=k)
+            if s:
+                parts.append(np.unique(hash64(s)).view(np.int64))
+        hv = np.concatenate(parts) if parts else np.array([], dtype=np.int64)
+        return pa.table({"sh": pa.array(np.unique(hv), pa.int64())})
+
+    ev = np.unique(
+        ds.map_batches(eval_hashes, batch_format="pyarrow").to_pandas()["sh"].to_numpy()
+    )
+    ev_ref = ray.put(ev)
+
+    _empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_overlap": pa.array([], pa.int64())}
+    )
+
+    def overlap(t: pa.Table) -> pa.Table:
+        ev_ = ray.get(ev_ref)
+        if len(ev_) == 0:
+            return _empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_id, out_n = [], []
+        for i, x in enumerate(texts):
+            if ids[i] % every == 0:
+                continue
+            s = tx.shingles(x, k=k)
+            if not s:
+                continue
+            hv = np.unique(hash64(s)).view(np.int64)
+            pos = np.minimum(np.searchsorted(ev_, hv), len(ev_) - 1)
+            n = int((ev_[pos] == hv).sum())
+            if n:
+                out_id.append(int(ids[i]))
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_overlap": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(overlap, batch_format="pyarrow")

@@ -352,3 +352,86 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["c_mktsegment", "o_totalprice"], ascending=[True, False]).reset_index(drop=True)
+
+
+def asof_join_events(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
+    """Per-key as-of join: each purchase event matched to the most
+    recent signup at-or-before it by the same user — the temporal-join
+    operator Ray Data has no native form of, composed per the
+    custom-operator recipe: tag both sides from ONE pruned read, hash-
+    bucket by key, one groupby co-locates a key's rows, vectorized
+    ``pd.merge_asof(by=user, on=ts, direction=backward)`` inside each
+    bucket. The single all-to-all moves fixed-width (ids, ts, value)
+    rows only; timestamps ride as int64 epoch-micros (Arrow
+    timestamp[us] cast — hashes identically to the DuckDB oracle's
+    ``epoch_us``). Signups are pre-deduped to one row per (user, ts)
+    (max value) so ties are deterministic, matching the oracle.
+
+    Partitioning assumption: one BUCKET (many keys) fits a worker;
+    buckets dilute hot keys, and a pathological single key would be
+    salted by time range. Inner semantics: purchases with no prior
+    signup emit nothing (keeps every output column non-null — no
+    int64/NaN dtype churn across the hash compare)."""
+    ev = T(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        user = t["user_id"]
+        is_p = pc.equal(t["event_type"], "purchase")
+        is_s = pc.equal(t["event_type"], "signup")
+        base = pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(user, n_buckets - 1), pa.int64()),
+                "user_id": user,
+                "ts_us": ts_us,
+                "event_id": t["event_id"],
+                "value": t["value"],
+            }
+        )
+        p = base.filter(is_p)
+        p = p.append_column("side", pa.array(np.ones(p.num_rows, dtype=np.int8)))
+        s = base.filter(is_s)
+        s = s.append_column("side", pa.array(np.zeros(s.num_rows, dtype=np.int8)))
+        return pa.concat_tables([p, s])
+
+    _empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "ts_us": pd.Series([], dtype="int64"),
+            "signup_ts_us": pd.Series([], dtype="int64"),
+            "signup_value": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 1][["event_id", "user_id", "ts_us"]]
+        right = g[g["side"] == 0][["user_id", "ts_us", "value"]]
+        if left.empty or right.empty:
+            return _empty
+        # one row per (user, ts): max value — deterministic tie-break,
+        # mirrored in the oracle's GROUP BY
+        right = (
+            right.groupby(["user_id", "ts_us"], as_index=False)["value"]
+            .max()
+            .rename(columns={"value": "signup_value"})
+        )
+        right["signup_ts_us"] = right["ts_us"]
+        m = pd.merge_asof(
+            left.sort_values("ts_us", kind="stable"),
+            right.sort_values("ts_us", kind="stable"),
+            on="ts_us",
+            by="user_id",
+            direction="backward",
+        )
+        m = m.dropna(subset=["signup_ts_us"])
+        if m.empty:
+            return _empty
+        m["signup_ts_us"] = m["signup_ts_us"].astype("int64")
+        return m[["event_id", "user_id", "ts_us", "signup_ts_us", "signup_value"]]
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
+    )

@@ -34,6 +34,8 @@ SWEEP = [
     "exact_dedup",
     "first_per_key",
     "ngram_jaccard_pairs",
+    "decontaminate",
+    "asof_join_events",
     "knn_cosine",
     "embedding_near_dup_pairs",
     "label_centroids",
