@@ -127,7 +127,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from blockspider_ray.pipelines import corpus, dedup, multimodal, relational, similarity, textstats, windows
+    from blockspider_ray.pipelines import corpus, dedup, graph, multimodal, relational, similarity, textstats, windows
 
     q: dict[str, Callable[[str], Any]] = {
         # relational core (SURVEY.md §2.2, §2.5, §2.6)
@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_hour": windows.tumbling_hour,
         "sessionize": windows.sessionize,
         "enrich_props": windows.enrich_props,
+        "scrub_props": windows.scrub_props,
         "events_stats": windows.events_stats,
         # text analysis
         "token_counts": textstats.token_counts,
@@ -177,6 +178,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_samples": multimodal.video_frame_samples,
         # flagship: crawl output -> dedup -> quality/lang -> partitioned corpus
         "corpus_prep": corpus.corpus_prep_demo,
+        "hash_split": corpus.hash_split,
+        # iterative graph algorithm over the crawl host graph (no SQL
+        # oracle: power iteration; pytest pins it to a dense reference)
+        "pagerank_hosts": graph.pagerank_hosts,
         # the crawl engine itself (deterministic tiny fixture; the oracle
         # equivalence is enforced in pytest, rows-only here)
         "crawl_log": lambda sf_dir: _crawl_tiny()[0],
@@ -340,6 +345,18 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "decontaminate": _DECONTAM_SQL,
         "asof_join_events": _ASOF_SQL,
+        "scrub_props": """
+            SELECT event_id::BIGINT AS event_id,
+                   regexp_replace(props, '[0-9]+', '#', 'g') AS props_scrubbed
+            FROM events
+        """,
+        "hash_split": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'train'
+                        WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         "first_per_key": """
             SELECT lang, source, MIN(doc_id)::BIGINT AS first_doc, COUNT(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang, source

@@ -56,7 +56,7 @@ def _fault_rate_mbps(probe_mb: int = 192) -> float:
     return rate
 
 
-def prepump(target_gb: float, procs: int = 4, min_rate_mbps: float = 150.0,
+def prepump(target_gb: float, procs: int = 4, min_rate_mbps: float = 800.0,
             timeout_sec: float = 2400.0) -> dict:
     """Pre-fault the benchmark's expected memory footprint OUTSIDE the
     timed window, so timed runs allocate from the guest's recycled pool
@@ -261,8 +261,9 @@ def main() -> None:
         # page-provisioning throttle is active and the pump must run. 233 MB/s
         # measured during the round-3 bench10 protocol run silently skipped the
         # pump at the old fixed 150 gate and taxed the hi level ~33% (see
-        # BASELINE.md) — large-footprint fixtures should pass 800+ here.
-        pump_min = float(os.environ.get("BSR_PUMP_MIN_MBPS", "150"))
+        # BASELINE.md) — hence the 800 default; a healthy recycled pool
+        # probes at 1-4 GB/s and an unnecessary pump costs seconds.
+        pump_min = float(os.environ.get("BSR_PUMP_MIN_MBPS", "800"))
         for ncpu in (hi, lo):
             if pump_gb > 0:
                 rec = prepump(pump_gb, min_rate_mbps=pump_min)
@@ -345,7 +346,7 @@ def main() -> None:
     # pre-fault the run's footprint outside the timed window (no-op on a
     # rested host; see prepump docstring / BASELINE.md throttle notes)
     pump_gb = float(os.environ.get("BSR_PREPUMP_GB", "12"))
-    pump_min = float(os.environ.get("BSR_PUMP_MIN_MBPS", "150"))
+    pump_min = float(os.environ.get("BSR_PUMP_MIN_MBPS", "800"))
     pump_rec = prepump(pump_gb, min_rate_mbps=pump_min) if pump_gb > 0 else {"skipped": True}
     print(f"# prepump: {pump_rec}", file=sys.stderr)
 

@@ -179,3 +179,29 @@ def corpus_prep_demo(sf_dir: str) -> pd.DataFrame:
     df["n_docs"] = df["n_docs"].astype("int64")
     df["sum_tokens"] = df["sum_tokens"].astype("int64")
     return df.sort_values("lang").reset_index(drop=True)
+
+
+def hash_split(sf_dir: str, pcts: tuple[int, int] = (90, 95)) -> rd.Dataset:
+    """Deterministic train/val/test assignment by multiplicative hash of
+    the document key (Knuth 2654435761 mod 2^32) — the reproducible,
+    order-independent, join-free split every training pipeline needs:
+    any worker can recompute any doc's split locally, so the op is a
+    pure map_batches with no shuffle and no stored split table required.
+    The DuckDB oracle evaluates the identical integer expression."""
+    from .common import T
+
+    ds = T(sf_dir, "documents", columns=["doc_id"])
+    train_lt, val_lt = pcts
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % np.uint64(100)
+        split = np.select([b < train_lt, b < val_lt], ["train", "val"], default="test")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -100,3 +100,28 @@ def events_stats(sf_dir: str) -> pd.DataFrame:
     )
     out["sum_value"] = out["sum_value"].round(2)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def scrub_props(sf_dir: str) -> rd.Dataset:
+    """Redaction / PII-scrub shape: replace every digit run in the raw
+    ``props`` wire string with ``#`` — the content-scrubbing transform a
+    training-data pipeline runs before publication, as a pure
+    shuffle-free map_batches over Arrow's RE2 kernel
+    (``replace_substring_regex`` — compiled once per kernel call,
+    zero-copy in/out). The DuckDB oracle is ``regexp_replace(..., 'g')``
+    over the same RE2 syntax."""
+    import pyarrow.compute as pc
+
+    ds = T(sf_dir, "events", columns=["event_id", "props"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "props_scrubbed": pc.replace_substring_regex(
+                    t["props"], pattern="[0-9]+", replacement="#"
+                ),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

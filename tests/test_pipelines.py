@@ -36,6 +36,8 @@ SWEEP = [
     "ngram_jaccard_pairs",
     "decontaminate",
     "asof_join_events",
+    "scrub_props",
+    "hash_split",
     "knn_cosine",
     "embedding_near_dup_pairs",
     "label_centroids",
@@ -433,3 +435,42 @@ class TestTextSemantics:
         a = _to_df(em.queries()["langid"](SF)).sort_values("doc_id").reset_index(drop=True)
         b = _to_df(em.queries()["langid"](SF)).sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestPagerank:
+    def test_matches_dense_power_iteration(self):
+        """The two-shuffle-per-iteration distributed PageRank must equal
+        a dense numpy power iteration with identical teleport + dangling
+        handling on the same host graph."""
+        import numpy as np
+
+        from blockspider_ray import gen
+        from blockspider_ray.pipelines.graph import host_graph, pagerank
+
+        pages_dir, _ = gen.ensure_fixture("tiny")
+        edges_df = host_graph(pages_dir).to_pandas()
+        got = (
+            pagerank(host_graph(pages_dir), k=8)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+
+        hosts = sorted(set(edges_df["src"]) | set(edges_df["dst"]))
+        idx = {h: i for i, h in enumerate(hosts)}
+        n = len(hosts)
+        W = np.zeros((n, n))
+        for s_, d_, w_ in edges_df.itertuples(index=False):
+            W[idx[s_], idx[d_]] += w_
+        out = W.sum(axis=1)
+        P = np.divide(W, out[:, None], where=out[:, None] > 0)
+        r = np.full(n, 1.0 / n)
+        d = 0.85
+        for _ in range(8):
+            dang = r[out == 0].sum()
+            r = (1 - d) / n + d * (P.T @ r + dang / n)
+
+        assert got["host"].tolist() == hosts
+        assert np.allclose(got["r"].to_numpy(), r, atol=1e-9)
+        assert abs(got["r"].sum() - 1.0) < 1e-9
+        assert n > 3  # the tiny web is a real multi-host graph
