@@ -318,14 +318,41 @@ def ngram_jaccard_pairs(
     )
 
     def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Pair emission for every shingle run inside ONE hash bucket of
+        shingles (the groupby key is ``sh % B``, not ``sh`` — thousands
+        of tiny per-shingle groups would pay Ray's per-group dispatch
+        each; 16 bucket groups amortize it, and the inner loop is a
+        numpy run-scan over the lexsorted block). Each run is bounded by
+        ``df_ceiling``, so the triu expansion per run stays small."""
         if len(g) < 2:
             return _empty_pairs
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        ns = g["n_sh"].to_numpy(dtype=np.int64)
-        o = np.argsort(ids, kind="stable")
-        ids, ns = ids[o], ns[o]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj], "n_a": ns[ii], "n_b": ns[jj]})
+        sh_all = g["sh"].to_numpy(dtype=np.int64)
+        ids_all = g["doc_id"].to_numpy(dtype=np.int64)
+        ns_all = g["n_sh"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids_all, sh_all))
+        sh_s, ids_s, ns_s = sh_all[order], ids_all[order], ns_all[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], sh_s[1:] != sh_s[:-1], [True]))
+        )
+        outs = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            m = int(b1 - b0)
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            outs.append(
+                (ids_s[b0:b1][ii], ids_s[b0:b1][jj], ns_s[b0:b1][ii], ns_s[b0:b1][jj])
+            )
+        if not outs:
+            return _empty_pairs
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate([o[0] for o in outs]),
+                "doc_b": np.concatenate([o[1] for o in outs]),
+                "n_a": np.concatenate([o[2] for o in outs]),
+                "n_b": np.concatenate([o[3] for o in outs]),
+            }
+        )
 
     # Pass 1 — document-frequency filter over ONE materialized shingling
     # (shingling text is the dominant per-doc cost; the df pass and the
@@ -342,17 +369,28 @@ def ngram_jaccard_pairs(
     keep_keys = np.sort(keep["sh"].to_numpy(dtype=np.int64))
     keep_ref = ray.put(keep_keys)
 
+    _n_sh_buckets = 16
+
     def only_kept(t: pa.Table) -> pa.Table:
         keep_ = ray.get(keep_ref)
         if len(keep_) == 0:
-            return t.slice(0, 0)
-        kk = t["sh"].to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(keep_, kk), len(keep_) - 1)
-        return t.filter(pa.array(keep_[pos] == kk))
+            t = t.slice(0, 0)
+            kk = np.array([], dtype=np.int64)
+        else:
+            kk = t["sh"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(keep_, kk), len(keep_) - 1)
+            sel = keep_[pos] == kk
+            t = t.filter(pa.array(sel))
+            kk = kk[sel]
+        # shuffle key = shingle hash bucket (co-locates each shingle's
+        # rows while keeping the group count fixed — see co_pairs)
+        return t.append_column(
+            "sb", pa.array((kk % _n_sh_buckets).astype(np.int64), pa.int64())
+        )
 
     agg = (
         shingles_ds.map_batches(only_kept, batch_format="pyarrow")
-        .groupby("sh")
+        .groupby("sb")
         .map_groups(co_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(
