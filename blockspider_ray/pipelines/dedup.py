@@ -18,6 +18,7 @@ from .common import T
 
 _MINHASH_PERMS = 64
 _LSH_BANDS = 16  # 16 bands x 4 rows
+_N_CAND_BUCKETS = 16  # candidate-shuffle group count (dispatch amortization)
 
 # byte-wise popcount lookup (numpy<2 has no bitwise_count)
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
@@ -116,11 +117,16 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         # key: every shuffle column stays in int64 range so no pandas/
         # python round-trip can overflow Arrow int inference into the
         # pickled-object fallback (equality-only key, order irrelevant).
+        bh64 = bh.ravel().view(np.int64)
         return pa.table(
             {
                 "band_id": pa.array(band_ids, pa.int64()),
-                "band_hash": pa.array(bh.ravel().view(np.int64), pa.int64()),
+                "band_hash": pa.array(bh64, pa.int64()),
                 "doc_id": pa.array(np.repeat(doc_ids, _LSH_BANDS), pa.int64()),
+                # shuffle key: bucket of the band hash — co-locates every
+                # (band, hash) group while keeping the group COUNT fixed
+                # (per-group dispatch amortization, same as ngram's sb)
+                "cb": pa.array((bh64 % _N_CAND_BUCKETS).astype(np.int64), pa.int64()),
             }
         )
 
@@ -130,19 +136,46 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     # for true duplicate CLUSTERS, and it caps the skew explosion the
     # same way the engine caps mega-host share (SURVEY.md §4 skew row)
 
+    _empty_cand = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+    )
+
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
-        if len(ids) > MAX_BUCKET:
-            root = ids[0]
-            return pd.DataFrame({"doc_a": [root] * (len(ids) - 1), "doc_b": ids[1:]})
-        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
-        return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
+        """Pair emission for every (band_id, band_hash) run inside ONE
+        hash bucket of band hashes — a numpy run-scan over the lexsorted
+        block (each doc appears once per band, so ids within a run are
+        distinct and ascending => doc_a < doc_b and star root = min)."""
+        if len(g) < 2:
+            return _empty_cand
+        bid = g["band_id"].to_numpy(dtype=np.int64)
+        bh_ = g["band_hash"].to_numpy(dtype=np.int64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, bh_, bid))
+        bid, bh_, ids = bid[order], bh_[order], ids[order]
+        new = np.concatenate(([True], (bid[1:] != bid[:-1]) | (bh_[1:] != bh_[:-1]), [True]))
+        bounds = np.flatnonzero(new)
+        outs_a, outs_b = [], []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            m = int(b1 - b0)
+            if m < 2:
+                continue
+            run = ids[b0:b1]
+            if m > MAX_BUCKET:
+                outs_a.append(np.full(m - 1, run[0], dtype=np.int64))
+                outs_b.append(run[1:])
+            else:
+                ii, jj = np.triu_indices(m, k=1)
+                outs_a.append(run[ii])
+                outs_b.append(run[jj])
+        if not outs_a:
+            return _empty_cand
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
+        )
 
     cand = (
         ds.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
+        .groupby("cb")
         .map_groups(candidates, batch_format="pandas")
         .to_pandas()  # candidate-PAIR frame only (ids, no text) — small
     )
