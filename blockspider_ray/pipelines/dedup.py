@@ -512,12 +512,18 @@ def simhash_near_dups(
         for ci, c in enumerate(combos):
             for pos, b in enumerate(c):
                 keys[:, ci] |= ((s >> np.uint64(width * b)) & bmask) << np.uint64(width * pos)
+        qv64 = keys.ravel().view(np.int64)
         return pa.table(
             {
                 "q": pa.array(np.tile(np.arange(nc, dtype=np.int64), n), pa.int64()),
-                "qv": pa.array(keys.ravel().view(np.int64), pa.int64()),
+                "qv": pa.array(qv64, pa.int64()),
                 "doc_id": pa.array(np.repeat(doc_ids, nc), pa.int64()),
                 "simhash": pa.array(np.repeat(s, nc), pa.uint64()),
+                # shuffle key: (combo, key-hash bucket) — co-locates every
+                # (q, qv) group while keeping the group count at
+                # nc x _N_CAND_BUCKETS instead of nc x 2^key-width
+                # (per-group dispatch amortization, as in minhash/ngram)
+                "qb": pa.array((qv64 % _N_CAND_BUCKETS).astype(np.int64), pa.int64()),
             }
         )
 
@@ -530,34 +536,46 @@ def simhash_near_dups(
     )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
+        """Tiled hamming verify for every (q, qv) run inside ONE
+        (q, key-bucket) group — run-scan over the lexsorted block; the
+        tiled XOR + popcount and the minimal-combo canonicalization are
+        unchanged, applied per run."""
+        if len(g) < 2:
             return _empty
         q = int(g["q"].iloc[0])
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        sh = g["simhash"].to_numpy(dtype=np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, sh = ids[order], sh[order]
+        qv_all = g["qv"].to_numpy(dtype=np.int64)
+        ids_all = g["doc_id"].to_numpy(dtype=np.int64)
+        sh_all = g["simhash"].to_numpy(dtype=np.uint64)
+        order = np.lexsort((ids_all, qv_all))
+        qv_all, ids_all, sh_all = qv_all[order], ids_all[order], sh_all[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], qv_all[1:] != qv_all[:-1], [True]))
+        )
         out_a, out_b, out_h = [], [], []
-        for i0 in range(0, n, _SIM_CHUNK):
-            i1 = min(n, i0 + _SIM_CHUNK)
-            for j0 in range(i0, n, _SIM_CHUNK):
-                j1 = min(n, j0 + _SIM_CHUNK)
-                x = sh[i0:i1, None] ^ sh[None, j0:j1]
-                d = _popcount64(x)
-                mask = d <= max_hamming
-                # strict upper triangle (ids ascending => doc_a < doc_b)
-                mask &= np.arange(i0, i1)[:, None] < np.arange(j0, j1)[None, :]
-                # canonical combo: skip pairs already emitted by a
-                # smaller matching combo (its keyed bits all equal <=>
-                # xor restricted to its bitmask is zero)
-                for q2 in range(q):
-                    mask &= (x & combo_bitmasks[q2]) != 0
-                ii, jj = np.nonzero(mask)
-                if len(ii):
-                    out_a.append(ids[i0:i1][ii])
-                    out_b.append(ids[j0:j1][jj])
-                    out_h.append(d[mask])
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            n = int(b1 - b0)
+            if n < 2:
+                continue
+            ids, sh = ids_all[b0:b1], sh_all[b0:b1]
+            for i0 in range(0, n, _SIM_CHUNK):
+                i1 = min(n, i0 + _SIM_CHUNK)
+                for j0 in range(i0, n, _SIM_CHUNK):
+                    j1 = min(n, j0 + _SIM_CHUNK)
+                    x = sh[i0:i1, None] ^ sh[None, j0:j1]
+                    d = _popcount64(x)
+                    mask = d <= max_hamming
+                    # strict upper triangle (ids ascending => doc_a < doc_b)
+                    mask &= np.arange(i0, i1)[:, None] < np.arange(j0, j1)[None, :]
+                    # canonical combo: skip pairs already emitted by a
+                    # smaller matching combo (its keyed bits all equal <=>
+                    # xor restricted to its bitmask is zero)
+                    for q2 in range(q):
+                        mask &= (x & combo_bitmasks[q2]) != 0
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        out_a.append(ids[i0:i1][ii])
+                        out_b.append(ids[j0:j1][jj])
+                        out_h.append(d[mask])
         if not out_a:
             return _empty
         return pd.DataFrame(
@@ -570,7 +588,7 @@ def simhash_near_dups(
 
     out = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["q", "qv"])
+        .groupby(["q", "qb"])
         .map_groups(verify, batch_format="pandas")
         .to_pandas()  # verified-pair frame only
     )
