@@ -243,32 +243,66 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         np.cumsum(lens, out=offsets[1:])
         flat = np.concatenate(out_sh) if out_sh else np.array([], dtype=np.int64)
         sh_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(flat, pa.int64()))
+        out_pair_np = np.asarray(out_pair, dtype=np.int64)
         return pa.table(
             {
-                "pair_idx": pa.array(out_pair, pa.int64()),
+                "pair_idx": pa.array(out_pair_np, pa.int64()),
+                # shuffle key: pair-index bucket — co-locates both
+                # endpoints of every pair while keeping the group count
+                # fixed (per-group dispatch amortization; at scale the
+                # pair count is millions, not the bucket count)
+                "pb": pa.array(out_pair_np % _N_CAND_BUCKETS, pa.int64()),
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "sh": sh_col,
             }
         )
 
-    def score_pair(g: pd.DataFrame) -> pd.DataFrame:
+    def score_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Score every pair inside ONE pair-index bucket: endpoint sets
+        keyed by (pair, doc), each pair intersected via sorted-array
+        searchsorted (sets are np.unique'd at build time)."""
         pair_a_, pair_b_, _, _, _ = ray.get(bcast)
-        pid = int(g["pair_idx"].iloc[0])
-        a, b = int(pair_a_[pid]), int(pair_b_[pid])
-        sets = {int(d): np.asarray(v, dtype=np.int64) for d, v in zip(g["doc_id"], g["sh"])}
-        sa = sets.get(a, np.array([], dtype=np.int64))
-        sb = sets.get(b, np.array([], dtype=np.int64))
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        # no-shingles docs never reach here (no band rows); a defensive
-        # empty endpoint scores 0.0 — the oracle's no-shingles-no-pairs
-        j = inter / union if union else 0.0
-        return pd.DataFrame({"doc_a": [a], "doc_b": [b], "jaccard": [float(np.round(j, 4))]})
+        pid_all = g["pair_idx"].to_numpy(dtype=np.int64)
+        doc_all = g["doc_id"].to_numpy(dtype=np.int64)
+        sh_all = list(g["sh"])
+        order = np.argsort(pid_all, kind="stable")
+        bounds = np.flatnonzero(
+            np.concatenate(([True], pid_all[order][1:] != pid_all[order][:-1], [True]))
+        )
+        out_a, out_b, out_j = [], [], []
+        empty = np.array([], dtype=np.int64)
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            rows = order[b0:b1]
+            pid = int(pid_all[rows[0]])
+            a, b = int(pair_a_[pid]), int(pair_b_[pid])
+            sa = sb = empty
+            for i in rows:
+                d = int(doc_all[i])
+                v = np.asarray(sh_all[i], dtype=np.int64)
+                if d == a:
+                    sa = v
+                if d == b:
+                    sb = v
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            # no-shingles docs never reach here (no band rows); a
+            # defensive empty endpoint scores 0.0 — the oracle's
+            # no-shingles-no-pairs semantics
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(float(np.round(inter / union if union else 0.0, 4)))
+        return pd.DataFrame(
+            {
+                "doc_a": np.asarray(out_a, dtype=np.int64),
+                "doc_b": np.asarray(out_b, dtype=np.int64),
+                "jaccard": np.asarray(out_j, dtype=np.float64),
+            }
+        )
 
     out = (
         ds.map_batches(shingle_rows, batch_format="pyarrow")
-        .groupby("pair_idx")
-        .map_groups(score_pair, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(score_pairs, batch_format="pandas")
         .to_pandas()  # verified-pair frame (3 columns, <= |candidates| rows)
     )
     out = out[out["jaccard"] >= threshold].astype({"doc_a": "int64", "doc_b": "int64"})
