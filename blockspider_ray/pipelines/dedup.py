@@ -211,6 +211,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     _empty_sh = pa.table(
         {
             "pair_idx": pa.array([], pa.int64()),
+            "pb": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
             "sh": pa.array([], pa.list_(pa.int64())),
         }
