@@ -351,11 +351,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "hash_split": """
+            -- mod 2^32 BEFORE the multiply (ring homomorphism: identical
+            -- result) and widen to HUGEINT so the expression matches the
+            -- pipeline's uint64 wraparound instead of raising a BIGINT
+            -- overflow for doc_id > ~3.5e9; doc_id >= 0 is assumed by
+            -- both sides (see corpus.hash_split docstring)
+            WITH h AS (
+              SELECT doc_id,
+                     ((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                      % 4294967296) % 100 AS b
+              FROM documents
+            )
             SELECT doc_id::BIGINT AS doc_id,
-                   CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'train'
-                        WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95 THEN 'val'
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
                         ELSE 'test' END AS split
-            FROM documents
+            FROM h
         """,
         "first_per_key": """
             SELECT lang, source, MIN(doc_id)::BIGINT AS first_doc, COUNT(*)::BIGINT AS n_docs

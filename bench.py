@@ -206,6 +206,12 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "knn_lsh",
         "embedding_near_dup_pairs",
         "label_centroids",
+        # iterative + flagship pipelines (VERDICT r3 item 4: track the
+        # per-iteration executor cost and the corpus-prep dedup pass)
+        "scrub_props",
+        "hash_split",
+        "pagerank_hosts",
+        "corpus_prep",
     ]
     qs = em.queries()
     out: dict[str, float] = {}

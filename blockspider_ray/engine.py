@@ -56,7 +56,7 @@ from .functions.robots import is_allowed, parse_robots
 from .functions.urls import canonicalize_url, hash64, url_host, url_path
 from .sources.pages import PageStore, SharedPages
 from .stages.extractors import extract_batch
-from .stages.fetch import FetchSim, fetch_batch  # noqa: F401 (FetchSim kept for API)
+from .stages.fetch import FetchSim, fetch_batch, fetch_batch_rpc  # noqa: F401 (FetchSim kept for API)
 from .stages.links import RouteLinks, route_links  # noqa: F401
 
 
@@ -74,6 +74,7 @@ def process_and_sink(
     nshards: int,
     round_dir: str,
     seen_refs: dict | None = None,
+    rpc_url: str | None = None,
 ) -> pa.Table:
     """The whole per-batch crawl step as ONE Ray Data operator:
     fetch-sim -> extract -> route links/window to shard actors -> write
@@ -87,7 +88,13 @@ def process_and_sink(
     import time as _time
 
     t0 = _time.time()
-    f = fetch_batch(batch, pages_refs=pages_refs, n_pshards=n_pshards)
+    if rpc_url is not None:
+        # fetch THROUGH the JSON-RPC façade (reference network path:
+        # the crawler pulls blocks over RPC, common/rpc.go:69-93);
+        # byte-identical to the zero-copy path — see fetch_batch_rpc
+        f = fetch_batch_rpc(batch, rpc_url=rpc_url)
+    else:
+        f = fetch_batch(batch, pages_refs=pages_refs, n_pshards=n_pshards)
     t1 = _time.time()
     out = extract_batch(f)
     t2 = _time.time()
@@ -512,6 +519,7 @@ class CrawlEngine:
         direct_task_threshold: int = 30000,
         name: str | None = None,
         sink_transport=None,
+        rpc_url: str | None = None,
     ):
         self.cfg = cfg
         self.pages_dir = pages_dir
@@ -523,6 +531,14 @@ class CrawlEngine:
         self.batch_size = batch_size
         self.direct_task_threshold = direct_task_threshold
         self.sink_transport = sink_transport  # None = ParquetDirSink
+        # optional load-bearing RPC fetch: scheduled URLs resolve via
+        # sim_getPage against a served SimulatorHTTPD instead of the
+        # object-store pages (the reference's crawler-pulls-over-RPC
+        # path, common/rpc.go:69-93 / crawler/blocks.go:66). Everything
+        # else (robots scan, window digest probes, retraction text
+        # recovery) still reads the shared store — the façade carries
+        # the page payloads, exactly what the reference's RPC carries.
+        self.rpc_url = rpc_url
         self.ns = name or f"bsr-{uuid.uuid4().hex[:8]}"
         self.metrics: list[dict] = []
         self._seen_refs: dict[int, object] = {}  # shard -> seen-snapshot ref
@@ -740,6 +756,7 @@ class CrawlEngine:
                 "nshards": cfg.shards,
                 "round_dir": round_dir,
                 "seen_refs": self._seen_refs,
+                "rpc_url": self.rpc_url,
             }
             # pre-split blocks to <= bs rows: Ray Data parallelism is
             # per-BLOCK (batch_size slices batches inside one task, it does

@@ -60,21 +60,59 @@ def dedup_keys(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fp_keys, batch_format="pyarrow")
 
 
-def loser_keys(keys: rd.Dataset) -> np.ndarray:
-    """First-wins dedup decision: groupby(fp) keeps the minimal
-    (round, seq) per fingerprint and emits every OTHER row's combined
-    ``round<<32|seq`` key. Returns the sorted loser-key array (sized by
-    the duplicate count only)."""
+def loser_keys(keys: rd.Dataset, n_buckets: int | None = None) -> np.ndarray:
+    """First-wins dedup decision, dispatch-amortized: the shuffle key is
+    ``fp % B`` (B ~ cluster CPUs via ``n_shuffle_buckets``) — NOT the raw
+    fingerprint, which at corpus scale is one group per document and pays
+    Ray's per-group dispatch 10^10 times. Inside each bucket a numpy
+    lexsort run-scan keeps the minimal ``round<<32|seq`` per fingerprint
+    run and emits every OTHER row's combined key (the same pattern as
+    dedup.py's candidate shuffles). Returns the sorted loser-key array
+    (sized by the duplicate count only)."""
+    from .common import n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = (
+            t["round"].to_numpy(zero_copy_only=False).astype(np.uint64) << np.uint64(32)
+        ) | t["seq"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "fpb": pa.array((fp % np.uint64(B)).astype(np.int64), pa.int64()),
+                # fp ships as the int64 BIT PATTERN (equality-only key,
+                # keeps the shuffle column Arrow-int64-safe)
+                "fp": pa.array(fp.view(np.int64), pa.int64()),
+                # round < 2^31 => k < 2^63: plain non-negative int64, so
+                # int64 sort order == uint64 order and min is min
+                "k": pa.array(k.view(np.int64), pa.int64()),
+            }
+        )
+
+    _empty = pd.DataFrame({"k": pd.Series([], dtype="int64")})
 
     def losers(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["round", "seq"], kind="stable")
-        return g.iloc[1:][["round", "seq"]]
+        if len(g) < 2:
+            return _empty
+        fp = g["fp"].to_numpy(dtype=np.int64)
+        k = g["k"].to_numpy(dtype=np.int64)
+        order = np.lexsort((k, fp))
+        fp_s, k_s = fp[order], k[order]
+        first = np.concatenate(([True], fp_s[1:] != fp_s[:-1]))
+        if first.all():
+            return _empty
+        return pd.DataFrame({"k": k_s[~first]})
 
-    lose = keys.groupby("fp").map_groups(losers, batch_format="pandas").to_pandas()
+    lose = (
+        keys.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("fpb")
+        .map_groups(losers, batch_format="pandas")
+        .to_pandas()  # loser keys only — duplicate-bounded
+    )
     if len(lose) == 0:
         return np.array([], dtype=np.uint64)
-    k = (lose["round"].to_numpy(dtype=np.uint64) << np.uint64(32)) | lose["seq"].to_numpy(dtype=np.uint64)
-    return np.sort(k)
+    return np.sort(lose["k"].to_numpy(dtype=np.int64).view(np.uint64))
 
 
 def corpus_prep(
@@ -187,7 +225,11 @@ def hash_split(sf_dir: str, pcts: tuple[int, int] = (90, 95)) -> rd.Dataset:
     order-independent, join-free split every training pipeline needs:
     any worker can recompute any doc's split locally, so the op is a
     pure map_batches with no shuffle and no stored split table required.
-    The DuckDB oracle evaluates the identical integer expression."""
+    The DuckDB oracle evaluates the identical integer expression (mod
+    2^32 before the multiply, widened to HUGEINT — equal by the mod-2^32
+    ring homomorphism, and overflow-free at any doc_id). Assumes
+    doc_id >= 0 (negative ids would wrap differently in numpy uint64 vs
+    SQL signed %)."""
     from .common import T
 
     ds = T(sf_dir, "documents", columns=["doc_id"])

@@ -14,11 +14,16 @@ import ray.data as rd
 
 from ..functions import text as tx
 from ..functions.urls import hash64
-from .common import T
+from .common import T, bounded_driver_frame, n_shuffle_buckets
 
 _MINHASH_PERMS = 64
 _LSH_BANDS = 16  # 16 bands x 4 rows
-_N_CAND_BUCKETS = 16  # candidate-shuffle group count (dispatch amortization)
+
+# Driver-collection cap for the duplicate-bounded frames these pipelines
+# pull to the driver (candidate pairs, kept shingle keys): ~24 B/row, so
+# the default bounds the driver pull at ~1 GB. Past it,
+# bounded_driver_frame raises with the parquet-spill escape hatch.
+_MAX_DRIVER_ROWS = 50_000_000
 
 # byte-wise popcount lookup (numpy<2 has no bitwise_count)
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
@@ -80,7 +85,12 @@ def _signatures(t: pa.Table, a: np.ndarray, b: np.ndarray, k: int = 5) -> tuple[
     return texts, sigs, nonempty
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+def minhash_lsh_pairs(
+    sf_dir: str,
+    threshold: float = 0.5,
+    n_buckets: int | None = None,
+    max_driver_rows: int = _MAX_DRIVER_ROWS,
+) -> pd.DataFrame:
     """MinHash + LSH near-duplicate pairs:
 
       shingle -> minhash signature (per batch, vectorized)
@@ -90,9 +100,13 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4.
     The groupby is the only all-to-all and it moves 16 small rows per
-    document, never the text."""
+    document, never the text. ``n_buckets`` (default: scaled to cluster
+    CPUs, see ``n_shuffle_buckets``) is the dispatch-amortization group
+    count for both shuffles; ``max_driver_rows`` caps the candidate-pair
+    frame's driver pull (``bounded_driver_frame``)."""
     a, b = tx.minhash_params(_MINHASH_PERMS)
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    B = n_buckets or n_shuffle_buckets()
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
     def bands(t: pa.Table) -> pa.Table:
@@ -124,9 +138,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
                 "band_hash": pa.array(bh64, pa.int64()),
                 "doc_id": pa.array(np.repeat(doc_ids, _LSH_BANDS), pa.int64()),
                 # shuffle key: bucket of the band hash — co-locates every
-                # (band, hash) group while keeping the group COUNT fixed
+                # (band, hash) group while keeping the group COUNT at B
                 # (per-group dispatch amortization, same as ngram's sb)
-                "cb": pa.array((bh64 % _N_CAND_BUCKETS).astype(np.int64), pa.int64()),
+                "cb": pa.array((bh64 % B).astype(np.int64), pa.int64()),
             }
         )
 
@@ -173,12 +187,13 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
             {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
         )
 
-    cand = (
+    cand = bounded_driver_frame(
         ds.map_batches(bands, batch_format="pyarrow")
         .groupby("cb")
-        .map_groups(candidates, batch_format="pandas")
-        .to_pandas()  # candidate-PAIR frame only (ids, no text) — small
-    )
+        .map_groups(candidates, batch_format="pandas"),
+        "minhash_lsh_pairs candidate-pair frame",
+        max_driver_rows,
+    )  # candidate PAIRS only (ids, no text) — duplicate-bounded, guarded
     if len(cand) == 0:
         return pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")}
@@ -250,9 +265,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
                 "pair_idx": pa.array(out_pair_np, pa.int64()),
                 # shuffle key: pair-index bucket — co-locates both
                 # endpoints of every pair while keeping the group count
-                # fixed (per-group dispatch amortization; at scale the
+                # at B (per-group dispatch amortization; at scale the
                 # pair count is millions, not the bucket count)
-                "pb": pa.array(out_pair_np % _N_CAND_BUCKETS, pa.int64()),
+                "pb": pa.array(out_pair_np % B, pa.int64()),
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "sh": sh_col,
             }
@@ -311,7 +326,12 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
 
 
 def ngram_jaccard_pairs(
-    sf_dir: str, threshold: float = 0.5, k: int = 5, df_ceiling: int = 256
+    sf_dir: str,
+    threshold: float = 0.5,
+    k: int = 5,
+    df_ceiling: int = 256,
+    n_buckets: int | None = None,
+    max_driver_rows: int = _MAX_DRIVER_ROWS,
 ) -> pd.DataFrame:
     """EXACT n-gram Jaccard near-duplicate pairs via a distributed
     inverted index (the SQL-oracle-able member of the near-dup family;
@@ -339,9 +359,15 @@ def ngram_jaccard_pairs(
     applies the identical cut. df <= 1 removal is a pure optimization
     (singletons can't pair); the materialize keeps shingling from
     running twice — at extreme corpus scale swap it for a parquet spill
-    of the same rows."""
+    of the same rows.
+
+    ``n_buckets`` (default: scaled to cluster CPUs, see
+    ``n_shuffle_buckets``) is the dispatch-amortization group count for
+    the pair shuffle; ``max_driver_rows`` caps the kept-shingle frame's
+    driver pull (``bounded_driver_frame``)."""
     from ray.data.aggregate import Count, Max
 
+    B = n_buckets or n_shuffle_buckets()
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
     _empty_rows = pa.table(
@@ -389,7 +415,7 @@ def ngram_jaccard_pairs(
         """Pair emission for every shingle run inside ONE hash bucket of
         shingles (the groupby key is ``sh % B``, not ``sh`` — thousands
         of tiny per-shingle groups would pay Ray's per-group dispatch
-        each; 16 bucket groups amortize it, and the inner loop is a
+        each; B bucket groups amortize it, and the inner loop is a
         numpy run-scan over the lexsorted block). Each run is bounded by
         ``df_ceiling``, so the triu expansion per run stays small."""
         if len(g) < 2:
@@ -428,16 +454,15 @@ def ngram_jaccard_pairs(
     # (pure optimization — almost all shingles are singletons).
     # df<=ceiling: the prefix-filtering cut documented above.
     shingles_ds = ds.map_batches(shingle_rows, batch_format="pyarrow").materialize()
-    keep = (
+    keep = bounded_driver_frame(
         shingles_ds.groupby("sh")
         .aggregate(Count(alias_name="df"))
-        .filter(expr=f"df >= 2 and df <= {int(df_ceiling)}")
-        .to_pandas()  # kept shingle keys only — duplicate-sized, small
-    )
+        .filter(expr=f"df >= 2 and df <= {int(df_ceiling)}"),
+        "ngram_jaccard_pairs kept-shingle frame",
+        max_driver_rows,
+    )  # kept shingle keys only — duplicate-bounded, guarded
     keep_keys = np.sort(keep["sh"].to_numpy(dtype=np.int64))
     keep_ref = ray.put(keep_keys)
-
-    _n_sh_buckets = 16
 
     def only_kept(t: pa.Table) -> pa.Table:
         keep_ = ray.get(keep_ref)
@@ -451,9 +476,9 @@ def ngram_jaccard_pairs(
             t = t.filter(pa.array(sel))
             kk = kk[sel]
         # shuffle key = shingle hash bucket (co-locates each shingle's
-        # rows while keeping the group count fixed — see co_pairs)
+        # rows while keeping the group count at B — see co_pairs)
         return t.append_column(
-            "sb", pa.array((kk % _n_sh_buckets).astype(np.int64), pa.int64())
+            "sb", pa.array((kk % B).astype(np.int64), pa.int64())
         )
 
     agg = (
@@ -492,7 +517,11 @@ _SIM_CHUNK = 2048  # pairwise tile edge: 2048^2 uint64 xor = 32 MiB peak
 
 
 def simhash_near_dups(
-    sf_dir: str, max_hamming: int = 6, blocks: int = 4, match_blocks: int = 1
+    sf_dir: str,
+    max_hamming: int = 6,
+    blocks: int = 4,
+    match_blocks: int = 1,
+    n_buckets: int | None = None,
 ) -> pd.DataFrame:
     """SimHash near-dup pairs, fully distributed:
 
@@ -527,6 +556,7 @@ def simhash_near_dups(
     if not (1 <= match_blocks <= blocks <= 64) or 64 % blocks:
         raise ValueError("need 1 <= match_blocks <= blocks, blocks | 64")
     width = 64 // blocks
+    B = n_buckets or n_shuffle_buckets()
     bmask = np.uint64((1 << width) - 1)
     combos = list(itertools.combinations(range(blocks), match_blocks))
     # per-combo 64-bit mask over the simhash bits it keys on (for the
@@ -556,9 +586,9 @@ def simhash_near_dups(
                 "simhash": pa.array(np.repeat(s, nc), pa.uint64()),
                 # shuffle key: (combo, key-hash bucket) — co-locates every
                 # (q, qv) group while keeping the group count at
-                # nc x _N_CAND_BUCKETS instead of nc x 2^key-width
+                # nc x B instead of nc x 2^key-width
                 # (per-group dispatch amortization, as in minhash/ngram)
-                "qb": pa.array((qv64 % _N_CAND_BUCKETS).astype(np.int64), pa.int64()),
+                "qb": pa.array((qv64 % B).astype(np.int64), pa.int64()),
             }
         )
 
@@ -631,7 +661,9 @@ def simhash_near_dups(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def decontaminate(sf_dir: str, k: int = 5, every: int = 50) -> rd.Dataset:
+def decontaminate(
+    sf_dir: str, k: int = 5, every: int = 50, max_driver_rows: int = _MAX_DRIVER_ROWS
+) -> rd.Dataset:
     """Benchmark decontamination: count, per training document, the
     distinct k-gram shingles it shares with a held-out eval set — the
     standard pre-training hygiene op (n-gram overlap against benchmark
@@ -642,9 +674,14 @@ def decontaminate(sf_dir: str, k: int = 5, every: int = 50) -> rd.Dataset:
     Scale shape — the broadcast-small-side pattern, zero shuffle:
 
       pass 1 (small side): distinct shingle hashes of the eval slice,
-        np.unique'd per batch then once on the driver; the collected
-        array is sized by the BENCHMARK SUITE, not the corpus, and is
-        broadcast once via ray.put
+        np.unique'd per batch, deduped ACROSS batches by a distributed
+        groupby-distinct, and only then collected (guarded by
+        ``bounded_driver_frame``) and broadcast once via ray.put. With a
+        real benchmark suite the collected array is sized by the SUITE,
+        not the corpus; the ``doc_id % every == 0`` stand-in used here is
+        a corpus-proportional slice (1/every of the corpus), so the
+        distributed dedup + driver guard — not the suite-is-small
+        assumption — is what bounds the driver pull
       pass 2 (corpus): embarrassingly parallel map_batches — per doc,
         sorted-array membership count (searchsorted) against the
         broadcast set; emits (doc_id, n_overlap) only for contaminated
@@ -668,9 +705,17 @@ def decontaminate(sf_dir: str, k: int = 5, every: int = 50) -> rd.Dataset:
         hv = np.concatenate(parts) if parts else np.array([], dtype=np.int64)
         return pa.table({"sh": pa.array(np.unique(hv), pa.int64())})
 
-    ev = np.unique(
-        ds.map_batches(eval_hashes, batch_format="pyarrow").to_pandas()["sh"].to_numpy()
+    from ray.data.aggregate import Count
+
+    ev_frame = bounded_driver_frame(
+        ds.map_batches(eval_hashes, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["sh"]),
+        "decontaminate eval shingle set",
+        max_driver_rows,
     )
+    ev = np.sort(ev_frame["sh"].to_numpy(dtype=np.int64))
     ev_ref = ray.put(ev)
 
     _empty = pa.table(

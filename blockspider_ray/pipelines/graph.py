@@ -86,7 +86,11 @@ def host_graph(pages_dir: str) -> rd.Dataset:
 
 
 def _bucket_col(keys: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
-    b = hash64(keys.to_pylist()) % np.uint64(n_buckets)
+    # zero-copy-ish object view of the Arrow string array (no python
+    # list materialization) -> vectorized siphash, the same path as
+    # stages/links.py's route hot loop
+    arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    b = hash64(arr.to_numpy(zero_copy_only=False)) % np.uint64(n_buckets)
     return pa.array(b.astype(np.int64), pa.int64())
 
 

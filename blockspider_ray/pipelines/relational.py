@@ -372,6 +372,11 @@ def asof_join_events(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
     salted by time range. Inner semantics: purchases with no prior
     signup emit nothing (keeps every output column non-null — no
     int64/NaN dtype churn across the hash compare)."""
+    if n_buckets < 1 or n_buckets & (n_buckets - 1):
+        # the bucket key below is bit_wise_and(user, n_buckets - 1) — a
+        # modulus only when n_buckets is a power of two (any other value
+        # silently merges/skews buckets)
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
     ev = T(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
 
     def tag(t: pa.Table) -> pa.Table:

@@ -33,6 +33,44 @@ def fetch_batch(batch: pa.Table, *, pages_refs: dict, n_pshards: int) -> pa.Tabl
     return batch.append_column("html", htmls)
 
 
+def fetch_batch_rpc(batch: pa.Table, *, rpc_url: str, max_conns: int = 8) -> pa.Table:
+    """Fetch over the JSON-RPC façade — the load-bearing network path
+    (reference semantics: the crawler pulls every block over JSON-RPC,
+    /root/reference/common/rpc.go:69-93 one ``eth_getBlockByNumber`` call
+    per block, run concurrently under the synchronizer's MaxRoutines cap,
+    /root/reference/crawler/blocks.go:55-80). Here: one ``sim_getPage``
+    call per scheduled URL against a served ``SimulatorHTTPD`` store,
+    ``max_conns`` concurrent connections per batch (the MaxRoutines
+    analog). Politeness is enforced upstream by the scheduler's token
+    budget — batches arrive host-grouped and politeness-bounded, so the
+    per-batch connection cap is the only extra throttle needed.
+
+    Byte parity with the zero-copy path: the daemon base64-encodes the
+    stored html verbatim, so decoded bytes are identical to a
+    ``SharedPages`` gather (pinned by test_conformance); missing URLs
+    come back null, like ``lookup_col``'s null-safe take."""
+    import base64
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..sources.httpd import rpc
+
+    urls = batch.column("url").to_pylist()
+
+    def one(u: str) -> bytes | None:
+        r = rpc(rpc_url, "sim_getPage", [u])
+        rec = r.get("result")
+        if rec is None or rec.get("html") is None:
+            return None
+        return base64.b64decode(rec["html"])
+
+    if urls:
+        with ThreadPoolExecutor(max_workers=min(max_conns, len(urls))) as ex:
+            htmls = list(ex.map(one, urls))
+    else:
+        htmls = []
+    return batch.append_column("html", pa.array(htmls, pa.binary()))
+
+
 class FetchSim:
     """Disk-backed variant (actor-state LRU of url->html dicts) — kept for
     deployments without an object-store-resident page set."""

