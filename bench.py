@@ -144,13 +144,20 @@ def bench_crawl(fixture: str) -> dict:
         exact_seen=True,
     )
     # A/B knob: rounds with <= this many URLs skip the Dataset executor and
-    # run the same fused stage as plain Ray tasks (engine default 30000;
-    # raise above max_urls_per_round to make EVERY round direct-task)
-    direct_thr = int(os.environ.get("BSR_DIRECT_THRESHOLD", "30000"))
+    # run the same fused stage as plain Ray tasks (engine default 1M — the
+    # bench rounds are 1M-capped, so every round goes direct; lower it to
+    # A/B the Dataset-executor path)
+    direct_thr = int(os.environ.get("BSR_DIRECT_THRESHOLD", "1000000"))
+    # batch-size CAP for the fused per-batch stage: the engine sizes each
+    # round's chunks as min(cap, ceil(n/(4*ncpu))) — at high parallelism a
+    # low cap multiplies the per-task dispatch count through the single
+    # raylet (task-wave quantization, the measured E(8->32) loss), so the
+    # cap is level-tunable here
+    bs_cap = int(os.environ.get("BSR_BENCH_BS", "2048"))
     s0, tot0 = _cpu_ticks()
     t0 = time.time()
     eng = CrawlEngine(
-        pages_dir, seeds, cfg, out, ckpt_dir=ckpt, batch_size=2048,
+        pages_dir, seeds, cfg, out, ckpt_dir=ckpt, batch_size=bs_cap,
         direct_task_threshold=direct_thr,
     )
     startup = time.time() - t0

@@ -516,7 +516,7 @@ class CrawlEngine:
         fetch_concurrency: int = 8,
         route_concurrency: int = 4,
         batch_size: int = 1024,
-        direct_task_threshold: int = 30000,
+        direct_task_threshold: int = 1_000_000,
         name: str | None = None,
         sink_transport=None,
         rpc_url: str | None = None,
@@ -764,11 +764,17 @@ class CrawlEngine:
             # mega-host round (one pshard -> one block) runs single-threaded
             chunks = [b.slice(off, bs) for b in blocks for off in range(0, b.num_rows, bs)]
             if n_take <= self.direct_task_threshold:
-                # tail/drain rounds: the Dataset executor's fixed planning
-                # cost (~1s) dwarfs the work — submit the same fused stage
-                # as plain tasks over the pre-built chunks instead. Large
-                # rounds (the 10^10-scale steady state) always take the
-                # Dataset path below.
+                # small-to-medium rounds: the Dataset executor's fixed
+                # planning cost (~1s per round) is a material tax — at a
+                # 1M-URL round it measured 20-25% of the 32-cpu pipeline
+                # wall (back-to-back A/B on the 4M-page fixture: 35.3s vs
+                # 46-49s pipeline, identical output) — so submit the same
+                # fused stage as plain tasks over the pre-built chunks.
+                # Rounds past the threshold (the 10^10-scale steady
+                # state, >=10^7 URLs, where 1s amortizes to <1% and the
+                # chunk count would make an unpaced driver-side task
+                # storm) take the Dataset path below with its streaming
+                # backpressure.
                 summaries = [r for r in ray.get([_process_task.remote(c, **fn_kwargs) for c in chunks])]
                 n_written = sum(r["n"][0].as_py() for r in summaries)
                 stage_sec = {
