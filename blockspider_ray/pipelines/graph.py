@@ -116,10 +116,18 @@ def pagerank(
         g["w_norm"] = g["w"] / g.groupby("src")["w"].transform("sum")
         return g[["src", "dst", "w_norm"]]
 
+    # Every per-iteration dataset is repartitioned to a FIXED block
+    # count before materializing: groupby/map_groups emits one block per
+    # INPUT block and union concatenates block lists, so without the cap
+    # the rank table gains ~2x n_buckets blocks per iteration and the
+    # per-block task overhead makes iteration k cost O(k) (measured:
+    # 0.95s -> 3.4s per contribute pass by iteration 3; k=8 ran 96s on a
+    # 390-edge graph). With the cap every iteration is constant-cost.
     edges_n = (
         edges.map_batches(add_bucket_src, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(normalize, batch_format="pandas")
+        .repartition(n_buckets)
         .materialize()
     )
 
@@ -142,6 +150,7 @@ def pagerank(
         .groupby("host")
         .aggregate(Count(alias_name="_n"))
         .select_columns(["host"])
+        .repartition(n_buckets)
         .materialize()
     )
     n = nodes.count()
@@ -203,6 +212,7 @@ def pagerank(
             .union(edges_n.map_batches(tag_edge, batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(contribute, batch_format="pandas")
+            .repartition(n_buckets)
             .materialize()
         )
         row = parts.filter(expr=f'dst == "{_DANGLE}"').sum("part", ignore_nulls=True)
@@ -244,6 +254,7 @@ def pagerank(
             .union(parts.map_batches(tag_part, batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(apply_rank, batch_format="pandas")
+            .repartition(n_buckets)
             .materialize()
         )
 

@@ -30,8 +30,11 @@ re-crawl). The simulator stays deterministic (mutations are explicit
 RPC calls, not dice rolls — SURVEY.md documents the divergence: a
 seeded test fixture must not self-mutate).
 
-Server is stdlib ``ThreadingHTTPServer`` on localhost; no third-party
-HTTP stack exists in (or is needed by) this repo.
+Server is stdlib ``ThreadingHTTPServer`` on localhost TCP or (like the
+reference's ipc dialer scheme, common/rpc.go:25-55) on a unix-domain
+socket via ``unix_path=``; the ``rpc()`` client dispatches on the
+``http://`` / ``ipc://`` scheme. No third-party HTTP stack exists in
+(or is needed by) this repo.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import socket
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -48,13 +52,39 @@ JSONRPC = "2.0"
 CLIENT_VERSION = "blockspider-ray-simd/0.1"
 
 
+class _UnixHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer over AF_UNIX — the ipc:// dialer transport
+    (the reference dialer speaks http/ipc/ws by URL scheme,
+    /root/reference/common/rpc.go:25-55; ws adds nothing over http for
+    a request/response RPC and is intentionally out of scope)."""
+
+    address_family = socket.AF_UNIX
+
+    def server_bind(self):
+        if os.path.exists(self.server_address):
+            os.unlink(self.server_address)
+        super().server_bind()
+
+    def get_request(self):
+        # AF_UNIX accept() returns '' for the peer address; hand the
+        # handler a tuple so BaseHTTPRequestHandler's bookkeeping works
+        request, _ = self.socket.accept()
+        return request, ("ipc", 0)
+
+
 class SimulatorHTTPD:
     """Serve one page store over JSON-RPC on localhost.
 
     ``port=0`` binds an ephemeral port (read it from ``.port`` after
     construction). ``start()``/``close()`` own a daemon thread."""
 
-    def __init__(self, pages_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        pages_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        unix_path: str | None = None,
+    ):
         from .pages import PageStore
 
         self.pages_dir = pages_dir
@@ -81,8 +111,15 @@ class SimulatorHTTPD:
                 self.end_headers()
                 self.wfile.write(body)
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
-        self.host, self.port = self._httpd.server_address[:2]
+        if unix_path is not None:
+            # ipc transport: same RPC surface over a unix-domain socket
+            self._httpd = _UnixHTTPServer(unix_path, Handler)
+            self.host, self.port = None, None
+            self.unix_path = unix_path
+        else:
+            self._httpd = ThreadingHTTPServer((host, port), Handler)
+            self.host, self.port = self._httpd.server_address[:2]
+            self.unix_path = None
         self._thread: threading.Thread | None = None
 
     # --- rpc dispatch ---------------------------------------------------
@@ -160,6 +197,8 @@ class SimulatorHTTPD:
 
     @property
     def url(self) -> str:
+        if self.unix_path is not None:
+            return f"ipc://{self.unix_path}"
         return f"http://{self.host}:{self.port}/"
 
     def close(self) -> None:
@@ -168,14 +207,42 @@ class SimulatorHTTPD:
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+        if self.unix_path is not None and os.path.exists(self.unix_path):
+            os.unlink(self.unix_path)
+
+
+def _rpc_ipc(sock_path: str, body: bytes, timeout: float) -> dict:
+    """One HTTP/1.1 POST over a unix-domain socket (Connection: close —
+    the simplest correct framing for a one-shot RPC)."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.settimeout(timeout)
+        s.connect(sock_path)
+        s.sendall(
+            b"POST / HTTP/1.1\r\nHost: localhost\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: %d\r\nConnection: close\r\n\r\n" % len(body)
+            + body
+        )
+        data = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+    _, _, payload = data.partition(b"\r\n\r\n")
+    return json.loads(payload)
 
 
 def rpc(base_url: str, method: str, params: list | None = None, timeout: float = 10.0) -> dict:
-    """Minimal stdlib JSON-RPC client (the test/ops counterpart of the
-    reference crawler's rpc client, /root/reference/rpc/rpc.go)."""
+    """Minimal stdlib JSON-RPC client, scheme-dispatched like the
+    reference dialer (/root/reference/common/rpc.go:25-55): ``http://``
+    over TCP, ``ipc://<socket path>`` over a unix-domain socket (the
+    test/ops counterpart of the reference crawler's rpc client)."""
+    body = json.dumps({"id": 1, "jsonrpc": JSONRPC, "method": method, "params": params or []}).encode()
+    if base_url.startswith("ipc://"):
+        return _rpc_ipc(base_url[len("ipc://"):], body, timeout)
     import urllib.request
 
-    body = json.dumps({"id": 1, "jsonrpc": JSONRPC, "method": method, "params": params or []}).encode()
     req = urllib.request.Request(base_url, data=body, headers={"Content-Type": "application/json"})
     with urllib.request.urlopen(req, timeout=timeout) as r:
         return json.loads(r.read())

@@ -432,6 +432,33 @@ class TestSimulatorHTTPD:
         finally:
             srv.close()
 
+    def test_ipc_transport(self, tiny_fixture, tmp_path_factory):
+        """The ipc:// dialer scheme (the reference dialer speaks
+        http/ipc by URL scheme, common/rpc.go:25-55): the same RPC
+        surface served over a unix-domain socket, including a page
+        lookup whose bytes match the store."""
+        import base64
+
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.sources.httpd import CLIENT_VERSION, SimulatorHTTPD, rpc
+
+        pages_dir, _ = tiny_fixture
+        sock = str(tmp_path_factory.mktemp("ipc")) + "/sim.sock"
+        srv = SimulatorHTTPD(pages_dir, unix_path=sock).start()
+        try:
+            assert srv.url == f"ipc://{sock}"
+            assert rpc(srv.url, "sim_clientVersion")["result"] == CLIENT_VERSION
+            head = rpc(srv.url, "sim_head")["result"]
+            assert head["n_pages"] > 0
+            t0 = pq.read_table(f"{pages_dir}/pshard=0/part.parquet")
+            url0 = t0.column("url")[0].as_py()
+            page = rpc(srv.url, "sim_getPage", [url0])["result"]
+            assert base64.b64decode(page["html"]) == t0.column("html")[0].as_py()
+        finally:
+            srv.close()
+        assert not os.path.exists(sock)
+
     def test_mutation_over_http_picked_up_by_follow(self, tiny_fixture, tmp_path_factory):
         """The network path end-to-end: a crawl runs, a reorg arrives as
         a sim_mutate RPC (not a direct file write), the follow-mode poll
