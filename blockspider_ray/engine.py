@@ -193,6 +193,12 @@ class ShardActor:
         self._seen_delta: list[np.ndarray] = []
         self._seen_delta_urls: list[list[str]] = []
 
+    def set_robots(self, robots_prefixes: dict[str, list]) -> None:
+        """Deliver this shard's parsed robots rules after construction —
+        lets actor spawn overlap the robots scan (robots are only read
+        at finalize, and the engine seeds only after this lands)."""
+        self.robots = robots_prefixes
+
     # --- ingestion (called from RouteLinks tasks; order-independent) ----
     def ingest(self, table: pa.Table) -> None:
         self._pending_links.append(table)
@@ -556,30 +562,47 @@ class CrawlEngine:
         # the window digest probe entirely
         self._store_dirty = True
 
-        # robots scan: one Ray task per physical shard (overlaps the
-        # parallel page-shard loads fired by put_store above)
-        from .sources.pages import read_robots_parallel
+        # startup overlap: the robots scan tasks, the page-shard load
+        # tasks (put_store above) and the 32 actor PROCESS SPAWNS all run
+        # concurrently — actors start with empty robots and receive their
+        # shard's rules in one tiny RPC once the scan lands (robots are
+        # only consulted at finalize, and the first finalize is the seed
+        # barrier below, after set_robots). Serializing these three was
+        # most of engine-construction wall (startup_sec in bench.py).
+        from .sources.pages import read_robots_async
 
-        robots_all = {h: parse_robots(t) for h, t in read_robots_parallel(pages_dir).items()}
-        host_shard = {
-            h: int(s) for h, s in zip(robots_all, hash64(list(robots_all)) % np.uint64(cfg.shards))
-        } if robots_all else {}
+        robots_refs = read_robots_async(pages_dir)
 
         self.actors = []
         for s in range(cfg.shards):
-            shard_robots = {h: r for h, r in robots_all.items() if host_shard.get(h) == s and r}
             self.actors.append(
                 ShardActor.options(name=f"{self.ns}-shard-{s}").remote(
                     s,
                     cfg.shards,
                     pages_dir,
-                    shard_robots,
+                    {},
                     tokens_per_host=cfg.tokens_per_host_per_round,
                     rollback_window=cfg.rollback_window,
                     cuckoo_capacity=cfg.cuckoo_capacity_per_shard,
                     exact_seen=cfg.exact_seen,
                 )
             )
+
+        robots_all: dict[str, list] = {}
+        for part in ray.get(robots_refs):
+            for h, t in part.items():
+                robots_all[h] = parse_robots(t)
+        host_shard = {
+            h: int(s) for h, s in zip(robots_all, hash64(list(robots_all)) % np.uint64(cfg.shards))
+        } if robots_all else {}
+        ray.get(
+            [
+                a.set_robots.remote(
+                    {h: r for h, r in robots_all.items() if host_shard.get(h) == s and r}
+                )
+                for s, a in enumerate(self.actors)
+            ]
+        )
 
         self.start_round = 0
         self._next_round = 0

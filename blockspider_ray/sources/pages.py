@@ -174,6 +174,16 @@ def _tasks():
     return _LOAD_TASK, _ROBOTS_TASK
 
 
+def read_robots_async(pages_dir: str) -> list:
+    """Fire one robots-scan Ray task per physical shard and return the
+    refs WITHOUT waiting — the engine overlaps this scan with the shard
+    loads and the actor process spawns (startup is wall-serial
+    otherwise; the three together dominate engine-construction time)."""
+    store = PageStore(pages_dir)
+    _, robots_task = _tasks()
+    return [robots_task.remote(store._shard_path(s)) for s in range(store.n_shards)]
+
+
 def read_robots_parallel(pages_dir: str) -> dict[str, str]:
     """host -> robots.txt body for every host that has one, scanned by
     one Ray task per physical shard (the serial driver loop in
@@ -181,9 +191,7 @@ def read_robots_parallel(pages_dir: str) -> dict[str, str]:
     Ray session)."""
     import ray
 
-    store = PageStore(pages_dir)
-    _, robots_task = _tasks()
-    parts = ray.get([robots_task.remote(store._shard_path(s)) for s in range(store.n_shards)])
+    parts = ray.get(read_robots_async(pages_dir))
     out: dict[str, str] = {}
     for d in parts:
         out.update(d)
