@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,
+        # IVF-flat ANN (approximate recall, exact per-candidate sims —
+        # no SQL oracle; pytest pins recall + sim exactness vs knn_cosine)
+        "knn_ivf": similarity.knn_ivf,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
         "label_centroids": similarity.label_centroids,

@@ -211,6 +211,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "asof_join_events",
         "knn_cosine",
         "knn_lsh",
+        "knn_ivf",
         "embedding_near_dup_pairs",
         "label_centroids",
         # iterative + flagship pipelines (VERDICT r3 item 4: track the

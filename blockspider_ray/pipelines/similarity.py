@@ -156,6 +156,104 @@ def knn_lsh(sf_dir: str, n_tables: int = 32, n_planes: int = 5) -> pd.DataFrame:
     return out.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
 
 
+def knn_ivf(
+    sf_dir: str,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    train_sample: int = 4096,
+    iters: int = 10,
+) -> pd.DataFrame:
+    """IVF-flat ANN — the inverted-file scale path (complementing the
+    multi-table LSH variant): a spherical k-means coarse quantizer is
+    trained on a FIXED-SIZE sample (the driver holds train_sample x dim
+    floats — sized by the quantizer, not the corpus), the centroid
+    matrix is broadcast once, and the corpus pass assigns each vector to
+    its nearest centroid and scores cosine ONLY for vectors whose list
+    is among the query's ``n_probe`` nearest lists — scan fraction
+    ~ n_probe/n_lists. Per-batch partial top-k + one final per-query
+    merge, the same combiner shape as ``knn_cosine``.
+
+    At 10^10 vectors the assign pass runs once and writes a
+    list-partitioned parquet index (resumable layout; queries then read
+    only their probed partitions); at bench scale assign and probe fuse
+    into one map_batches pass, so the index build IS the scan. Every
+    returned sim is the TRUE cosine (candidates are scored exactly);
+    only recall is approximate — rows-only oracle, pytest pins recall
+    against ``knn_cosine`` and per-row sim exactness."""
+    qids, qm = _query_matrix(sf_dir)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    # --- train the coarse quantizer on a fixed-size deterministic sample
+    sample = (
+        T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id >= {N_QUERIES}")
+        .limit(train_sample)
+        .to_pandas()  # quantizer-sized, not corpus-sized
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(43)
+    cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(len(cent)):
+            rows = X[assign == c]
+            if len(rows):
+                v = rows.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    # query probe lists: the n_probe nearest centroids per query
+    qprobe = np.argsort(-(qn @ cent.T), axis=1)[:, : min(n_probe, len(cent))]
+    ref = ray.put((qids, qn, cent, qprobe))
+
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _empty = pa.table(
+        {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids_, qn_, cent_, qprobe_ = ray.get(ref)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mask = vids >= N_QUERIES
+        if not mask.any():
+            return _empty
+        m = _emb_matrix(t)[mask]
+        vids = vids[mask]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        lists = np.argmax(mn @ cent_.T, axis=1)  # IVF assignment
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            cand = np.flatnonzero(np.isin(lists, qprobe_[qi]))
+            if len(cand) == 0:
+                continue
+            sims = mn[cand] @ qn_[qi]
+            k = min(K, len(cand))
+            idx = np.argpartition(-sims, k - 1)[:k]
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_v.extend(vids[cand][idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        if not out_q:
+            return _empty
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(K)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["sim"] = out["sim"].round(3)
+    return out.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     """Embedding-cosine near-duplicate PAIRS, exact (the SQL-oracle-able
     member of the embedding-dedup family; ``embedding_near_dup_lsh`` is

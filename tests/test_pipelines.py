@@ -406,6 +406,27 @@ class TestSimilaritySemantics:
         # defaults are tuned for ~0.6 expected recall there
         assert np.mean(recalls) >= 0.45, f"ANN recall too low: {recalls}"
 
+    def test_ivf_recall_and_sim_exactness(self):
+        """IVF-flat ANN: candidates are scored with TRUE cosine, so every
+        returned (qid, vec_id) that brute force also returns must carry
+        the identical sim; recall is bounded below (uniform-random
+        embeddings are IVF's worst case too — centroids carve a nearly
+        isotropic ball, hence the conservative floor)."""
+        from blockspider_ray.pipelines.similarity import knn_cosine, knn_ivf
+
+        exact = knn_cosine(SF)
+        approx = knn_ivf(SF)
+        ex = {(r.qid, r.vec_id): r.sim for r in exact.itertuples()}
+        ap = {(r.qid, r.vec_id): r.sim for r in approx.itertuples()}
+        for k in set(ex) & set(ap):
+            assert abs(ex[k] - ap[k]) < 1e-9
+        recalls = []
+        for qid in exact["qid"].unique():
+            e = {v for (q, v) in ex if q == qid}
+            a = {v for (q, v) in ap if q == qid}
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5, f"IVF recall too low: {recalls}"
+
     def test_embedding_near_dup_lsh_subset_and_planted_recall(self, tmp_path):
         """embedding_near_dup_lsh is approximate, so no SQL oracle; the
         sound contract: every emitted pair appears in the exact all-pairs
