@@ -60,7 +60,11 @@ def dedup_keys(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fp_keys, batch_format="pyarrow")
 
 
-def loser_keys(keys: rd.Dataset, n_buckets: int | None = None) -> np.ndarray:
+def loser_keys(
+    keys: rd.Dataset,
+    n_buckets: int | None = None,
+    max_broadcast_losers: int = 200_000_000,
+) -> np.ndarray:
     """First-wins dedup decision, dispatch-amortized: the shuffle key is
     ``fp % B`` (B ~ cluster CPUs via ``n_shuffle_buckets``) — NOT the raw
     fingerprint, which at corpus scale is one group per document and pays
@@ -68,8 +72,14 @@ def loser_keys(keys: rd.Dataset, n_buckets: int | None = None) -> np.ndarray:
     lexsort run-scan keeps the minimal ``round<<32|seq`` per fingerprint
     run and emits every OTHER row's combined key (the same pattern as
     dedup.py's candidate shuffles). Returns the sorted loser-key array
-    (sized by the duplicate count only)."""
-    from .common import n_shuffle_buckets
+    (sized by the duplicate count only).
+
+    ``max_broadcast_losers`` caps the driver-heap landing (via
+    ``bounded_driver_frame``): one int64 per duplicate row, so the
+    default 2e8 is ~1.6 GB of keys — past that the corpus is degenerate
+    and the loser set should be spilled to parquet and the anti-filter
+    run per round-range instead of one global broadcast."""
+    from .common import bounded_driver_frame, n_shuffle_buckets
 
     B = n_buckets or n_shuffle_buckets()
 
@@ -104,11 +114,12 @@ def loser_keys(keys: rd.Dataset, n_buckets: int | None = None) -> np.ndarray:
             return _empty
         return pd.DataFrame({"k": k_s[~first]})
 
-    lose = (
+    lose = bounded_driver_frame(
         keys.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("fpb")
-        .map_groups(losers, batch_format="pandas")
-        .to_pandas()  # loser keys only — duplicate-bounded
+        .map_groups(losers, batch_format="pandas"),
+        "corpus_prep loser_keys (duplicate-bounded broadcast)",
+        max_rows=max_broadcast_losers,
     )
     if len(lose) == 0:
         return np.array([], dtype=np.uint64)

@@ -124,6 +124,9 @@ def join_orders_lineitem(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
     deliberate all-to-all, with the combiner discipline of SURVEY.md §4.
     Hot-key note: TPC-H keys are uniform; for skewed keys the bucket
     column would be salted (key %% B + salt of the hot keys)."""
+    assert n_buckets & (n_buckets - 1) == 0, (
+        f"n_buckets must be a power of two (bit_wise_and bucketing), got {n_buckets}"
+    )
     li = T(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def tag_left(t: pa.Table) -> pa.Table:

@@ -41,20 +41,55 @@ def tumbling_hour(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
-def sessionize(sf_dir: str) -> pd.DataFrame:
-    """Session windows (30-min gap) per user via groupby().map_groups
-    over the ts-sorted group — the per-key ordered-log pattern."""
+def sessionize(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
+    """Session windows (30-min gap) per user — dispatch-amortized with
+    the house bucketed run-scan pattern (same as ``corpus.loser_keys``):
+    the shuffle key is ``hash(user) % B`` (B ~ cluster CPUs), NOT the raw
+    user_id, which at 10^8+ users would pay Ray's per-group pandas
+    dispatch once per user. Inside each bucket one numpy lexsort orders
+    (user, ts); session starts are a single vectorized comparison over
+    the sorted run (gap > 30 min OR user boundary), and the per-user
+    counts come from one ``np.unique`` run-length pass."""
+    import numpy as np
+
+    from .common import n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
     ds = T(sf_dir, "events", columns=["user_id", "ts"])
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = t["user_id"]
+        b = pc.cast(pc.bit_wise_and(pc.cast(uid, pa.int64()), B - 1), pa.int64())
+        return pa.table({"bucket": b, "user_id": uid, "ts": t["ts"]})
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        n_sessions = int(gap.sum()) + 1
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        new_user = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        gap_ns = np.int64(30 * 60 * 1_000_000_000)
+        new_session = new_user.copy()
+        np.greater(np.diff(ts_s), gap_ns, out=new_session[1:], where=~new_user[1:])
+        users, starts, counts = np.unique(uid_s, return_index=True, return_counts=True)
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), starts)
         return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
+            {
+                "user_id": users,
+                "n_sessions": n_sessions,
+                "n_events": counts.astype(np.int64),
+            }
         )
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
     out["n_sessions"] = out["n_sessions"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)

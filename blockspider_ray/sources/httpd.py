@@ -32,8 +32,10 @@ seeded test fixture must not self-mutate).
 
 Server is stdlib ``ThreadingHTTPServer`` on localhost TCP or (like the
 reference's ipc dialer scheme, common/rpc.go:25-55) on a unix-domain
-socket via ``unix_path=``; the ``rpc()`` client dispatches on the
-``http://`` / ``ipc://`` scheme. No third-party HTTP stack exists in
+socket via ``unix_path=``; the TCP listener also answers WebSocket
+upgrades (RFC 6455, stdlib-only framing) so the full reference dialer
+scheme set — ``http://`` / ``ipc://`` / ``ws://`` — is served and
+dispatched by the ``rpc()`` client. No third-party HTTP stack exists in
 (or is needed by) this repo.
 """
 
@@ -43,6 +45,8 @@ import base64
 import json
 import os
 import socket
+import socketserver
+import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -51,19 +55,88 @@ import pyarrow.parquet as pq
 JSONRPC = "2.0"
 CLIENT_VERSION = "blockspider-ray-simd/0.1"
 
+# --- WebSocket (RFC 6455) minimal framing -------------------------------
+# The reference dialer speaks http, ipc AND ws by URL scheme
+# (/root/reference/common/rpc.go:25-55, ws branch :39-44); this is the ws
+# leg: stdlib-only handshake + single-frame text messages (no
+# fragmentation — every JSON-RPC body fits one frame; client frames are
+# masked per spec, server frames are not).
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _ws_accept_key(key: str) -> str:
+    import hashlib
+
+    return base64.b64encode(hashlib.sha1((key + _WS_GUID).encode()).digest()).decode()
+
+
+def _ws_frame(payload: bytes, *, mask: bool, opcode: int = 1) -> bytes:
+    hdr = bytearray([0x80 | opcode])  # FIN + opcode
+    n = len(payload)
+    mbit = 0x80 if mask else 0
+    if n < 126:
+        hdr.append(mbit | n)
+    elif n < (1 << 16):
+        hdr.append(mbit | 126)
+        hdr += struct.pack(">H", n)
+    else:
+        hdr.append(mbit | 127)
+        hdr += struct.pack(">Q", n)
+    if mask:
+        key = os.urandom(4)
+        hdr += key
+        payload = _ws_xor(payload, key)
+    return bytes(hdr) + payload
+
+
+def _ws_xor(payload: bytes, key: bytes) -> bytes:
+    import numpy as np
+
+    n = len(payload)
+    if n == 0:
+        return payload
+    k = np.frombuffer((key * ((n + 3) // 4))[:n], np.uint8)
+    return (np.frombuffer(payload, np.uint8) ^ k).tobytes()
+
+
+def _ws_recv(rfile) -> tuple[int | None, bytes]:
+    """Read one frame; returns (opcode, payload), (None, b'') on EOF."""
+    hdr = rfile.read(2)
+    if len(hdr) < 2:
+        return None, b""
+    opcode = hdr[0] & 0x0F
+    masked = bool(hdr[1] & 0x80)
+    n = hdr[1] & 0x7F
+    if n == 126:
+        n = int.from_bytes(rfile.read(2), "big")
+    elif n == 127:
+        n = int.from_bytes(rfile.read(8), "big")
+    key = rfile.read(4) if masked else b""
+    payload = rfile.read(n) if n else b""
+    if masked and payload:
+        payload = _ws_xor(payload, key)
+    return opcode, payload
+
 
 class _UnixHTTPServer(ThreadingHTTPServer):
     """ThreadingHTTPServer over AF_UNIX — the ipc:// dialer transport
     (the reference dialer speaks http/ipc/ws by URL scheme,
-    /root/reference/common/rpc.go:25-55; ws adds nothing over http for
-    a request/response RPC and is intentionally out of scope)."""
+    /root/reference/common/rpc.go:25-55; the ws leg is served by the
+    same TCP listener via the GET-Upgrade path below)."""
 
     address_family = socket.AF_UNIX
 
     def server_bind(self):
+        # HTTPServer.server_bind unpacks ``host, port =
+        # self.server_address[:2]`` — for AF_UNIX the address is a str
+        # path, so that slice is two CHARACTERS of the path. Bypass it:
+        # bind via the socketserver base and set the name fields
+        # explicitly (they only feed logging/getfqdn).
         if os.path.exists(self.server_address):
             os.unlink(self.server_address)
-        super().server_bind()
+        socketserver.TCPServer.server_bind(self)
+        self.server_name = "ipc"
+        self.server_port = 0
 
     def get_request(self):
         # AF_UNIX accept() returns '' for the peer address; hand the
@@ -110,6 +183,39 @@ class SimulatorHTTPD:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_GET(self):
+                # ws:// leg: GET + Upgrade on the SAME listener (the
+                # reference node serves http and ws RPC on one surface;
+                # the dialer picks by scheme, common/rpc.go:25-55)
+                if self.headers.get("Upgrade", "").lower() != "websocket":
+                    self.send_error(404, "only websocket upgrade is served on GET")
+                    return
+                key = self.headers.get("Sec-WebSocket-Key", "")
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header("Sec-WebSocket-Accept", _ws_accept_key(key))
+                self.end_headers()
+                # frame loop: each text frame carries one JSON-RPC request
+                while True:
+                    op, payload = _ws_recv(self.rfile)
+                    if op is None or op == 8:  # EOF / close
+                        try:
+                            self.wfile.write(_ws_frame(b"", mask=False, opcode=8))
+                        except OSError:
+                            pass
+                        break
+                    if op == 9:  # ping -> pong
+                        self.wfile.write(_ws_frame(payload, mask=False, opcode=10))
+                        continue
+                    try:
+                        req = json.loads(payload or b"{}")
+                    except json.JSONDecodeError:
+                        req = {}
+                    resp = facade.handle(req)
+                    self.wfile.write(_ws_frame(json.dumps(resp).encode(), mask=False))
+                self.close_connection = True
 
         if unix_path is not None:
             # ipc transport: same RPC surface over a unix-domain socket
@@ -201,6 +307,13 @@ class SimulatorHTTPD:
             return f"ipc://{self.unix_path}"
         return f"http://{self.host}:{self.port}/"
 
+    @property
+    def ws_url(self) -> str:
+        """The same RPC surface over WebSocket (TCP listener only)."""
+        if self.unix_path is not None:
+            raise ValueError("ws:// is served on the TCP listener, not ipc")
+        return f"ws://{self.host}:{self.port}/"
+
     def close(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
@@ -233,16 +346,128 @@ def _rpc_ipc(sock_path: str, body: bytes, timeout: float) -> dict:
     return json.loads(payload)
 
 
+class _WSConn:
+    """One persistent client WebSocket: handshake once, then one masked
+    text frame per RPC call (request/response in lockstep — the calling
+    pattern of the fetch stage's thread pool, one thread per conn)."""
+
+    def __init__(self, url: str, timeout: float):
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(url)
+        host, _, port = parts.netloc.partition(":")
+        self.sock = socket.create_connection((host, int(port or 80)), timeout=timeout)
+        key = base64.b64encode(os.urandom(16)).decode()
+        self.sock.sendall(
+            (
+                f"GET {parts.path or '/'} HTTP/1.1\r\nHost: {parts.netloc}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        self.rfile = self.sock.makefile("rb")
+        status = self.rfile.readline()
+        if b"101" not in status:
+            raise OSError(f"ws handshake rejected: {status!r}")
+        accept = None
+        while True:
+            line = self.rfile.readline()
+            if line in (b"\r\n", b""):
+                break
+            k, _, v = line.decode().partition(":")
+            if k.strip().lower() == "sec-websocket-accept":
+                accept = v.strip()
+        if accept != _ws_accept_key(key):
+            raise OSError("ws handshake: bad Sec-WebSocket-Accept")
+
+    def call(self, body: bytes) -> dict:
+        self.sock.sendall(_ws_frame(body, mask=True))
+        while True:
+            op, payload = _ws_recv(self.rfile)
+            if op is None or op == 8:
+                raise OSError("ws connection closed by server")
+            if op in (1, 2):  # text/binary
+                return json.loads(payload)
+            if op == 9:  # ping -> pong, keep waiting
+                self.sock.sendall(_ws_frame(payload, mask=True, opcode=10))
+
+    def close(self) -> None:
+        try:
+            self.sock.sendall(_ws_frame(b"", mask=True, opcode=8))
+            self.sock.close()
+        except OSError:
+            pass
+
+
+_ws_local = threading.local()
+
+
+def _rpc_ws(base_url: str, body: bytes, timeout: float) -> dict:
+    cache = getattr(_ws_local, "conns", None)
+    if cache is None:
+        cache = _ws_local.conns = {}
+    conn = cache.get(base_url)
+    if conn is None:
+        conn = cache[base_url] = _WSConn(base_url, timeout)
+    try:
+        return conn.call(body)
+    except Exception:
+        # stale socket: reconnect once
+        conn.close()
+        cache.pop(base_url, None)
+        conn = cache[base_url] = _WSConn(base_url, timeout)
+        return conn.call(body)
+
+
+_http_local = threading.local()
+
+
+def _http_conn(netloc: str, timeout: float):
+    """Per-thread persistent HTTP/1.1 connection (keep-alive): the fetch
+    stage's thread pool issues one sim_getPage per URL, and a fresh TCP
+    connect per call both costs a round-trip and churns ephemeral ports.
+    One cached ``http.client.HTTPConnection`` per (thread, netloc)."""
+    import http.client
+
+    cache = getattr(_http_local, "conns", None)
+    if cache is None:
+        cache = _http_local.conns = {}
+    conn = cache.get(netloc)
+    if conn is None:
+        host, _, port = netloc.partition(":")
+        conn = http.client.HTTPConnection(host, int(port or 80), timeout=timeout)
+        cache[netloc] = conn
+    return conn
+
+
+def _rpc_http(base_url: str, body: bytes, timeout: float) -> dict:
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(base_url)
+    conn = _http_conn(parts.netloc, timeout)
+    try:
+        conn.request("POST", parts.path or "/", body, {"Content-Type": "application/json"})
+        return json.loads(conn.getresponse().read())
+    except Exception:
+        # stale keep-alive (server restarted / idle-closed): drop the
+        # cached connection and retry once on a fresh one
+        conn.close()
+        _http_local.conns.pop(parts.netloc, None)
+        conn = _http_conn(parts.netloc, timeout)
+        conn.request("POST", parts.path or "/", body, {"Content-Type": "application/json"})
+        return json.loads(conn.getresponse().read())
+
+
 def rpc(base_url: str, method: str, params: list | None = None, timeout: float = 10.0) -> dict:
     """Minimal stdlib JSON-RPC client, scheme-dispatched like the
     reference dialer (/root/reference/common/rpc.go:25-55): ``http://``
-    over TCP, ``ipc://<socket path>`` over a unix-domain socket (the
-    test/ops counterpart of the reference crawler's rpc client)."""
+    over TCP (per-thread keep-alive connection), ``ipc://<socket path>``
+    over a unix-domain socket, ``ws://`` over a WebSocket (RFC 6455)
+    with a per-thread persistent connection (the test/ops counterpart of
+    the reference crawler's rpc client)."""
     body = json.dumps({"id": 1, "jsonrpc": JSONRPC, "method": method, "params": params or []}).encode()
     if base_url.startswith("ipc://"):
         return _rpc_ipc(base_url[len("ipc://"):], body, timeout)
-    import urllib.request
-
-    req = urllib.request.Request(base_url, data=body, headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=timeout) as r:
-        return json.loads(r.read())
+    if base_url.startswith("ws://"):
+        return _rpc_ws(base_url, body, timeout)
+    return _rpc_http(base_url, body, timeout)

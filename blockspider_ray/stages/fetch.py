@@ -50,6 +50,7 @@ def fetch_batch_rpc(batch: pa.Table, *, rpc_url: str, max_conns: int = 8) -> pa.
     ``SharedPages`` gather (pinned by test_conformance); missing URLs
     come back null, like ``lookup_col``'s null-safe take."""
     import base64
+    import time
     from concurrent.futures import ThreadPoolExecutor
 
     from ..sources.httpd import rpc
@@ -57,11 +58,23 @@ def fetch_batch_rpc(batch: pa.Table, *, rpc_url: str, max_conns: int = 8) -> pa.
     urls = batch.column("url").to_pylist()
 
     def one(u: str) -> bytes | None:
-        r = rpc(rpc_url, "sim_getPage", [u])
-        rec = r.get("result")
-        if rec is None or rec.get("html") is None:
-            return None
-        return base64.b64decode(rec["html"])
+        # bounded retry: a transient daemon hiccup (refused connect,
+        # timeout, truncated read) must not raise out of the Ray task —
+        # application exceptions are NOT retried by Ray, so an unhandled
+        # one aborts the whole round (the reference crawler's RPC loop
+        # likewise survives individual call failures and re-polls).
+        last: Exception | None = None
+        for attempt in range(3):
+            try:
+                r = rpc(rpc_url, "sim_getPage", [u])
+                rec = r.get("result")
+                if rec is None or rec.get("html") is None:
+                    return None
+                return base64.b64decode(rec["html"])
+            except (OSError, ValueError) as e:  # socket/HTTP + JSON decode
+                last = e
+                time.sleep(0.05 * (2**attempt))
+        raise RuntimeError(f"sim_getPage({u!r}) failed after 3 attempts: {last}") from last
 
     if urls:
         with ThreadPoolExecutor(max_workers=min(max_conns, len(urls))) as ex:

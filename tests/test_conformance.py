@@ -134,6 +134,63 @@ class TestRPCFetch:
         assert rlog.equals(dlog)
         assert rseen.equals(dseen)
 
+    def test_crawl_through_ws_rpc_byte_identical(self, tiny_fixture, engine_run, tmp_path_factory):
+        """The ws:// leg of the dialer (common/rpc.go:39-44) is as
+        load-bearing as http: the same crawl fetched over WebSocket
+        frames produces a byte-identical crawl log and seen set."""
+        from blockspider_ray.sources.httpd import SimulatorHTTPD
+
+        pages_dir, seeds = tiny_fixture
+        daemon = SimulatorHTTPD(pages_dir).start()
+        try:
+            out = str(tmp_path_factory.mktemp("engine_out_ws"))
+            eng = CrawlEngine(pages_dir, seeds, small_cfg(), out, rpc_url=daemon.ws_url)
+            eng.run()
+            rlog, rseen = eng.crawl_log(), eng.seen_table()
+            eng.shutdown()
+        finally:
+            daemon.close()
+        dlog, dseen = engine_run
+        assert rlog.equals(dlog)
+        assert rseen.equals(dseen)
+
+    def test_fetch_batch_rpc_retries_transient(self, monkeypatch):
+        """A transient RPC failure (refused connect / timeout) must not
+        raise out of the Ray task — application exceptions are not
+        retried by Ray, so one hiccup would abort the whole round
+        (ADVICE r4). Two planted failures then success -> the page comes
+        back; persistent failure -> a RuntimeError naming the URL."""
+        import base64
+
+        import pyarrow as pa
+        import pytest
+
+        import blockspider_ray.sources.httpd as httpd
+        from blockspider_ray.stages.fetch import fetch_batch_rpc
+
+        calls = {"n": 0}
+        html = b"<html>retry survivor</html>"
+
+        def flaky(url, method, params=None, timeout=10.0):
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                raise OSError("simulated transient daemon hiccup")
+            return {"result": {"url": params[0], "html": base64.b64encode(html).decode()}}
+
+        monkeypatch.setattr(httpd, "rpc", flaky)
+        monkeypatch.setattr("time.sleep", lambda s: None)
+        batch = pa.table({"url": pa.array(["http://h0.example/p0"], pa.string())})
+        out = fetch_batch_rpc(batch, rpc_url="http://fake:1/")
+        assert out.column("html")[0].as_py() == html
+        assert calls["n"] == 3
+
+        def dead(url, method, params=None, timeout=10.0):
+            raise OSError("daemon is gone")
+
+        monkeypatch.setattr(httpd, "rpc", dead)
+        with pytest.raises(RuntimeError, match="failed after 3 attempts"):
+            fetch_batch_rpc(batch, rpc_url="http://fake:1/")
+
 
 class TestSinks:
     def test_predicate_sinks(self, tiny_fixture, tmp_path_factory):

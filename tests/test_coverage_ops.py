@@ -324,6 +324,31 @@ class TestCorpusPrep:
         )
         assert np.array_equal(lose, want)
 
+    def test_loser_keys_driver_cap(self):
+        """``loser_keys`` is the largest duplicate-bounded driver pull
+        in the repo; like the dedup pipelines' pulls it must go through
+        ``bounded_driver_frame`` (ADVICE r4): a dup-heavy planted table
+        trips a tiny ``max_broadcast_losers`` with the spill escape
+        hatch spelled out; an ample cap returns the same loser set."""
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from blockspider_ray.pipelines.corpus import dedup_keys, loser_keys
+
+        n = 40  # 1 winner + 39 losers of one text
+        t = pa.table(
+            {
+                "round": pa.array([0] * n, pa.int64()),
+                "seq": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array(["same body every row"] * n, pa.string()),
+            }
+        )
+        with pytest.raises(RuntimeError, match="driver-collection cap"):
+            loser_keys(dedup_keys(rd.from_arrow(t)), max_broadcast_losers=5)
+        lose = loser_keys(dedup_keys(rd.from_arrow(t)), max_broadcast_losers=n)
+        assert len(lose) == n - 1  # seq 0 wins; every other row is a loser
+
     def test_demo_exact_values(self):
         """Exact (lang, n_docs, sum_tokens) pin for the flagship demo
         (VERDICT r3 item 8): the tiny fixture + fixed config make the
@@ -458,6 +483,37 @@ class TestSimulatorHTTPD:
         finally:
             srv.close()
         assert not os.path.exists(sock)
+
+    def test_ws_transport(self, tiny_fixture):
+        """The ws:// dialer scheme (the reference dialer speaks
+        http/ipc/ws by URL scheme, common/rpc.go:25-55, ws branch
+        :39-44): the same RPC surface over an RFC 6455 WebSocket on the
+        TCP listener, with a persistent per-thread connection carrying
+        several request/response frames, including a page lookup whose
+        bytes match the store and the defined -39001 error."""
+        import base64
+
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.sources.httpd import CLIENT_VERSION, SimulatorHTTPD, rpc
+
+        pages_dir, _ = tiny_fixture
+        srv = SimulatorHTTPD(pages_dir).start()
+        try:
+            ws = srv.ws_url
+            assert ws.startswith("ws://")
+            # several calls in a row exercise the persistent framed conn
+            assert rpc(ws, "sim_clientVersion")["result"] == CLIENT_VERSION
+            head = rpc(ws, "sim_head")["result"]
+            assert head["n_pages"] > 0
+            t0 = pq.read_table(f"{pages_dir}/pshard=0/part.parquet")
+            url0 = t0.column("url")[0].as_py()
+            page = rpc(ws, "sim_getPage", [url0])["result"]
+            assert base64.b64decode(page["html"]) == t0.column("html")[0].as_py()
+            assert rpc(ws, "sim_getPage", ["pending"])["error"]["code"] == -39001
+            assert rpc(ws, "sim_getPage", ["http://nosuch.example/x"])["result"] is None
+        finally:
+            srv.close()
 
     def test_mutation_over_http_picked_up_by_follow(self, tiny_fixture, tmp_path_factory):
         """The network path end-to-end: a crawl runs, a reorg arrives as

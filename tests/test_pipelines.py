@@ -82,6 +82,34 @@ def test_query_matches_oracle(name, ddb):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
 
 
+class TestBucketGuards:
+    def test_join_orders_lineitem_rejects_non_power_of_two(self):
+        """bit_wise_and bucketing is only a mod for power-of-two B: a
+        caller passing e.g. 12 would silently merge/skew buckets
+        (VERDICT r4 item 6 — same guard asof_join_events already has)."""
+        from blockspider_ray.pipelines.relational import join_orders_lineitem
+
+        with pytest.raises(AssertionError, match="power of two"):
+            join_orders_lineitem(SF, n_buckets=12)
+
+    def test_sessionize_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.windows import sessionize
+
+        with pytest.raises(AssertionError, match="power of two"):
+            sessionize(SF, n_buckets=12)
+
+    def test_sessionize_bucket_count_invariant(self):
+        """The bucketed run-scan (hash(user) % B + lexsort + vectorized
+        gap scan, VERDICT r4 item 2) must be a pure dispatch choice: a
+        tiny B (many users per bucket) and a large B (few per bucket)
+        yield identical sessions."""
+        from blockspider_ray.pipelines.windows import sessionize
+
+        a = sessionize(SF, n_buckets=4)
+        b = sessionize(SF, n_buckets=64)
+        pd.testing.assert_frame_equal(a, b)
+
+
 class TestDedupSemantics:
     def test_minhash_subset_of_exact_pairs(self, ddb):
         """minhash_lsh_pairs is probabilistic (16x4 banding), so it is

@@ -64,12 +64,19 @@ def worker(buf_np, core: int, n_urls: int, seed: int, scans: int,
             scratch *= 6364136223846793005
             scratch += 1442695040888963407
             acc ^= int(scratch[0])
-    sec = time.time() - t0
-    out_q.put((core, n_urls / sec, acc & 1))
+    t1 = time.time()
+    out_q.put((core, t0, t1, n_urls, acc & 1))
 
 
 def run_level(buf_np, nworkers: int, urls_per_worker: int, scans: int,
               compute_kb: int, compute_passes: int) -> float:
+    """Level throughput from the workers' OWN timed loops: total urls /
+    (max in-worker end - min in-worker start). The driver wall includes
+    process fork/start/join, an overhead that grows with worker count
+    and so taxes the HIGH level more — biasing the reported ceiling
+    efficiency downward (the ADVICE r4 finding on the load-bearing
+    0.895). In-worker timestamps bracket exactly the gather/scan/compute
+    loop."""
     q = mp.Queue()
     procs = [
         mp.Process(
@@ -78,15 +85,15 @@ def run_level(buf_np, nworkers: int, urls_per_worker: int, scans: int,
         )
         for c in range(nworkers)
     ]
-    t0 = time.time()
     for p in procs:
         p.start()
+    results = [q.get() for _ in range(nworkers)]  # drain BEFORE join: queue feeds block exit
     for p in procs:
         p.join()
-    wall = time.time() - t0
-    while not q.empty():
-        q.get()
-    return nworkers * urls_per_worker / wall
+    t_start = min(r[1] for r in results)
+    t_end = max(r[2] for r in results)
+    total_urls = sum(r[3] for r in results)
+    return total_urls / max(t_end - t_start, 1e-9)
 
 
 def main() -> None:
