@@ -127,7 +127,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from blockspider_ray.pipelines import corpus, dedup, graph, multimodal, relational, similarity, textstats, windows
+    from blockspider_ray.pipelines import clusters, corpus, dedup, graph, multimodal, relational, similarity, textstats, windows
 
     q: dict[str, Callable[[str], Any]] = {
         # relational core (SURVEY.md §2.2, §2.5, §2.6)
@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_near_dups": dedup.simhash_near_dups,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # near-dup cluster resolution: distributed connected components
+        # (hash-to-min) over the exact ngram pair list
+        "near_dup_clusters": clusters.near_dup_clusters,
         "decontaminate": dedup.decontaminate,
         # temporal join (custom operator: bucketed merge_asof)
         "asof_join_events": relational.asof_join_events,
@@ -346,6 +349,29 @@ def oracle_sql() -> dict[str, str]:
         # change; pytest pins it instead as pairs ⊆ exact-pairs (the
         # verify stage recomputes true Jaccard) + planted-dup recall.
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        # cluster resolution over the EXACT (ngram) pair list: recursive
+        # min-reachable-id closure == connected components. The Ray side
+        # runs the distributed hash-to-min loop (pipelines/clusters.py);
+        # the minhash/simhash-mined variants share the operator but are
+        # probabilistic upstream, so (like minhash_lsh_pairs) they are
+        # pytest-pinned, not SQL-oracled.
+        "near_dup_clusters": rf"""
+            WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            walk(u, lbl) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+            )
+            SELECT u::BIGINT AS doc_id,
+                   LEAST(u, MIN(lbl))::BIGINT AS cluster_id,
+                   (u <= MIN(lbl))::BIGINT AS is_canonical
+            FROM walk GROUP BY u
+        """,
         "decontaminate": _DECONTAM_SQL,
         "asof_join_events": _ASOF_SQL,
         "scrub_props": """

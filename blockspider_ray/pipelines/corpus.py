@@ -133,12 +133,24 @@ def corpus_prep(
     *,
     min_quality: float = 0.3,
     min_tokens: int = 5,
+    near_dup_threshold: float | None = None,
 ) -> dict:
     """Run the corpus-prep flow; returns summary counts.
 
     Output layout: ``corpus_dir/lang=XX/part-*.parquet`` — one directory
     per language, so a rerun can skip finished partitions and training
-    readers can prune by language at the path level."""
+    readers can prune by language at the path level.
+
+    ``near_dup_threshold`` switches on FUZZY dedup after the exact pass
+    (the standard corpus recipe: exact -> minhash-LSH pairs -> connected
+    components -> keep one canonical doc per cluster): pairs are mined
+    over the exact-deduped stream with ``dedup.minhash_lsh_pairs_ds`` at
+    the given Jaccard threshold, resolved to clusters with
+    ``clusters.connected_components`` (hash-to-min, fully distributed),
+    and every NON-canonical cluster member's (round, seq) key joins the
+    loser broadcast. Costs one extra column-pruned read of the log (the
+    same reads-over-text-shuffles trade the exact pass documents) plus
+    the pair-mining shuffles (fixed-width rows only)."""
     ds = consume_crawl_log(out_dir, ckpt_dir, min_links=0).map_batches(
         _accepted_only, batch_format="pyarrow"
     )
@@ -164,6 +176,46 @@ def corpus_prep(
     ds = consume_crawl_log(out_dir, ckpt_dir, min_links=0).map_batches(
         _accepted_only, batch_format="pyarrow"
     ).map_batches(drop_losers, batch_format="pyarrow")
+
+    n_near_dropped = 0
+    if near_dup_threshold is not None:
+        from .clusters import connected_components
+        from .dedup import minhash_lsh_pairs_ds
+
+        # doc key = round<<32|seq (round < 2^31 => non-negative int64),
+        # the same combined key the exact pass anti-filters on — so the
+        # cluster losers drop with the identical searchsorted pattern
+        def to_docs(t: pa.Table) -> pa.Table:
+            k = (
+                t.column("round").to_numpy(zero_copy_only=False).astype(np.uint64)
+                << np.uint64(32)
+            ) | t.column("seq").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(k.view(np.int64), pa.int64()),
+                    "text": t.column("text"),
+                }
+            )
+
+        pairs = minhash_lsh_pairs_ds(
+            ds.map_batches(to_docs, batch_format="pyarrow"), threshold=near_dup_threshold
+        )
+        cc = connected_components(pairs)
+        nd = cc.loc[cc["doc_id"] != cc["cluster_id"], "doc_id"].to_numpy(dtype=np.int64)
+        n_near_dropped = int(len(nd))
+        if n_near_dropped:
+            nd_ref = ray.put(np.sort(nd.view(np.uint64)))
+
+            def drop_noncanon(t: pa.Table) -> pa.Table:
+                nd_ = ray.get(nd_ref)
+                k = (
+                    t.column("round").to_numpy(zero_copy_only=False).astype(np.uint64)
+                    << np.uint64(32)
+                ) | t.column("seq").to_numpy(zero_copy_only=False).astype(np.uint64)
+                pos = np.minimum(np.searchsorted(nd_, k), len(nd_) - 1)
+                return t.filter(pa.array(nd_[pos] != k))
+
+            ds = ds.map_batches(drop_noncanon, batch_format="pyarrow")
 
     # quality + language features, vectorized
     def score(t: pa.Table) -> pa.Table:
@@ -198,7 +250,7 @@ def corpus_prep(
 
     dset = pads.dataset(corpus_dir, partitioning="hive")
     n_kept = dset.count_rows()
-    return {"kept": int(n_kept), "corpus_dir": corpus_dir}
+    return {"kept": int(n_kept), "corpus_dir": corpus_dir, "near_dups_dropped": n_near_dropped}
 
 
 def corpus_prep_demo(sf_dir: str) -> pd.DataFrame:

@@ -91,7 +91,26 @@ def minhash_lsh_pairs(
     n_buckets: int | None = None,
     max_driver_rows: int = _MAX_DRIVER_ROWS,
 ) -> pd.DataFrame:
-    """MinHash + LSH near-duplicate pairs:
+    """MinHash + LSH near-duplicate pairs over the ``documents`` table
+    (the query-surface entry; the operator body is
+    ``minhash_lsh_pairs_ds``, which ``corpus_prep``'s fuzzy-dedup stage
+    reuses over the crawl-log stream)."""
+    return minhash_lsh_pairs_ds(
+        T(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=threshold,
+        n_buckets=n_buckets,
+        max_driver_rows=max_driver_rows,
+    )
+
+
+def minhash_lsh_pairs_ds(
+    ds: rd.Dataset,
+    threshold: float = 0.5,
+    n_buckets: int | None = None,
+    max_driver_rows: int = _MAX_DRIVER_ROWS,
+) -> pd.DataFrame:
+    """MinHash + LSH near-duplicate pairs over any (doc_id int64,
+    text string) Dataset:
 
       shingle -> minhash signature (per batch, vectorized)
       -> explode to (band_id, band_hash, doc_id) rows
@@ -107,7 +126,6 @@ def minhash_lsh_pairs(
     a, b = tx.minhash_params(_MINHASH_PERMS)
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     B = n_buckets or n_shuffle_buckets()
-    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
     def bands(t: pa.Table) -> pa.Table:
         _, sigs, nonempty = _signatures(t, a, b)

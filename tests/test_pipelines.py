@@ -34,6 +34,7 @@ SWEEP = [
     "exact_dedup",
     "first_per_key",
     "ngram_jaccard_pairs",
+    "near_dup_clusters",
     "decontaminate",
     "asof_join_events",
     "scrub_props",
@@ -108,6 +109,149 @@ class TestBucketGuards:
         a = sessionize(SF, n_buckets=4)
         b = sessionize(SF, n_buckets=64)
         pd.testing.assert_frame_equal(a, b)
+
+
+def _union_find_oracle(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Single-process union-find reference for connected_components."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return pd.DataFrame(
+        {"doc_id": pd.Series(nodes, dtype="int64"),
+         "cluster_id": pd.Series([find(n) for n in nodes], dtype="int64")}
+    )
+
+
+class TestClusterResolution:
+    """connected_components (pipelines/clusters.py): the distributed
+    hash-to-min loop vs a single-process union-find oracle."""
+
+    def test_miner_pairs_match_union_find(self):
+        """Cluster resolution over each miner's real tiny-fixture pair
+        list equals union-find (pairs are NOT transitive-closed, so this
+        exercises real multi-hop merging)."""
+        from blockspider_ray.pipelines.clusters import connected_components
+        from blockspider_ray.pipelines.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash_near_dups,
+        )
+
+        for miner in (ngram_jaccard_pairs, minhash_lsh_pairs, simhash_near_dups):
+            pairs = miner(SF)
+            got = connected_components(pairs)
+            want = _union_find_oracle(pairs)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            assert len(got)  # the fixture does contain near-dups
+
+    def test_planted_clusters_10x(self):
+        """10x-scale planted structure: 64-node CHAINS (worst-case
+        diameter — pins the pointer-jump's logarithmic convergence well
+        under max_iters), cliques, and stars, ids scattered by a seeded
+        permutation. Exact equality with union-find."""
+        from blockspider_ray.pipelines.clusters import connected_components
+
+        rng = np.random.default_rng(11)
+        rows = []
+        nid = 0
+        for _ in range(20):  # chains of 64 (diameter 63)
+            ch = np.arange(nid, nid + 64)
+            nid += 64
+            rows += list(zip(ch[:-1], ch[1:]))
+        for _ in range(60):  # cliques of 8
+            cl = np.arange(nid, nid + 8)
+            nid += 8
+            rows += [(cl[i], cl[j]) for i in range(8) for j in range(i + 1, 8)]
+        for _ in range(60):  # stars of 12
+            st = np.arange(nid, nid + 12)
+            nid += 12
+            rows += [(st[0], x) for x in st[1:]]
+        ids = rng.permutation(nid * 7)  # scatter ids (non-contiguous)
+        pairs = pd.DataFrame(
+            {
+                "doc_a": pd.Series([int(ids[a]) for a, b in rows], dtype="int64"),
+                "doc_b": pd.Series([int(ids[b]) for a, b in rows], dtype="int64"),
+            }
+        )
+        # chains converge only via iteration: a low max_iters must fail
+        with pytest.raises(AssertionError):
+            got_low = connected_components(pairs, max_iters=1)
+            pd.testing.assert_frame_equal(got_low, _union_find_oracle(pairs), check_dtype=False)
+        got = connected_components(pairs, max_iters=16)  # ~log2(63)+slack
+        want = _union_find_oracle(pairs)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert got["cluster_id"].nunique() == 140
+
+    def test_empty_pairs(self):
+        from blockspider_ray.pipelines.clusters import connected_components
+
+        out = connected_components(pd.DataFrame({"doc_a": [], "doc_b": []}))
+        assert list(out.columns) == ["doc_id", "cluster_id"] and len(out) == 0
+
+    def test_corpus_prep_drops_noncanonical_near_dups(self, tmp_path_factory):
+        """corpus_prep(near_dup_threshold=...): planted near-dup (NOT
+        exact-dup) texts in a synthetic crawl log collapse to one
+        canonical doc per cluster; distinct texts all survive."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.corpus import corpus_prep
+
+        base = [
+            "the quick brown fox jumps over the lazy dog near the river bank today",
+            "completely different content about distributed data processing engines and arrow batches",
+            "a third unrelated document discussing crawl frontiers checkpoints and politeness quotas",
+        ]
+        texts, urls = [], []
+        for i, b in enumerate(base):
+            texts.append(b)
+            urls.append(f"http://h{i}.test/orig")
+            for v in range(3):  # near-dups: one token appended (J >> 0.5)
+                texts.append(b + f" v{v}")
+                urls.append(f"http://h{i}.test/dup{v}")
+        work = str(tmp_path_factory.mktemp("ndcorpus"))
+        d = f"{work}/out/crawl_log/round=0"
+        os.makedirs(d)
+        n = len(texts)
+        pq.write_table(
+            pa.table(
+                {
+                    "round": pa.array([0] * n, pa.int64()),
+                    "seq": pa.array(list(range(n)), pa.int64()),
+                    "host": pa.array(["h.test"] * n, pa.string()),
+                    "url": pa.array(urls, pa.string()),
+                    "status": pa.array(["ACCEPTED"] * n, pa.string()),
+                    "n_links": pa.array([1] * n, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "version": pa.array([1] * n, pa.int32()),
+                }
+            ),
+            f"{d}/part-0.parquet",
+        )
+        res = corpus_prep(
+            f"{work}/out", None, f"{work}/corpus",
+            min_quality=0.0, min_tokens=1, near_dup_threshold=0.5,
+        )
+        # 3 clusters of 4 near-dups -> 3 canonical docs kept, 9 dropped
+        assert res["near_dups_dropped"] == 9
+        assert res["kept"] == 3
+        # without the near-dup pass every doc survives (no exact dups)
+        res2 = corpus_prep(
+            f"{work}/out", None, f"{work}/corpus2", min_quality=0.0, min_tokens=1
+        )
+        assert res2["kept"] == n and res2["near_dups_dropped"] == 0
 
 
 class TestDedupSemantics:
