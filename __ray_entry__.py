@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_tokens": relational.explode_tokens,
         # stream-shaped (§2.7)
         "tumbling_hour": windows.tumbling_hour,
+        "hopping_window": windows.hopping_window,
         "sessionize": windows.sessionize,
         "enrich_props": windows.enrich_props,
         "scrub_props": windows.scrub_props,
@@ -158,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textstats.repetition_stats,
         "vocab_topk": textstats.vocab_topk,
         "token_doc_freq": textstats.token_doc_freq,
+        "tfidf_topk": textstats.tfidf_topk,
+        "doc_len_quantiles": textstats.doc_len_quantiles,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "first_per_key": dedup.first_per_key,
@@ -176,6 +179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF-flat ANN (approximate recall, exact per-candidate sims —
         # no SQL oracle; pytest pins recall + sim exactness vs knn_cosine)
         "knn_ivf": similarity.knn_ivf,
+        # persisted-index variant: build-once list-partitioned parquet,
+        # query reads ONLY probed list_id= partitions; byte-identical to
+        # knn_ivf (pytest-pinned), so rows-only here like knn_ivf
+        "knn_ivf_indexed": similarity.knn_ivf_indexed,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
         "label_centroids": similarity.label_centroids,
@@ -268,6 +275,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS sum_value, COUNT(*)::BIGINT AS n_events
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
+        # 60-min windows hopping every 15 min: each event expands into
+        # size/hop = 4 overlapping windows (generate_series mirrors the
+        # pipeline's vectorized k = 0..3 tile)
+        "hopping_window": """
+            WITH e AS (
+                SELECT event_type, value,
+                       epoch_us(ts) // 900000000 * 900000000 AS base_us
+                FROM events
+            ),
+            x AS (
+                SELECT event_type, value,
+                       base_us - 900000000 * g.k AS ws_us
+                FROM e, (SELECT unnest(generate_series(0, 3)) AS k) g
+            )
+            SELECT event_type, make_timestamp(ws_us) AS window_start,
+                   ROUND(SUM(value), 2) AS sum_value, COUNT(*)::BIGINT AS n_events
+            FROM x GROUP BY event_type, make_timestamp(ws_us)
+        """,
         "sessionize": """
             WITH d AS (
                 SELECT user_id,
@@ -335,6 +360,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT tok AS token, COUNT(*)::BIGINT AS df
             FROM pairs GROUP BY tok ORDER BY df DESC, token LIMIT 100
+        """,
+        # top-3 tf-idf terms per doc; the window tie-break (score DESC,
+        # token ASC) mirrors the pipeline's lexsort((tok, -s, doc)).
+        # Both sides compute tf * ln(N/df) in float64 (numpy np.log vs
+        # DuckDB ln share libm), so the unrounded sort keys agree.
+        "tfidf_topk": r"""
+            WITH pairs AS (
+                SELECT doc_id, u.tok AS tok
+                FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
+            ),
+            tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM pairs GROUP BY doc_id, tok),
+            df AS (SELECT tok, COUNT(DISTINCT doc_id)::BIGINT AS df FROM pairs GROUP BY tok),
+            n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+            s AS (
+                SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                       tf.tf * ln(n.n_docs / df.df) AS score
+                FROM tf JOIN df USING (tok) CROSS JOIN n
+            )
+            SELECT doc_id::BIGINT AS doc_id, tok AS token, tf, df,
+                   ROUND(score, 3) AS tfidf
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, tok) <= 3
+        """,
+        # exact per-language token-length quantiles; quantile_cont uses
+        # the same linear interpolation as the pipeline's compressed-
+        # histogram searchsorted interp
+        "doc_len_quantiles": r"""
+            SELECT lang,
+                   ROUND(quantile_cont(n_tokens, 0.5), 3) AS p50,
+                   ROUND(quantile_cont(n_tokens, 0.9), 3) AS p90,
+                   ROUND(quantile_cont(n_tokens, 0.99), 3) AS p99
+            FROM (SELECT lang,
+                         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                  FROM documents)
+            GROUP BY lang
         """,
         "exact_dedup": r"""
             SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents

@@ -318,7 +318,16 @@ def near_dup_clusters(
         "minhash": dedup.minhash_lsh_pairs,
         "simhash": dedup.simhash_near_dups,
     }
-    pairs = miners[method](sf_dir, n_buckets=n_buckets, **mine_kwargs)
+    if method == "embedding":
+        # embedding-cosine near-dups: same resolution over the vector
+        # pair miner (its frame names the endpoints vec_a/vec_b)
+        from . import similarity
+
+        pairs = similarity.embedding_near_dup_pairs(sf_dir, **mine_kwargs).rename(
+            columns={"vec_a": "doc_a", "vec_b": "doc_b"}
+        )
+    else:
+        pairs = miners[method](sf_dir, n_buckets=n_buckets, **mine_kwargs)
     cc = connected_components(pairs, n_buckets=n_buckets)
     cc["is_canonical"] = (cc["doc_id"] == cc["cluster_id"]).astype("int64")
     return cc

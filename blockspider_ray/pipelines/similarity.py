@@ -156,34 +156,14 @@ def knn_lsh(sf_dir: str, n_tables: int = 32, n_planes: int = 5) -> pd.DataFrame:
     return out.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
 
 
-def knn_ivf(
-    sf_dir: str,
-    n_lists: int = 16,
-    n_probe: int = 6,
-    train_sample: int = 4096,
-    iters: int = 10,
-) -> pd.DataFrame:
-    """IVF-flat ANN — the inverted-file scale path (complementing the
-    multi-table LSH variant): a spherical k-means coarse quantizer is
-    trained on a FIXED-SIZE sample (the driver holds train_sample x dim
-    floats — sized by the quantizer, not the corpus), the centroid
-    matrix is broadcast once, and the corpus pass assigns each vector to
-    its nearest centroid and scores cosine ONLY for vectors whose list
-    is among the query's ``n_probe`` nearest lists — scan fraction
-    ~ n_probe/n_lists. Per-batch partial top-k + one final per-query
-    merge, the same combiner shape as ``knn_cosine``.
-
-    At 10^10 vectors the assign pass runs once and writes a
-    list-partitioned parquet index (resumable layout; queries then read
-    only their probed partitions); at bench scale assign and probe fuse
-    into one map_batches pass, so the index build IS the scan. Every
-    returned sim is the TRUE cosine (candidates are scored exactly);
-    only recall is approximate — rows-only oracle, pytest pins recall
-    against ``knn_cosine`` and per-row sim exactness."""
-    qids, qm = _query_matrix(sf_dir)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-
-    # --- train the coarse quantizer on a fixed-size deterministic sample
+def _train_quantizer(
+    sf_dir: str, n_lists: int, train_sample: int, iters: int
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a FIXED-SIZE
+    deterministic sample — the driver holds train_sample x dim floats
+    (sized by the quantizer, not the corpus). Deterministic seed so the
+    fused (``knn_ivf``) and persisted (``ivf_build_index``) paths train
+    the identical quantizer and therefore agree byte-for-byte."""
     sample = (
         T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         .filter(expr=f"vec_id >= {N_QUERIES}")
@@ -201,6 +181,40 @@ def knn_ivf(
             if len(rows):
                 v = rows.sum(axis=0)
                 cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def knn_ivf(
+    sf_dir: str,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    train_sample: int = 4096,
+    iters: int = 10,
+) -> pd.DataFrame:
+    """IVF-flat ANN — the inverted-file scale path (complementing the
+    multi-table LSH variant): a spherical k-means coarse quantizer is
+    trained on a FIXED-SIZE sample (the driver holds train_sample x dim
+    floats — sized by the quantizer, not the corpus), the centroid
+    matrix is broadcast once, and the corpus pass assigns each vector to
+    its nearest centroid and scores cosine ONLY for vectors whose list
+    is among the query's ``n_probe`` nearest lists — scan fraction
+    ~ n_probe/n_lists. Per-batch partial top-k + one final per-query
+    merge, the same combiner shape as ``knn_cosine``.
+
+    This is the ONE-SHOT path: assign and probe fuse into one
+    map_batches pass over the corpus, so the index build IS the scan —
+    right when a query set is known up front. For the repeated-query
+    regime (build once at 10^10 vectors, answer many query batches), use
+    ``ivf_build_index`` + ``knn_ivf_indexed``, which persist the
+    assignment as list-partitioned parquet and read only the probed
+    partitions per query batch. Every returned sim is the TRUE cosine
+    (candidates are scored exactly); only recall is approximate —
+    rows-only oracle, pytest pins recall against ``knn_cosine`` and
+    per-row sim exactness."""
+    qids, qm = _query_matrix(sf_dir)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    cent = _train_quantizer(sf_dir, n_lists, train_sample, iters)
     # query probe lists: the n_probe nearest centroids per query
     qprobe = np.argsort(-(qn @ cent.T), axis=1)[:, : min(n_probe, len(cent))]
     ref = ray.put((qids, qn, cent, qprobe))
@@ -220,6 +234,160 @@ def knn_ivf(
         vids = vids[mask]
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         lists = np.argmax(mn @ cent_.T, axis=1)  # IVF assignment
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            cand = np.flatnonzero(np.isin(lists, qprobe_[qi]))
+            if len(cand) == 0:
+                continue
+            sims = mn[cand] @ qn_[qi]
+            k = min(K, len(cand))
+            idx = np.argpartition(-sims, k - 1)[:k]
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_v.extend(vids[cand][idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        if not out_q:
+            return _empty
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(K)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["sim"] = out["sim"].round(3)
+    return out.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
+def ivf_build_index(
+    sf_dir: str,
+    index_dir: str,
+    n_lists: int = 16,
+    train_sample: int = 4096,
+    iters: int = 10,
+) -> str:
+    """Build the PERSISTED inverted-file index: one distributed assign
+    pass over the corpus, written as list-partitioned parquet
+    (``index_dir/list_id=N/part-*.parquet``) plus the trained centroid
+    matrix (``index_dir/centroids.parquet``, n_lists x dim — tiny).
+
+    This is the build-once half of the repeated-query regime: at 10^10
+    vectors the assign pass runs exactly once, the layout is resumable
+    (a rerun can skip finished list partitions the same way
+    ``corpus_prep``'s hive layout does), and every later query batch
+    reads ONLY its probed ``list_id=`` directories — scan fraction
+    ~ n_probe/n_lists of the corpus, enforced at the path level rather
+    than by a row filter. Raw embeddings are stored (not pre-normalized)
+    so the query-time arithmetic is bit-identical to the fused path's.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    cent = _train_quantizer(sf_dir, n_lists, train_sample, iters)
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent_ = ray.get(cent_ref)
+        m = _emb_matrix(t)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        lists = np.argmax(mn @ cent_.T, axis=1).astype(np.int64)
+        return t.append_column("list_id", pa.array(lists, pa.int64()))
+
+    T(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(index_dir, partition_cols=["list_id"])
+
+    pq.write_table(
+        pa.table(
+            {
+                "list_id": pa.array(np.arange(len(cent)), pa.int64()),
+                "centroid": pa.array(list(cent), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    return index_dir
+
+
+def knn_ivf_indexed(
+    sf_dir: str,
+    index_dir: str | None = None,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    train_sample: int = 4096,
+    iters: int = 10,
+) -> pd.DataFrame:
+    """IVF-flat ANN over the PERSISTED index: load the centroid matrix
+    (driver-side, n_lists x dim — tiny), pick each query's ``n_probe``
+    nearest lists, and read ONLY the union of probed ``list_id=``
+    partition directories — the corpus outside those paths is never
+    opened. Scoring reuses the fused path's exact arithmetic (same
+    quantizer seed, same float64 normalize + matmul), so the result is
+    byte-identical to ``knn_ivf`` with the same parameters — pinned by
+    TestIVFIndex. With ``index_dir=None`` a default under /tmp is built
+    on first use and reused after (the build-once contract)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if index_dir is None:
+        index_dir = os.path.join(
+            "/tmp",
+            "bsr_ivf_index",
+            f"{os.path.basename(os.path.normpath(sf_dir))}-L{n_lists}-s{train_sample}",
+        )
+    if not os.path.exists(os.path.join(index_dir, "centroids.parquet")):
+        ivf_build_index(sf_dir, index_dir, n_lists, train_sample, iters)
+
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(ct["list_id"].to_numpy(zero_copy_only=False))
+    cent = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in ct["centroid"].to_pylist()]
+    )[order]
+
+    qids, qm = _query_matrix(sf_dir)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qprobe = np.argsort(-(qn @ cent.T), axis=1)[:, : min(n_probe, len(cent))]
+    probed = sorted({int(l) for row in qprobe for l in row})
+    # partition-path read: only files under the probed list_id=
+    # directories are opened (read_parquet wants concrete files when
+    # handed a list, so enumerate each probed partition's fragments)
+    paths = [
+        os.path.join(index_dir, f"list_id={l}", f)
+        for l in probed
+        for f in sorted(os.listdir(os.path.join(index_dir, f"list_id={l}")))
+        if f.endswith(".parquet")
+    ]
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+
+    ref = ray.put((qids, qn, cent, qprobe))
+    _empty = pa.table(
+        {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        """Same candidate arithmetic as the fused path: re-derive the
+        list assignment from the broadcast centroids (cheaper than
+        shipping list_id per row, and bit-identical by determinism)."""
+        qids_, qn_, cent_, qprobe_ = ray.get(ref)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mask = vids >= N_QUERIES
+        if not mask.any():
+            return _empty
+        m = _emb_matrix(t)[mask]
+        vids = vids[mask]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        lists = np.argmax(mn @ cent_.T, axis=1)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qids_)):
             cand = np.flatnonzero(np.isin(lists, qprobe_[qi]))

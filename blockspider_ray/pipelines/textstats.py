@@ -235,6 +235,132 @@ def token_doc_freq(sf_dir: str, k: int = 100) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def tfidf_topk(sf_dir: str, k: int = 3, max_vocab_rows: int = 50_000_000) -> pd.DataFrame:
+    """Top-``k`` terms per document by tf-idf (tf * ln(N/df)) — the
+    keyword-extraction / relevance-weighting primitive.
+
+    Two passes, one shuffle total:
+      1. document frequency over the FULL vocabulary — the additive
+         per-batch partial from ``token_doc_freq`` (per-batch distinct
+         (doc, tok) pairs are globally distinct because a document is
+         whole within one batch) summed by one token groupby. The df
+         table is VOCAB-bounded, not corpus-bounded (Zipf: ~10^7
+         distinct tokens even at 100 TB), so it lands on the driver
+         through ``bounded_driver_frame`` and is broadcast ONCE via
+         ``ray.put`` as (sorted token array, df array).
+      2. scoring is shuffle-FREE: per-doc tf is exact in-batch (same
+         row-atomicity), df lookup is a vectorized ``np.searchsorted``
+         against the broadcast vocab, and the per-doc top-k is one
+         lexsort run-scan — no groupby, the output IS the per-batch
+         result. Ties break by token ascending, matching the SQL
+         oracle's ``row_number() OVER (... ORDER BY s DESC, token)``.
+    """
+    import ray
+
+    from .common import bounded_driver_frame
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = T(sf_dir, "documents", columns=["doc_id"]).count()
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        distinct = _token_pairs(t).group_by(["doc_id", "tok"]).aggregate([])
+        g = distinct.group_by("tok").aggregate([([], "count_all")])
+        return rename(g, {"tok": "token", "count_all": "p_df"})
+
+    df_frame = bounded_driver_frame(
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_df", alias_name="df")),
+        "tfidf_topk document-frequency table (vocab-bounded)",
+        max_vocab_rows,
+    )
+    vocab = df_frame["token"].to_numpy(dtype=object).astype(str)
+    order = np.argsort(vocab)
+    ref = ray.put((vocab[order], df_frame["df"].to_numpy(dtype=np.int64)[order]))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_, df_ = ray.get(ref)
+        tf_tbl = (
+            _token_pairs(t).group_by(["doc_id", "tok"]).aggregate([([], "count_all")])
+        )
+        doc = tf_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = np.asarray(tf_tbl["tok"].to_pylist(), dtype=str)
+        tf = tf_tbl["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = df_[np.searchsorted(vocab_, tok)]
+        s = tf * np.log(float(n_docs) / dfv)
+        o = np.lexsort((tok, -s, doc))
+        d_s = doc[o]
+        starts = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        runs = np.diff(np.append(starts, len(d_s)))
+        rank = np.arange(len(d_s)) - np.repeat(starts, runs)
+        keep = o[rank < k]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "token": pa.array(tok[keep].tolist(), pa.string()),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "df": pa.array(dfv[keep], pa.int64()),
+                "tfidf": pa.array(np.round(s[keep], 3), pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "tfidf", "token"], ascending=[True, False, True]).reset_index(
+        drop=True
+    )
+
+
+def doc_len_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """Per-language EXACT token-length quantiles (linear interpolation,
+    matching DuckDB ``quantile_cont``) via a compressed value
+    distribution: the in-batch partial emits (lang, n_tokens, count)
+    triples — bounded by #distinct lengths per language, not by docs —
+    one groupby sums them, and the interpolation runs over the tiny
+    compressed histogram per language (group count = #languages,
+    bounded ~200 in any real corpus, so the per-group dispatch the
+    high-cardinality pipelines amortize away is irrelevant here)."""
+    ds = T(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tx.token_count(t["text"].to_pylist())
+        g = (
+            pa.table({"lang": t["lang"], "n_tokens": pa.array(toks, pa.int64())})
+            .group_by(["lang", "n_tokens"])
+            .aggregate([([], "count_all")])
+        )
+        return rename(g, {"count_all": "p_n"})
+
+    def interp(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_tokens"].to_numpy(dtype=np.float64)
+        w = g["n"].to_numpy(dtype=np.int64)
+        o = np.argsort(v)
+        v, w = v[o], w[o]
+        cum = np.cumsum(w)
+        total = cum[-1]
+
+        def at(i: np.ndarray) -> np.ndarray:
+            return v[np.searchsorted(cum, i, side="right")]
+
+        row = {"lang": g["lang"].iloc[0]}
+        for q in qs:
+            pos = (total - 1) * q
+            lo = np.floor(pos)
+            val = at(np.array([lo]))[0]
+            hi_val = at(np.array([min(lo + 1, total - 1)]))[0]
+            row[f"p{int(q * 100)}"] = round(float(val + (hi_val - val) * (pos - lo)), 3)
+        return pd.DataFrame([row])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .groupby("lang")
+        .map_groups(interp, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def fingerprints(sf_dir: str) -> rd.Dataset:
     """64-bit rolling-hash fingerprint + simhash per document."""
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])

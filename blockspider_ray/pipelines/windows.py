@@ -41,6 +41,56 @@ def tumbling_hour(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+def hopping_window(sf_dir: str, size_min: int = 60, hop_min: int = 15) -> pd.DataFrame:
+    """Hopping (sliding) windows: ``size_min``-minute windows advancing
+    every ``hop_min`` minutes — each event lands in size/hop overlapping
+    windows, the streaming-aggregation shape ``tumbling_hour`` can't
+    express. Window EXPANSION is a vectorized in-batch op (tile the
+    int64 epoch ns, subtract k hops, k = 0..size/hop-1); the in-batch
+    partial pre-aggregates per (event_type, window_start), so the
+    all-to-all moves per-batch partials — the expansion factor never
+    reaches the shuffle. Returns (event_type, window_start, n_events,
+    sum_value) for every window an event falls in."""
+    assert size_min % hop_min == 0, "window size must be a multiple of the hop"
+    n_hops = size_min // hop_min
+    ds = T(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ns = (
+            t["ts"].cast(pa.timestamp("ns")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        hop_ns = np.int64(hop_min) * 60 * 1_000_000_000
+        base = (ns // hop_ns) * hop_ns  # floor to the hop grid
+        k = np.arange(n_hops, dtype=np.int64) * hop_ns
+        ws = (base[:, None] - k[None, :]).ravel()  # row-major: event i -> i*n_hops..+n_hops-1
+        rep = pa.array(np.repeat(np.arange(len(ns), dtype=np.int64), n_hops))
+        expanded = pa.table(
+            {
+                "event_type": pc.take(t["event_type"].combine_chunks(), rep),
+                "window_start": pa.array(ws, pa.int64()).cast(pa.timestamp("ns")),
+                "value": pa.array(
+                    np.repeat(t["value"].to_numpy(zero_copy_only=False), n_hops)
+                ),
+            }
+        )
+        g = expanded.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return rename(g, {"value_sum": "p_sum", "value_count": "p_n"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("p_sum", alias_name="sum_value"), Sum("p_n", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
 def sessionize(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
     """Session windows (30-min gap) per user — dispatch-amortized with
     the house bucketed run-scan pattern (same as ``corpus.loser_keys``):

@@ -23,6 +23,7 @@ SWEEP = [
     "global_max",
     "explode_tokens",
     "tumbling_hour",
+    "hopping_window",
     "sessionize",
     "enrich_props",
     "events_stats",
@@ -31,6 +32,8 @@ SWEEP = [
     "repetition_stats",
     "vocab_topk",
     "token_doc_freq",
+    "tfidf_topk",
+    "doc_len_quantiles",
     "exact_dedup",
     "first_per_key",
     "ngram_jaccard_pairs",
@@ -153,6 +156,21 @@ class TestClusterResolution:
             want = _union_find_oracle(pairs)
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
             assert len(got)  # the fixture does contain near-dups
+
+    def test_embedding_method(self):
+        """near_dup_clusters(method='embedding') resolves the vector
+        pair miner's frame (vec_a/vec_b endpoints) identically."""
+        from blockspider_ray.pipelines.clusters import near_dup_clusters
+        from blockspider_ray.pipelines.similarity import embedding_near_dup_pairs
+
+        got = near_dup_clusters(SF, method="embedding")
+        pairs = embedding_near_dup_pairs(SF).rename(
+            columns={"vec_a": "doc_a", "vec_b": "doc_b"}
+        )
+        want = _union_find_oracle(pairs)
+        want["is_canonical"] = (want["doc_id"] == want["cluster_id"]).astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert len(got)
 
     def test_planted_clusters_10x(self):
         """10x-scale planted structure: 64-node CHAINS (worst-case
@@ -598,6 +616,35 @@ class TestSimilaritySemantics:
             a = {v for (q, v) in ap if q == qid}
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.5, f"IVF recall too low: {recalls}"
+
+    def test_ivf_persisted_index_matches_fused(self, tmp_path):
+        """The build-once persisted index (ivf_build_index +
+        knn_ivf_indexed) returns byte-identical results to the fused
+        one-shot path with the same parameters, while reading ONLY the
+        probed list partitions (n_probe < n_lists directories opened)."""
+        import os
+
+        from blockspider_ray.pipelines.similarity import (
+            ivf_build_index,
+            knn_ivf,
+            knn_ivf_indexed,
+        )
+
+        idx = str(tmp_path / "ivf")
+        ivf_build_index(SF, idx, n_lists=16)
+        # layout: one hive directory per list + the centroid sidecar
+        parts = sorted(d for d in os.listdir(idx) if d.startswith("list_id="))
+        assert len(parts) >= 2 and os.path.exists(f"{idx}/centroids.parquet")
+
+        fused = knn_ivf(SF, n_lists=16, n_probe=6)
+        indexed = knn_ivf_indexed(SF, index_dir=idx, n_lists=16, n_probe=6)
+        pd.testing.assert_frame_equal(indexed, fused)
+
+        # rebuilding is not required on a second query (build-once)
+        mtimes = {p: os.path.getmtime(f"{idx}/{p}") for p in parts}
+        again = knn_ivf_indexed(SF, index_dir=idx, n_lists=16, n_probe=6)
+        pd.testing.assert_frame_equal(again, fused)
+        assert mtimes == {p: os.path.getmtime(f"{idx}/{p}") for p in parts}
 
     def test_embedding_near_dup_lsh_subset_and_planted_recall(self, tmp_path):
         """embedding_near_dup_lsh is approximate, so no SQL oracle; the
