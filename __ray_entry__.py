@@ -161,12 +161,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": textstats.token_doc_freq,
         "tfidf_topk": textstats.tfidf_topk,
         "doc_len_quantiles": textstats.doc_len_quantiles,
+        "unigram_logprob": textstats.unigram_logprob,
+        "ngram_counts": textstats.ngram_counts,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "first_per_key": dedup.first_per_key,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_near_dups": dedup.simhash_near_dups,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # boilerplate line removal (cross-doc repeated lines); the sf
+        # corpora are single-line docs with no cross-doc repeats, so the
+        # sf oracle is a semantics-preserving identity — the removal
+        # path is pinned by a planted multi-line fixture in pytest
+        "line_dedup": dedup.line_dedup,
         # near-dup cluster resolution: distributed connected components
         # (hash-to-min) over the exact ngram pair list
         "near_dup_clusters": clusters.near_dup_clusters,
@@ -192,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship: crawl output -> dedup -> quality/lang -> partitioned corpus
         "corpus_prep": corpus.corpus_prep_demo,
         "hash_split": corpus.hash_split,
+        "mixture_sample": corpus.mixture_sample,
         # iterative graph algorithm over the crawl host graph (no SQL
         # oracle: power iteration; pytest pins it to a dense reference)
         "pagerank_hosts": graph.pagerank_hosts,
@@ -383,6 +391,77 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             QUALIFY row_number() OVER (PARTITION BY doc_id
                      ORDER BY score DESC, tok) <= 3
+        """,
+        # per-doc mean unigram log-prob under the corpus's own unigram
+        # LM (no smoothing — OOV impossible when scoring the training
+        # corpus itself); zero-token docs emit no row on both sides
+        "unigram_logprob": r"""
+            WITH pairs AS (
+                SELECT doc_id, u.tok AS tok
+                FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
+            ),
+            cnt AS (SELECT tok, COUNT(*)::DOUBLE AS c FROM pairs GROUP BY tok),
+            tot AS (SELECT SUM(c) AS t FROM cnt)
+            SELECT doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   ROUND(SUM(ln(c / t)) / COUNT(*), 4) AS avg_logprob
+            FROM pairs JOIN cnt USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        # top-100 word bigrams; n-grams never cross documents
+        "ngram_counts": r"""
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+                FROM documents
+            ),
+            b AS (
+                SELECT w[g.i] || ' ' || w[g.i + 1] AS ngram
+                FROM toks, unnest(generate_series(1, len(w) - 1)) AS g(i)
+            )
+            SELECT ngram, COUNT(*)::BIGINT AS n
+            FROM b GROUP BY ngram ORDER BY n DESC, ngram LIMIT 100
+        """,
+        # boilerplate line removal: drop lines held by >= 3 distinct
+        # docs, reassemble in original order; docs losing every line
+        # keep a row with ''
+        "line_dedup": """
+            WITH lines AS (
+                SELECT doc_id, generate_subscripts(ls, 1)::BIGINT AS idx, unnest(ls) AS line
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+            ),
+            df AS (SELECT line, COUNT(DISTINCT doc_id)::BIGINT AS d FROM lines GROUP BY line),
+            kept AS (
+                SELECT l.doc_id, l.idx, l.line
+                FROM lines l JOIN df USING (line) WHERE d < 3
+            ),
+            tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_lines FROM lines GROUP BY doc_id)
+            SELECT t.doc_id::BIGINT AS doc_id,
+                   COALESCE(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text_clean,
+                   (t.n_lines - COUNT(k.line))::BIGINT AS n_removed_lines
+            FROM tot t LEFT JOIN kept k USING (doc_id)
+            GROUP BY t.doc_id, t.n_lines
+        """,
+        # deterministic per-source mixture sampling: the same mod-2^32
+        # integer ring as hash_split, remixed through xorshift-multiply
+        # (xor(h, h >> 16) * 2246822519) so split and mixture draws are
+        # decorrelated; keep when draw < rate * 10000
+        "mixture_sample": """
+            WITH h AS (
+              SELECT doc_id, source,
+                     ((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                      % 4294967296) AS h32
+              FROM documents
+            ),
+            u AS (
+              SELECT doc_id, source,
+                     ((CAST(xor(h32, h32 // 65536) AS HUGEINT) * 2246822519)
+                      % 4294967296) % 10000 AS draw
+              FROM h
+            )
+            SELECT doc_id::BIGINT AS doc_id, source
+            FROM u
+            WHERE draw < CASE source WHEN 'src0' THEN 10000
+                                     WHEN 'src1' THEN 2500
+                                     ELSE 5000 END
         """,
         # exact per-language token-length quantiles; quantile_cont uses
         # the same linear interpolation as the pipeline's compressed-

@@ -199,11 +199,18 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "join_orders_lineitem",
         "topk_orders",
         "tumbling_hour",
+        "hopping_window",
         "sessionize",
         "enrich_props",
         "token_counts",
         "doc_stats_by_lang",
+        "tfidf_topk",
+        "doc_len_quantiles",
+        "unigram_logprob",
+        "ngram_counts",
         "exact_dedup",
+        "line_dedup",
+        "mixture_sample",
         "minhash_lsh_pairs",
         "simhash_near_dups",
         "ngram_jaccard_pairs",

@@ -282,6 +282,49 @@ def corpus_prep_demo(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("lang").reset_index(drop=True)
 
 
+def mixture_sample(
+    sf_dir: str,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.5,
+) -> rd.Dataset:
+    """Deterministic per-source corpus mixing: keep each document with
+    its source's target rate (the data-mixture step every multi-source
+    training corpus runs — e.g. upsample curated sources, downsample
+    raw web). Like ``hash_split``, membership is a pure function of
+    doc_id, so the op is a shuffle-free ``map_batches`` filter any
+    worker can recompute locally, rerun-stable and join-free at any
+    scale; unlike a seeded ``random_shuffle``+``limit`` it needs no
+    global pass and keeps per-source proportions exact in expectation
+    regardless of partitioning.
+
+    The sampling variate re-mixes ``hash_split``'s Knuth hash through an
+    xorshift-multiply round (xxhash's second prime) so the two ops'
+    decisions are decorrelated: a doc's split and its mixture draw are
+    independent. The DuckDB oracle evaluates the identical integer
+    expression in HUGEINT (mod-2^32 ring at every step)."""
+    from .common import T
+
+    if rates is None:
+        rates = {"src0": 1.0, "src1": 0.25}
+    ds = T(sf_dir, "documents", columns=["doc_id", "source"])
+    m32 = np.uint64(1 << 32)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % m32
+        u = ((h ^ (h >> np.uint64(16))) * np.uint64(2246822519)) % m32
+        draw = u % np.uint64(10000)
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        thresh = np.fromiter(
+            (int(rates.get(s, default_rate) * 10000) for s in src),
+            dtype=np.uint64,
+            count=len(src),
+        )
+        return t.filter(pa.array(draw < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def hash_split(sf_dir: str, pcts: tuple[int, int] = (90, 95)) -> rd.Dataset:
     """Deterministic train/val/test assignment by multiplicative hash of
     the document key (Knuth 2654435761 mod 2^32) — the reproducible,

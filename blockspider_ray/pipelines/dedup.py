@@ -767,3 +767,112 @@ def decontaminate(
         )
 
     return ds.map_batches(overlap, batch_format="pyarrow")
+
+
+def line_dedup(
+    sf_dir: str, min_docs: int = 3, max_driver_rows: int = _MAX_DRIVER_ROWS
+) -> pd.DataFrame:
+    """Boilerplate line removal (CCNet/RefinedWeb-style): delete every
+    line that appears in >= ``min_docs`` DISTINCT documents (nav bars,
+    cookie banners, footers — the dominant web-page noise left after
+    exact dedup),
+    and return each document's cleaned text plus the removed-line count.
+
+    Scale shape — the decontaminate pattern, with the small side built
+    BY the corpus instead of handed to it:
+
+      pass 1: per-batch distinct (doc, line-hash) pairs (globally
+        distinct because a document is whole within one batch), additive
+        per-hash partials, ONE vocab-bounded groupby-sum, then filter to
+        df >= min_docs. The collected frame is the BOILERPLATE
+        vocabulary — lines repeated across documents — orders of
+        magnitude smaller than the line universe; guarded by
+        ``bounded_driver_frame`` and broadcast once as a sorted int64
+        array.
+      pass 2: shuffle-free map_batches — split, hash, searchsorted
+        membership, vectorized per-doc removal counts (np.add.reduceat
+        over the contiguous doc runs), and a per-doc join of the kept
+        lines (a text kernel, same per-row cost class as the tokenizers).
+
+    Text never rides a shuffle (hashes do); the all-to-all moves one row
+    per (line-hash, batch). 64-bit line-hash collisions would remove an
+    innocent line (~n_lines^2 / 2^65 expected); at that scale raise to a
+    128-bit key. Lines are byte-exact keys (no normalization), matching
+    the SQL oracle's GROUP BY line.
+    """
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _split(t: pa.Table):
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        ls = pc.split_pattern(text, pattern="\n")
+        lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False), lens)
+        flat = pc.list_flatten(ls).to_pylist()
+        return doc, lens, flat
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        doc, _, flat = _split(t)
+        lh = hash64(flat).view(np.int64)
+        # distinct (doc, line) within the batch == globally distinct
+        o = np.lexsort((doc, lh))
+        lh_s, doc_s = lh[o], doc[o]
+        first = np.concatenate(([True], (lh_s[1:] != lh_s[:-1]) | (doc_s[1:] != doc_s[:-1])))
+        g = (
+            pa.table({"lh": pa.array(lh_s[first], pa.int64())})
+            .group_by("lh")
+            .aggregate([([], "count_all")])
+        )
+        from .common import rename
+
+        return rename(g, {"count_all": "p_df"})
+
+    from ray.data.aggregate import Sum
+
+    boiler_frame = bounded_driver_frame(
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("lh")
+        .aggregate(Sum("p_df", alias_name="df"))
+        .filter(expr=f"df >= {min_docs}")
+        .select_columns(["lh"]),
+        "line_dedup boilerplate line set (cross-doc-repeated lines only)",
+        max_driver_rows,
+    )
+    boiler = (
+        np.sort(boiler_frame["lh"].to_numpy(dtype=np.int64))
+        if "lh" in boiler_frame.columns  # empty Datasets drop the schema
+        else np.array([], dtype=np.int64)
+    )
+    b_ref = ray.put(boiler)
+
+    def clean(t: pa.Table) -> pa.Table:
+        b_ = ray.get(b_ref)
+        doc, lens, flat = _split(t)
+        if len(flat) and len(b_):
+            lh = hash64(flat).view(np.int64)
+            pos = np.minimum(np.searchsorted(b_, lh), len(b_) - 1)
+            drop = b_[pos] == lh
+        else:
+            drop = np.zeros(len(flat), dtype=bool)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+        n_removed = (
+            np.add.reduceat(drop.astype(np.int64), starts)
+            if len(flat)
+            else np.zeros(len(lens), dtype=np.int64)
+        )
+        n_removed[lens == 0] = 0  # reduceat repeats on empty runs
+        texts = []
+        for i in range(len(lens)):
+            a, b = starts[i], starts[i] + lens[i]
+            texts.append("\n".join(flat[j] for j in range(a, b) if not drop[j]))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_clean": pa.array(texts, pa.string()),
+                "n_removed_lines": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(clean, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -361,6 +361,114 @@ def doc_len_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)) -> pd.DataFrame
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def unigram_logprob(sf_dir: str, max_vocab_rows: int = 50_000_000) -> pd.DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style perplexity quality filter (a doc of
+    rare/garbage tokens scores low, fluent text scores near the corpus
+    mean).
+
+    Same two-pass shape as ``tfidf_topk``: pass 1 builds the unigram
+    count table (in-batch additive partials, one vocab-bounded groupby)
+    and lands it on the driver through ``bounded_driver_frame`` (Zipf:
+    vocab, not corpus, sized) for a single ``ray.put`` broadcast; pass 2
+    is shuffle-FREE — token lookups are a vectorized ``searchsorted``
+    and the per-doc sum is one ``np.add.reduceat`` over the contiguous
+    doc runs ``_token_pairs`` emits. OOV is impossible (the LM is
+    trained on the same corpus), so no smoothing term is needed and the
+    SQL oracle is the literal ``SUM(ln(c / total)) / n``."""
+    import ray
+
+    from .common import bounded_driver_frame
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = _token_pairs(t).group_by("tok").aggregate([([], "count_all")])
+        return rename(g, {"tok": "token", "count_all": "p_n"})
+
+    cnt = bounded_driver_frame(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_n", alias_name="n")),
+        "unigram_logprob LM count table (vocab-bounded)",
+        max_vocab_rows,
+    )
+    vocab = cnt["token"].to_numpy(dtype=object).astype(str)
+    order = np.argsort(vocab)
+    counts = cnt["n"].to_numpy(dtype=np.float64)[order]
+    total = float(counts.sum())
+    ref = ray.put((vocab[order], np.log(counts / total)))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_, logp_ = ray.get(ref)
+        pairs = _token_pairs(t)
+        if pairs.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "avg_logprob": pa.array([], pa.float64()),
+                }
+            )
+        doc = pairs["doc_id"].to_numpy(zero_copy_only=False)
+        tok = np.asarray(pairs["tok"].to_pylist(), dtype=str)
+        lp = logp_[np.searchsorted(vocab_, tok)]
+        # docs are contiguous runs in _token_pairs (np.repeat order)
+        starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+        n = np.diff(np.append(starts, len(doc)))
+        s = np.add.reduceat(lp, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "avg_logprob": pa.array(np.round(s / n, 4), pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ngram_counts(sf_dir: str, n: int = 2, k: int = 100) -> pd.DataFrame:
+    """Corpus heavy-hitter word ``n``-grams (default bigrams) — the LM /
+    contamination-analysis companion to ``vocab_topk``, with the same
+    partial-count-then-small-groupby shuffle discipline: per-batch
+    n-gram counts ride the all-to-all, never raw n-gram occurrences.
+    N-grams never cross document boundaries. Ties break n-gram asc."""
+    assert n >= 2
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pairs = _token_pairs(t)
+        doc = pairs["doc_id"].to_numpy(zero_copy_only=False)
+        tok = np.asarray(pairs["tok"].to_pylist(), dtype=object)
+        if len(tok) < n:
+            return pa.table({"ngram": pa.array([], pa.string()), "p_n": pa.array([], pa.int64())})
+        # valid start i: positions where tokens i..i+n-1 share a doc_id
+        valid = doc[: len(doc) - n + 1] == doc[n - 1 :]
+        tok_s = tok.astype(str)
+        m = len(tok_s) - n + 1
+        grams = tok_s[:m]
+        for j in range(1, n):
+            grams = np.char.add(np.char.add(grams, " "), tok_s[j : m + j])
+        g = (
+            pa.table({"ngram": pa.array(grams[valid].tolist(), pa.string())})
+            .group_by("ngram")
+            .aggregate([([], "count_all")])
+        )
+        return rename(g, {"count_all": "p_n"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .sort(["n", "ngram"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
 def fingerprints(sf_dir: str) -> rd.Dataset:
     """64-bit rolling-hash fingerprint + simhash per document."""
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])

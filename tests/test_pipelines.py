@@ -34,6 +34,10 @@ SWEEP = [
     "token_doc_freq",
     "tfidf_topk",
     "doc_len_quantiles",
+    "unigram_logprob",
+    "ngram_counts",
+    "mixture_sample",
+    "line_dedup",
     "exact_dedup",
     "first_per_key",
     "ngram_jaccard_pairs",
@@ -538,6 +542,50 @@ class TestDedupSemantics:
         assert set(map(tuple, out_m[["doc_a", "doc_b"]].values)) == {(4, 5)}
         out_n = ngram_jaccard_pairs(d, threshold=0.5)
         assert set(map(tuple, out_n[["doc_a", "doc_b"]].values)) == {(4, 5)}
+
+    def test_line_dedup_planted_boilerplate(self, tmp_path):
+        """The sf corpora are single-line docs with no cross-doc line
+        repeats, so the SWEEP oracle only pins the identity path; this
+        plants multi-line docs with real boilerplate (a banner in every
+        doc, a footer in half, an EMPTY line in 3 docs) and pins the
+        removal path against the same DuckDB oracle SQL over the
+        planted table."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as em
+        from blockspider_ray.pipelines.dedup import line_dedup
+
+        rng = np.random.default_rng(11)
+        words = np.array(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+        texts = []
+        for i in range(60):
+            lines = ["COOKIE BANNER ACCEPT ALL"]  # in every doc -> removed
+            lines += [
+                " ".join(rng.choice(words, size=5)) + f" uniq{i}_{j}" for j in range(3)
+            ]
+            if i % 2 == 0:
+                lines.append("footer (c) example")  # in 30 docs -> removed
+            if i % 20 == 0:
+                lines.append("")  # empty line in 3 docs -> removed too
+            texts.append("\n".join(lines))
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)}),
+            f"{d}/documents.parquet",
+        )
+
+        got = line_dedup(d)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+        want = (
+            con.sql(em.oracle_sql()["line_dedup"]).df().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got["n_removed_lines"] >= 1).all()  # the banner is gone everywhere
+        assert got["n_removed_lines"].max() == 3  # banner + footer + empty line
+        assert not got["text_clean"].str.contains("COOKIE BANNER").any()
+        assert got["text_clean"].str.contains("uniq").all()  # unique body kept
 
     def test_driver_frame_cap_raises(self, tmp_path):
         """The duplicate-bounded frames these pipelines pull to the
