@@ -192,6 +192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": similarity.knn_ivf_indexed,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
+        # SemDeDup-style cluster-then-prune semantic dedup (clustering
+        # makes recall approximate, so rows-only here; pytest pins
+        # soundness vs the exact all-pairs frame + planted-dup recall)
+        "semantic_dedup": similarity.semantic_dedup,
         "label_centroids": similarity.label_centroids,
         # multimodal (binary payload columns; decode stubbed, plumbing real)
         "media_features": multimodal.media_features,
@@ -200,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": corpus.corpus_prep_demo,
         "hash_split": corpus.hash_split,
         "mixture_sample": corpus.mixture_sample,
+        "stratified_sample": corpus.stratified_sample,
         # iterative graph algorithm over the crawl host graph (no SQL
         # oracle: power iteration; pytest pins it to a dense reference)
         "pagerank_hosts": graph.pagerank_hosts,
@@ -462,6 +467,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE draw < CASE source WHEN 'src0' THEN 10000
                                      WHEN 'src1' THEN 2500
                                      ELSE 5000 END
+        """,
+        # deterministic stratified sample: exactly 20 docs per language
+        # by ascending mixture-hash order (same integer ring as
+        # mixture_sample; ties impossible — doc_id breaks them)
+        "stratified_sample": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     ((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                      % 4294967296) AS h32
+              FROM documents
+            ),
+            u AS (
+              SELECT doc_id, lang,
+                     ((CAST(xor(h32, h32 // 65536) AS HUGEINT) * 2246822519)
+                      % 4294967296) AS draw
+              FROM h
+            )
+            SELECT lang, doc_id::BIGINT AS doc_id
+            FROM u
+            QUALIFY row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) <= 20
         """,
         # exact per-language token-length quantiles; quantile_cont uses
         # the same linear interpolation as the pipeline's compressed-

@@ -211,6 +211,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "exact_dedup",
         "line_dedup",
         "mixture_sample",
+        "stratified_sample",
+        "semantic_dedup",
         "minhash_lsh_pairs",
         "simhash_near_dups",
         "ngram_jaccard_pairs",

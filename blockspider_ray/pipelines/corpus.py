@@ -325,6 +325,56 @@ def mixture_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(sf_dir: str, n_per: int = 20) -> pd.DataFrame:
+    """Deterministic stratified sample: exactly ``n_per`` documents per
+    language (or all of a smaller stratum), chosen by ascending
+    mixture-hash order — the reproducible eval-set / inspection-sample
+    constructor (a seeded random sample whose membership any worker can
+    recompute, stable under repartitioning and reruns).
+
+    Scale shape: per-batch partial top-``n_per`` per language (lexsort
+    run-scan — one sort per batch, no per-group dispatch), then one
+    tiny groupby over at most n_langs x n_per x n_batches partial rows
+    for the final cut. The full corpus never sorts globally and the
+    shuffle moves only (lang, doc_id, draw) triples. Ties cannot occur:
+    the sort key is (draw, doc_id) and doc_id is unique."""
+    from .common import T
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "lang"])
+    m32 = np.uint64(1 << 32)
+
+    def partial_topn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % m32
+        draw = ((h ^ (h >> np.uint64(16))) * np.uint64(2246822519)) % m32
+        lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+        o = np.lexsort((ids, draw, lang))
+        l_s = lang[o]
+        starts = np.flatnonzero(np.concatenate(([True], l_s[1:] != l_s[:-1])))
+        runs = np.diff(np.append(starts, len(l_s)))
+        rank = np.arange(len(l_s)) - np.repeat(starts, runs)
+        keep = o[rank < n_per]
+        return pa.table(
+            {
+                "lang": pa.array(lang[keep].tolist(), pa.string()),
+                "doc_id": pa.array(ids[keep].view(np.int64), pa.int64()),
+                "draw": pa.array(draw[keep].view(np.int64), pa.int64()),
+            }
+        )
+
+    def final_topn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["draw", "doc_id"]).head(n_per)
+
+    out = (
+        ds.map_batches(partial_topn, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final_topn, batch_format="pandas")  # n_langs groups, bounded
+        .to_pandas()
+    )
+    out = out[["lang", "doc_id"]].astype({"doc_id": "int64"})
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def hash_split(sf_dir: str, pcts: tuple[int, int] = (90, 95)) -> rd.Dataset:
     """Deterministic train/val/test assignment by multiplicative hash of
     the document key (Knuth 2654435761 mod 2^32) — the reproducible,

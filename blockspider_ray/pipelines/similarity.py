@@ -583,3 +583,95 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     out["label"] = out["label"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out.sort_values("label").reset_index(drop=True)
+
+
+def semantic_dedup(
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    train_sample: int = 4096,
+    iters: int = 10,
+) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embedding space with the k-means
+    coarse quantizer, then prune near-duplicates WITHIN each cluster by
+    exact pairwise cosine — the modern embedding-space companion to the
+    lexical MinHash/n-gram dedup family. Returns the DROP list: one row
+    per pruned vector with the kept representative it duplicated and
+    their true cosine.
+
+    Scale shape: the quantizer trains on a fixed-size sample and ships
+    by broadcast (same seed/arithmetic as ``knn_ivf`` — driver state is
+    quantizer-sized); assignment is a shuffle-free map_batches; the ONE
+    all-to-all moves (list_id, vec_id, embedding) rows — vectors, never
+    raw text — partitioned by cluster id, and the per-cluster prune is
+    a dense (k x k) matmul over a bounded group (group count == n_lists,
+    so per-group dispatch is amortized by construction; size n_lists to
+    the corpus so clusters stay ~10^4-10^5 vectors, and sub-bucket any
+    mega-cluster the same way ``corpus.loser_keys`` buckets hot keys).
+    Within a cluster the keep rule is deterministic and order-free:
+    scan vec_id ascending, drop a vector iff some ALREADY-KEPT smaller
+    id sits at cosine >= threshold (the canonical representative is the
+    smallest id of its near-dup group, matching ``near_dup_clusters``'
+    min-label convention). Like all clustering-blocked dedup, recall is
+    approximate (cross-cluster dups survive); every emitted drop is
+    exact-verified by construction — pytest pins soundness against the
+    all-pairs frame and recall on planted duplicates."""
+    cent = _train_quantizer(sf_dir, n_lists, train_sample, iters)
+    cent_ref = ray.put(cent)
+
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent_ = ray.get(cent_ref)
+        m = _emb_matrix(t)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        lists = np.argmax(mn @ cent_.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "list_id": pa.array(lists, pa.int64()),
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.argsort(g["vec_id"].to_numpy(dtype=np.int64))
+        vids = g["vec_id"].to_numpy(dtype=np.int64)[o]
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"].iloc[o]])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        kept_mask = np.ones(len(vids), dtype=bool)
+        out_v, out_k, out_s = [], [], []
+        for j in range(1, len(vids)):
+            prior = sims[j, :j][kept_mask[:j]]
+            if len(prior) and prior.max() >= threshold:
+                kept_ids = vids[:j][kept_mask[:j]]
+                i = int(np.argmax(prior))
+                kept_mask[j] = False
+                out_v.append(int(vids[j]))
+                out_k.append(int(kept_ids[i]))
+                out_s.append(float(prior[i]))
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(out_v, dtype="int64"),
+                "kept_id": pd.Series(out_k, dtype="int64"),
+                "sim": pd.Series(np.round(out_s, 3), dtype="float64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("list_id")
+        .map_groups(prune, batch_format="pandas")
+        .to_pandas()
+    )
+    if "vec_id" not in out.columns:  # zero drops: empty Datasets lose the schema
+        out = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "kept_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -37,6 +37,7 @@ SWEEP = [
     "unigram_logprob",
     "ngram_counts",
     "mixture_sample",
+    "stratified_sample",
     "line_dedup",
     "exact_dedup",
     "first_per_key",
@@ -740,6 +741,62 @@ class TestSimilaritySemantics:
         lpairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
         for p in planted:
             assert p in lpairs, f"planted near-dup {p} missed"
+
+    def test_semantic_dedup_soundness_and_planted_recall(self, tmp_path):
+        """semantic_dedup (SemDeDup-style cluster-then-prune) has no SQL
+        oracle (k-means blocking makes recall approximate); the sound
+        contract: every emitted drop is a real exact-cosine near-dup of
+        its kept representative (subset of the all-pairs frame, same
+        rounded sim, kept_id < vec_id, no kept id is itself dropped) —
+        and PLANTED near-identical vectors are all pruned with their
+        source as the kept representative."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.similarity import (
+            embedding_near_dup_pairs,
+            semantic_dedup,
+        )
+
+        drops = semantic_dedup(SF, threshold=0.4)
+        exact = embedding_near_dup_pairs(SF, threshold=0.4)
+        epairs = {(a, b): s for a, b, s in exact[["vec_a", "vec_b", "sim"]].itertuples(index=False)}
+        for v, kpt, s in drops[["vec_id", "kept_id", "sim"]].itertuples(index=False):
+            assert kpt < v  # canonical representative is the smallest id
+            assert (kpt, v) in epairs and abs(epairs[(kpt, v)] - s) < 1e-9
+        assert not (set(drops["vec_id"]) & set(drops["kept_id"]))
+
+        # planted near-identical vectors (cos ~0.999): each dropped, with
+        # its source kept — the regime SemDeDup targets
+        rng = np.random.default_rng(42)
+        n, dim = 300, 64
+        m = rng.standard_normal((n, dim))
+        ids = list(range(n))
+        planted = []
+        for k in range(10):
+            src = k * 13
+            v = m[src] + 0.05 * rng.standard_normal(dim)
+            m = np.vstack([m, v])
+            ids.append(5000 + k)
+            planted.append((src, 5000 + k))
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([row.astype(np.float32) for row in m], pa.list_(pa.float32())),
+                    "label": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+                }
+            ),
+            f"{d}/embeddings.parquet",
+        )
+        got = semantic_dedup(d, threshold=0.95)
+        pruned = {(k, v) for v, k in got[["vec_id", "kept_id"]].itertuples(index=False)}
+        for p in planted:
+            assert p in pruned, f"planted semantic dup {p} not pruned"
+        # random 64-d standard normals never reach cos 0.95: ONLY the
+        # planted dups are pruned
+        assert len(got) == len(planted)
 
 
 class TestTextSemantics:
