@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup cluster resolution: distributed connected components
         # (hash-to-min) over the exact ngram pair list
         "near_dup_clusters": clusters.near_dup_clusters,
+        # same op forced through the distributed FastSV loop (Dataset
+        # input — the spilled-pairs scale path); same SQL oracle
+        "near_dup_clusters_dist": clusters.near_dup_clusters_dist,
         "decontaminate": dedup.decontaminate,
         # temporal join (custom operator: bucketed merge_asof)
         "asof_join_events": relational.asof_join_events,
@@ -538,6 +541,23 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY u
         """,
         "decontaminate": _DECONTAM_SQL,
+        "near_dup_clusters_dist": rf"""
+            WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            walk(u, lbl) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+            )
+            SELECT u::BIGINT AS doc_id,
+                   LEAST(u, MIN(lbl))::BIGINT AS cluster_id,
+                   (u <= MIN(lbl))::BIGINT AS is_canonical
+            FROM walk GROUP BY u
+        """,
         "asof_join_events": _ASOF_SQL,
         "scrub_props": """
             SELECT event_id::BIGINT AS event_id,

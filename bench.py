@@ -224,9 +224,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "knn_ivf_indexed",
         "embedding_near_dup_pairs",
         "label_centroids",
-        # near-dup cluster resolution (round-5: pair mining + distributed
-        # connected components — the iterative SV loop is the timed part)
+        # near-dup cluster resolution (round-5): frame-input path
+        # (mining + driver-local resolve) and the distributed FastSV
+        # loop (Dataset input) timed separately
         "near_dup_clusters",
+        "near_dup_clusters_dist",
         # iterative + flagship pipelines (VERDICT r3 item 4: track the
         # per-iteration executor cost and the corpus-prep dedup pass)
         "scrub_props",

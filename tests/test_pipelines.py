@@ -155,12 +155,19 @@ class TestClusterResolution:
             simhash_near_dups,
         )
 
-        for miner in (ngram_jaccard_pairs, minhash_lsh_pairs, simhash_near_dups):
+        import ray.data as rd
+
+        for i, miner in enumerate((ngram_jaccard_pairs, minhash_lsh_pairs, simhash_near_dups)):
             pairs = miner(SF)
-            got = connected_components(pairs)
+            got = connected_components(pairs)  # frame input -> local path
             want = _union_find_oracle(pairs)
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
             assert len(got)  # the fixture does contain near-dups
+            if i == 0:
+                # Dataset input pins the DISTRIBUTED FastSV loop (the
+                # spilled-pairs scale path) against the same oracle
+                got_d = connected_components(rd.from_pandas(pairs[["doc_a", "doc_b"]]))
+                pd.testing.assert_frame_equal(got_d, want, check_dtype=False)
 
     def test_embedding_method(self):
         """near_dup_clusters(method='embedding') resolves the vector
@@ -206,12 +213,19 @@ class TestClusterResolution:
                 "doc_b": pd.Series([int(ids[b]) for a, b in rows], dtype="int64"),
             }
         )
-        # chains converge only via iteration: a low max_iters must fail
-        with pytest.raises(AssertionError):
-            got_low = connected_components(pairs, max_iters=1)
-            pd.testing.assert_frame_equal(got_low, _union_find_oracle(pairs), check_dtype=False)
-        got = connected_components(pairs, max_iters=16)  # ~log2(63)+slack
+        import ray.data as rd
+
         want = _union_find_oracle(pairs)
+        # frame input: driver-local vectorized path, exact equality
+        got_local = connected_components(pairs)
+        pd.testing.assert_frame_equal(got_local, want, check_dtype=False)
+        # Dataset input: the DISTRIBUTED loop. Chains converge only via
+        # iteration, so a low max_iters must fail...
+        with pytest.raises(AssertionError):
+            got_low = connected_components(rd.from_pandas(pairs), max_iters=1)
+            pd.testing.assert_frame_equal(got_low, want, check_dtype=False)
+        # ...and ~log2(63)+slack rounds must converge exactly
+        got = connected_components(rd.from_pandas(pairs), max_iters=16)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert got["cluster_id"].nunique() == 140
 
