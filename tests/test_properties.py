@@ -164,3 +164,31 @@ class TestHashProperties:
         a = hash64(values)
         b = hash64(list(reversed(values)))[::-1]
         assert (a == b).all()
+
+
+class TestIntegerRingProperties:
+    """The numpy uint64 sampling hashes and their HUGEINT SQL mirrors
+    must agree for ALL non-negative doc_ids (the SWEEP only covers the
+    fixture's id range); this evaluates the SQL expression in exact
+    Python ints (what HUGEINT computes) against the vectorized path."""
+
+    @given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_mixture_draw_matches_exact_int_arithmetic(self, ids_py):
+        m32 = 1 << 32
+        ids = np.array(ids_py, dtype=np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(m32)
+        u = ((h ^ (h >> np.uint64(16))) * np.uint64(2246822519)) % np.uint64(m32)
+        draw = (u % np.uint64(10000)).astype(np.int64)
+        for i, d in enumerate(ids_py):
+            h_i = ((d % m32) * 2654435761) % m32
+            u_i = ((h_i ^ (h_i // 65536)) * 2246822519) % m32
+            assert draw[i] == u_i % 10000
+
+    @given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_hash_split_bucket_matches_exact_int_arithmetic(self, ids_py):
+        ids = np.array(ids_py, dtype=np.uint64)
+        b = (((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % np.uint64(100)).astype(np.int64)
+        for i, d in enumerate(ids_py):
+            assert b[i] == (((d % (1 << 32)) * 2654435761) % (1 << 32)) % 100
