@@ -127,7 +127,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from blockspider_ray.pipelines import clusters, corpus, dedup, graph, multimodal, relational, similarity, textstats, windows
+    from blockspider_ray.pipelines import clusters, corpus, dedup, graph, multimodal, relational, similarity, sketches, textstats, windows
 
     q: dict[str, Callable[[str], Any]] = {
         # relational core (SURVEY.md §2.2, §2.5, §2.6)
@@ -148,6 +148,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": windows.hopping_window,
         "sessionize": windows.sessionize,
         "enrich_props": windows.enrich_props,
+        # distinct-cardinality family: exact pair-shuffle companion
+        # (SQL-oracled) + HyperLogLog sketch (approximate by
+        # construction — rows-only; pytest pins relative error)
+        "distinct_users_per_type": sketches.distinct_users_per_type,
+        "hll_users_per_type": sketches.hll_users_per_type,
         "scrub_props": windows.scrub_props,
         "events_stats": windows.events_stats,
         # text analysis
@@ -323,6 +328,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    SUM(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS sum_k,
                    COUNT(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type
         """,
         "events_stats": """

@@ -201,6 +201,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "tumbling_hour",
         "hopping_window",
         "sessionize",
+        "distinct_users_per_type",
+        "hll_users_per_type",
         "enrich_props",
         "token_counts",
         "doc_stats_by_lang",

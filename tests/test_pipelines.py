@@ -27,6 +27,7 @@ SWEEP = [
     "sessionize",
     "enrich_props",
     "events_stats",
+    "distinct_users_per_type",
     "token_counts",
     "doc_stats_by_lang",
     "repetition_stats",
@@ -811,6 +812,61 @@ class TestSimilaritySemantics:
         # random 64-d standard normals never reach cos 0.95: ONLY the
         # planted dups are pruned
         assert len(got) == len(planted)
+
+
+class TestSketches:
+    """hll_users_per_type is approximate by construction (no SQL
+    oracle); the pins: relative error vs the exact SQL-oracled
+    companion on the fixture, and exact+sketch agreement on planted
+    10x cardinalities spanning the linear-counting and HLL regimes."""
+
+    def test_hll_error_vs_exact_on_fixture(self):
+        from blockspider_ray.pipelines.sketches import (
+            distinct_users_per_type,
+            hll_users_per_type,
+        )
+
+        exact = distinct_users_per_type(SF)
+        est = hll_users_per_type(SF)
+        j = exact.merge(est, on="event_type")
+        assert len(j) == len(exact) > 0
+        rel = (j["n_users_est"] - j["n_users"]).abs() / j["n_users"]
+        assert (rel < 0.05).all(), j
+
+    def test_hll_planted_cardinalities_10x(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.sketches import (
+            distinct_users_per_type,
+            hll_users_per_type,
+        )
+
+        rng = np.random.default_rng(23)
+        planted = {"big": 30_000, "mid": 1_000, "tiny": 37}
+        et, uid = [], []
+        for name, n in planted.items():
+            ids = np.arange(n, dtype=np.int64) * 7 + {"big": 1, "mid": 2, "tiny": 3}[name]
+            ids = np.concatenate([ids, ids])  # every user twice
+            et += [name] * len(ids)
+            uid += ids.tolist()
+        order = rng.permutation(len(uid))  # users span batches
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array(np.asarray(et, dtype=object)[order].tolist(), pa.string()),
+                    "user_id": pa.array(np.asarray(uid, dtype=np.int64)[order], pa.int64()),
+                }
+            ),
+            f"{d}/events.parquet",
+        )
+        exact = distinct_users_per_type(d).set_index("event_type")["n_users"]
+        for name, n in planted.items():
+            assert exact[name] == n  # duplicates across batches collapse
+        est = hll_users_per_type(d).set_index("event_type")["n_users_est"]
+        for name, n in planted.items():
+            assert abs(est[name] - n) <= max(2, 0.05 * n), (name, est[name], n)
 
 
 class TestTextSemantics:
