@@ -188,6 +188,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": dedup.decontaminate,
         # temporal join (custom operator: bucketed merge_asof)
         "asof_join_events": relational.asof_join_events,
+        # interval (band) join — one-to-many temporal sibling of asof
+        "interval_join_events": relational.interval_join_events,
+        # hierarchical aggregate (GROUP BY ROLLUP)
+        "rollup_revenue": relational.rollup_revenue,
+        # DDSketch-style log-binned quantiles (approximate by
+        # construction — rows-only; pytest pins relative error vs
+        # DuckDB quantile_disc and vs numpy on planted lognormals)
+        "value_quantiles_sketch": sketches.value_quantiles_sketch,
+        # Misra-Gries heavy hitters (deterministic undercount interval;
+        # rows-only — pytest pins the interval vs exact vocab_topk and
+        # planted Zipf batches force real trimming)
+        "vocab_topk_sketch": sketches.vocab_topk_sketch,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,
@@ -568,6 +580,27 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY u
         """,
         "asof_join_events": _ASOF_SQL,
+        "interval_join_events": """
+            SELECT p.event_id::BIGINT AS event_id,
+                   p.user_id::BIGINT AS user_id,
+                   epoch_us(p.ts)::BIGINT AS ts_us,
+                   s.event_id::BIGINT AS signup_event_id,
+                   epoch_us(s.ts)::BIGINT AS signup_ts_us,
+                   s.value AS signup_value
+            FROM events p
+            JOIN events s
+              ON s.user_id = p.user_id
+             AND s.ts <= p.ts
+             AND s.ts > p.ts - INTERVAL 24 HOUR
+            WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                   COUNT(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
         "scrub_props": """
             SELECT event_id::BIGINT AS event_id,
                    regexp_replace(props, '[0-9]+', '#', 'g') AS props_scrubbed

@@ -203,6 +203,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "sessionize",
         "distinct_users_per_type",
         "hll_users_per_type",
+        "value_quantiles_sketch",
+        "vocab_topk_sketch",
+        "interval_join_events",
+        "rollup_revenue",
         "enrich_props",
         "token_counts",
         "doc_stats_by_lang",

@@ -443,3 +443,128 @@ def asof_join_events(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(asof_bucket, batch_format="pandas")
     )
+
+
+def rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical aggregate — ``GROUP BY ROLLUP(returnflag,
+    linestatus)``: revenue at the finest grain plus every prefix
+    subtotal and the grand total in one result, the reporting shape the
+    reference's per-sink stats tables compose by hand (SURVEY.md §2.6).
+
+    Scale shape: ONE distributed pass — the same partial-combiner
+    shuffle as ``q1_pricing_summary`` — lands the finest-grain table
+    (cardinality = |flag|x|status|, tiny by definition); the coarser
+    ROLLUP levels are pure re-aggregations of that finest table, so they
+    run on the driver over a few dozen rows instead of re-scanning or
+    re-shuffling the fact table. Rolled-up key columns are emitted as
+    NULL exactly like the SQL."""
+    ds = T(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_extendedprice", "sum"), ("l_extendedprice", "count")]
+        )
+        return rename(g, {"l_extendedprice_sum": "p_price", "l_extendedprice_count": "p_n"})
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_price", alias_name="sum_price"), Sum("p_n", alias_name="n_rows"))
+        .to_pandas()
+    )
+    lvl1 = (
+        finest.groupby("l_returnflag", as_index=False)[["sum_price", "n_rows"]]
+        .sum()
+        .assign(l_linestatus=None)
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "sum_price": [finest["sum_price"].sum()],
+            "n_rows": [finest["n_rows"].sum()],
+        }
+    )
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_price", "n_rows"]
+    ]
+    out["sum_price"] = out["sum_price"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    ).reset_index(drop=True)
+
+
+def interval_join_events(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
+    """Per-key interval (band) join: each purchase matched to ALL
+    signups by the same user inside the preceding 24-hour window —
+    the one-to-many temporal-join sibling of ``asof_join_events``
+    (which keeps only the latest match). Ray Data has no native range
+    join; composition per the custom-operator recipe: tag both sides
+    from one pruned read, hash-bucket by key so a key's rows co-locate,
+    then inside each bucket an equi-merge on user explodes (purchase x
+    signup) candidate pairs and the band predicate filters — vectorized,
+    no per-row loop.
+
+    Partitioning assumptions: (a) one BUCKET of keys fits a worker (the
+    asof assumption); (b) the in-bucket explode is bounded by
+    per-user event counts — per-key fan-in is human-scale (a user's
+    purchases x signups), so the candidate product is linear-ish in
+    bucket rows; a bot-scale hot user would be salted by time range
+    before the merge. The all-to-all moves fixed-width ids/ts/value
+    rows only (timestamps as int64 epoch-micros, hash-identical to the
+    oracle's ``epoch_us``)."""
+    if n_buckets < 1 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    window_us = 24 * 3600 * 1_000_000
+    ev = T(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["purchase", "signup"]))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(t["user_id"], n_buckets - 1), pa.int64()),
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"],
+                "value": t["value"],
+                "side": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int8()),
+            }
+        )
+
+    _empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "ts_us": pd.Series([], dtype="int64"),
+            "signup_event_id": pd.Series([], dtype="int64"),
+            "signup_ts_us": pd.Series([], dtype="int64"),
+            "signup_value": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def band_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 1][["event_id", "user_id", "ts_us"]]
+        right = g[g["side"] == 0][["event_id", "user_id", "ts_us", "value"]].rename(
+            columns={
+                "event_id": "signup_event_id",
+                "ts_us": "signup_ts_us",
+                "value": "signup_value",
+            }
+        )
+        if left.empty or right.empty:
+            return _empty
+        m = left.merge(right, on="user_id")
+        m = m[(m["signup_ts_us"] <= m["ts_us"]) & (m["signup_ts_us"] > m["ts_us"] - window_us)]
+        if m.empty:
+            return _empty
+        return m[
+            ["event_id", "user_id", "ts_us", "signup_event_id", "signup_ts_us", "signup_value"]
+        ]
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(band_bucket, batch_format="pandas")
+    )

@@ -1,22 +1,28 @@
 """Mergeable-sketch operators — the approximate-aggregation family for
-cardinalities too large to shuffle exactly.
+value/key universes too large to shuffle exactly. Three sketches, one
+shape: the per-batch partial is a FIXED-SIZE summary that rides the
+all-to-all instead of raw values, partials merge associatively, and the
+final dispatch is bounded by the group count, not the data.
 
-``distinct_users_per_type`` is the exact companion (one (type, user)
-distinct shuffle — fine while the pair universe fits an all-to-all);
-``hll_users_per_type`` is the sketch path: per-batch HyperLogLog
-register arrays (Flajolet et al. 2007, the standard mergeable
-cardinality sketch) ride the shuffle instead of raw ids, so the
-all-to-all moves ONE 2^p-byte row per (event_type, batch) regardless of
-how many distinct users a batch holds — the 100-TB shape for distinct
-counts over 10^9+ key universes. Registers merge by elementwise max
-(associative/commutative/idempotent: order- and partition-insensitive),
-and the group count is #event_types, so the final map_groups dispatch
-is bounded.
+- **Cardinality**: ``hll_users_per_type`` — HyperLogLog register arrays
+  (Flajolet et al. 2007), one 2^p-byte row per (event_type, batch)
+  regardless of how many distinct users a batch holds; registers merge
+  by elementwise max (order- and partition-insensitive). Exact
+  companion ``distinct_users_per_type`` (SQL-oracled) shuffles the
+  deduped pair universe — fine while it fits an all-to-all.
+- **Quantiles**: ``value_quantiles_sketch`` — DDSketch-style log-binned
+  histogram (Masson et al. VLDB 2019) with a guaranteed RELATIVE error,
+  for real-valued columns where ``doc_len_quantiles``'s exact
+  compressed-distribution trick degenerates to one row per row.
+- **Heavy hitters**: ``vocab_topk_sketch`` — Misra-Gries summaries with
+  a deterministic undercount interval, capping each batch's shuffle
+  contribution at ``m`` rows where exact ``vocab_topk`` moves the whole
+  batch vocabulary.
 
-No SQL oracle for the sketch (approximate by construction); pytest pins
-the relative error against the exact companion on the fixture and on a
-10x planted-cardinality table (standard error ~1.04/sqrt(2^p) ≈ 1.6%
-at p=12).
+No SQL oracle for the sketches (approximate by construction); pytest
+pins each one's error against its exact companion on the fixture and on
+planted tables that force the approximation to actually engage (10x
+cardinalities, heavy-tailed distinct doubles, Zipf trimming).
 """
 
 from __future__ import annotations
@@ -137,3 +143,129 @@ def hll_users_per_type(sf_dir: str, p: int = 12) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def value_quantiles_sketch(
+    sf_dir: str, qs: tuple = (0.5, 0.9, 0.99), rel_err: float = 0.01
+) -> pd.DataFrame:
+    """Approximate per-type quantiles of ``events.value`` via a
+    mergeable log-binned histogram (the DDSketch construction, Masson
+    et al. VLDB 2019: guaranteed RELATIVE-error quantiles from
+    fixed-size additive partials).
+
+    Why a sketch here when ``doc_len_quantiles`` is exact: that op's
+    compressed-distribution trick is bounded by #distinct values, which
+    works for small-int token lengths but degenerates to one partial
+    row PER ROW on a real-valued column — exact quantiles over doubles
+    need a full sort. The sketch bins value v into
+    floor(log(v)/log(gamma)), gamma = (1+e)/(1-e), so each (type, bin,
+    count) partial table is bounded by #bins (~1.4k for a 1e-9..1e9
+    range at e=1%) regardless of row count or value cardinality; bins
+    merge additively (one tiny groupby-Sum shuffle) and the bin's
+    geometric midpoint is within ``rel_err`` of any value it holds.
+    Estimates target ``quantile_disc`` (lower-value-at-position) so the
+    pytest pin compares like to like. Non-positive values would need a
+    mirrored negative ladder + a zero bin; the events fixture is
+    positive-only and the guard below asserts it rather than silently
+    mis-binning."""
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    log_g = np.log(gamma)
+    ds = T(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(v) and v.min() <= 0:
+            raise ValueError("value_quantiles_sketch: non-positive values need a mirrored ladder")
+        b = np.ceil(np.log(v) / log_g).astype(np.int64)
+        g = (
+            pa.table({"event_type": t["event_type"], "bin": pa.array(b, pa.int64())})
+            .group_by(["event_type", "bin"])
+            .aggregate([([], "count_all")])
+        )
+        return rename(g, {"count_all": "p_n"})
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        b = g["bin"].to_numpy(dtype=np.int64)
+        w = g["n"].to_numpy(dtype=np.int64)
+        o = np.argsort(b)
+        b, w = b[o], w[o]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        row = {"event_type": g["event_type"].iloc[0]}
+        for q in qs:
+            # quantile_disc rank (Postgres/DuckDB convention): the
+            # smallest value whose cumulative fraction >= q, i.e.
+            # 0-based position ceil(q*n)-1 -> first bin whose
+            # cumulative count covers it
+            pos = max(int(np.ceil(q * total)) - 1, 0)
+            k = b[np.searchsorted(cum, pos + 1, side="left")]
+            # geometric midpoint of bin (gamma^(k-1), gamma^k]
+            row[f"p{int(q * 100)}"] = round(float(2.0 * gamma**k / (gamma + 1.0)), 4)
+        return pd.DataFrame([row])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(estimate, batch_format="pandas")  # #event_types groups
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def vocab_topk_sketch(sf_dir: str, k: int = 100, m: int = 4096) -> pd.DataFrame:
+    """Approximate vocabulary heavy hitters — the Misra-Gries summary
+    (Misra & Gries 1982; merge rule per Agarwal et al. PODS 2012) as the
+    scale companion of the exact ``textstats.vocab_topk``.
+
+    Why: the exact op's shuffle moves one row per (token, batch) — fine
+    while the vocab fits the all-to-all, but a 100-TB web corpus's token
+    universe (typos, URLs, hashes) is effectively unbounded. The sketch
+    caps every batch's contribution at ``m`` rows with a DETERMINISTIC
+    undercount bound: take the batch's exact histogram, subtract the
+    (m+1)-th largest count from every token, keep the positive ones —
+    the classic summary with per-batch undercount <= that pivot <=
+    N_batch/(m+1). Trims ride the same shuffle as a sentinel row, so
+    the merged output carries the exact global error bound B = sum of
+    batch trims, and for every token: n_est <= true count <= n_est + B
+    (tokens missing from the sketch have true count <= B). The final
+    sort+limit runs over <= m x n_batches surviving rows instead of the
+    full vocab. Returned columns: (token, n_est, err_bound); pytest pins
+    the interval against the exact companion and planted Zipf batches.
+    """
+    from .textstats import _token_pairs
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = _token_pairs(t).group_by("tok").aggregate([([], "count_all")])
+        n = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = g["tok"].to_numpy(zero_copy_only=False)
+        if len(n) > m:
+            pivot = np.partition(n, len(n) - (m + 1))[len(n) - (m + 1)]
+        else:
+            pivot = np.int64(0)
+        kept = n - pivot > 0
+        out_tok = np.concatenate([toks[kept], np.asarray([""], dtype=object)])
+        out_n = np.concatenate([(n - pivot)[kept], np.asarray([pivot], dtype=np.int64)])
+        return pa.table(
+            {"token": pa.array(out_tok.tolist(), pa.string()), "p_n": pa.array(out_n, pa.int64())}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_n", alias_name="n_est"))
+        .to_pandas()
+    )
+    is_sentinel = merged["token"] == ""
+    bound = int(merged.loc[is_sentinel, "n_est"].sum())
+    out = (
+        merged[~is_sentinel]
+        .sort_values(["n_est", "token"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["err_bound"] = np.int64(bound)
+    return out

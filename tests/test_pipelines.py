@@ -46,6 +46,8 @@ SWEEP = [
     "near_dup_clusters",
     "decontaminate",
     "asof_join_events",
+    "interval_join_events",
+    "rollup_revenue",
     "scrub_props",
     "hash_split",
     "knn_cosine",
@@ -107,6 +109,12 @@ class TestBucketGuards:
 
         with pytest.raises(AssertionError, match="power of two"):
             sessionize(SF, n_buckets=12)
+
+    def test_interval_join_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.relational import interval_join_events
+
+        with pytest.raises(ValueError, match="power of two"):
+            interval_join_events(SF, n_buckets=12)
 
     def test_sessionize_bucket_count_invariant(self):
         """The bucketed run-scan (hash(user) % B + lexsort + vectorized
@@ -867,6 +875,130 @@ class TestSketches:
         est = hll_users_per_type(d).set_index("event_type")["n_users_est"]
         for name, n in planted.items():
             assert abs(est[name] - n) <= max(2, 0.05 * n), (name, est[name], n)
+
+    def test_value_quantiles_sketch_vs_duckdb(self, ddb):
+        """DDSketch guarantee: every estimate within rel_err of the true
+        quantile_disc value (2x slack for the rank-rounding seam)."""
+        from blockspider_ray.pipelines.sketches import value_quantiles_sketch
+
+        rel_err = 0.01
+        est = value_quantiles_sketch(SF, rel_err=rel_err).set_index("event_type")
+        want = ddb.sql(
+            """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY event_type
+            """
+        ).df().set_index("event_type")
+        assert sorted(est.index) == sorted(want.index)
+        for c in ("p50", "p90", "p99"):
+            rel = (est[c] - want[c]).abs() / want[c]
+            assert (rel <= 2 * rel_err).all(), (c, rel)
+
+    def test_value_quantiles_sketch_rejects_non_positive(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.sketches import value_quantiles_sketch
+
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array(["a", "a"], pa.string()),
+                    "value": pa.array([1.0, -2.0], pa.float64()),
+                }
+            ),
+            f"{d}/events.parquet",
+        )
+        with pytest.raises(Exception, match="non-positive|mirrored"):
+            value_quantiles_sketch(d)
+
+    def test_vocab_topk_sketch_interval_vs_exact(self, ddb):
+        """Misra-Gries guarantee on the fixture: for every reported
+        token, n_est <= true count <= n_est + err_bound."""
+        from blockspider_ray.pipelines.sketches import vocab_topk_sketch
+
+        est = vocab_topk_sketch(SF, k=50)
+        assert (est["err_bound"] >= 0).all()
+        bound = int(est["err_bound"].iloc[0])
+        truth = ddb.sql(
+            r"""
+            SELECT tok AS token, COUNT(*)::BIGINT AS n FROM (
+              SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+              FROM documents
+            ) WHERE tok <> '' GROUP BY tok
+            """
+        ).df().set_index("token")["n"]
+        for _, r in est.iterrows():
+            t = truth[r["token"]]
+            assert r["n_est"] <= t <= r["n_est"] + bound, (r["token"], r["n_est"], t, bound)
+
+    def test_vocab_topk_sketch_planted_zipf_trimming(self, tmp_path):
+        """m=8 on a long-tailed vocab forces real per-batch trimming;
+        the planted heavy hitters tower over the bound so they MUST
+        surface in order, and the interval must still hold."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.sketches import vocab_topk_sketch
+
+        rng = np.random.default_rng(11)
+        heavy = {"alpha": 5000, "beta": 3000, "gamma": 2000}
+        toks = []
+        for w, n in heavy.items():
+            toks += [w] * n
+        toks += [f"tail{i}" for i in range(4000)]  # 4000 singletons
+        toks = list(rng.permutation(np.asarray(toks, dtype=object)))
+        docs = [" ".join(toks[i : i + 50]) for i in range(0, len(toks), 50)]
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        est = vocab_topk_sketch(d, k=3, m=8)
+        bound = int(est["err_bound"].iloc[0])
+        assert bound > 0  # trimming actually happened
+        assert list(est["token"]) == ["alpha", "beta", "gamma"]
+        for w, n in heavy.items():
+            e = int(est.set_index("token").loc[w, "n_est"])
+            assert e <= n <= e + bound, (w, e, n, bound)
+
+    def test_value_quantiles_sketch_planted_lognormal(self, tmp_path):
+        """Heavy-tailed doubles (every value distinct — the regime where
+        the exact compressed-distribution trick degenerates and the
+        sketch is the only scale path) against numpy's exact rank."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.sketches import value_quantiles_sketch
+
+        rng = np.random.default_rng(7)
+        v = rng.lognormal(mean=2.0, sigma=1.5, size=50_000)
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array(["heavy"] * len(v), pa.string()),
+                    "value": pa.array(v, pa.float64()),
+                }
+            ),
+            f"{d}/events.parquet",
+        )
+        rel_err = 0.01
+        est = value_quantiles_sketch(d, rel_err=rel_err).set_index("event_type")
+        sv = np.sort(v)
+        for q in (0.5, 0.9, 0.99):
+            want = sv[max(int(np.ceil(q * len(sv))) - 1, 0)]
+            got = est.loc["heavy", f"p{int(q * 100)}"]
+            assert abs(got - want) / want <= 2 * rel_err, (q, got, want)
 
 
 class TestTextSemantics:
