@@ -164,19 +164,24 @@ def value_quantiles_sketch(
     merge additively (one tiny groupby-Sum shuffle) and the bin's
     geometric midpoint is within ``rel_err`` of any value it holds.
     Estimates target ``quantile_disc`` (lower-value-at-position) so the
-    pytest pin compares like to like. Non-positive values would need a
-    mirrored negative ladder + a zero bin; the events fixture is
-    positive-only and the guard below asserts it rather than silently
-    mis-binning."""
+    pytest pin compares like to like. Zeros get DDSketch's dedicated
+    zero bin (a sentinel that sorts below every log bin and estimates
+    exactly 0.0 — relative error is undefined at 0, absolute error is
+    0); NEGATIVE values would need the mirrored second ladder and the
+    guard below raises rather than silently mis-binning them."""
     gamma = (1.0 + rel_err) / (1.0 - rel_err)
     log_g = np.log(gamma)
+    zero_bin = np.int64(-(1 << 62))  # sorts below any reachable log bin
     ds = T(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
         v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
-        if len(v) and v.min() <= 0:
-            raise ValueError("value_quantiles_sketch: non-positive values need a mirrored ladder")
-        b = np.ceil(np.log(v) / log_g).astype(np.int64)
+        if len(v) and v.min() < 0:
+            raise ValueError("value_quantiles_sketch: negative values need a mirrored ladder")
+        with np.errstate(divide="ignore"):
+            b = np.where(v > 0, np.ceil(np.log(np.maximum(v, 1e-300)) / log_g), zero_bin).astype(
+                np.int64
+            )
         g = (
             pa.table({"event_type": t["event_type"], "bin": pa.array(b, pa.int64())})
             .group_by(["event_type", "bin"])
@@ -199,8 +204,10 @@ def value_quantiles_sketch(
             # cumulative count covers it
             pos = max(int(np.ceil(q * total)) - 1, 0)
             k = b[np.searchsorted(cum, pos + 1, side="left")]
-            # geometric midpoint of bin (gamma^(k-1), gamma^k]
-            row[f"p{int(q * 100)}"] = round(float(2.0 * gamma**k / (gamma + 1.0)), 4)
+            # geometric midpoint of bin (gamma^(k-1), gamma^k]; the
+            # zero bin estimates exactly 0.0
+            est = 0.0 if k == zero_bin else float(2.0 * gamma**k / (gamma + 1.0))
+            row[f"p{int(q * 100)}"] = round(est, 4)
         return pd.DataFrame([row])
 
     out = (

@@ -913,8 +913,32 @@ class TestSketches:
             ),
             f"{d}/events.parquet",
         )
-        with pytest.raises(Exception, match="non-positive|mirrored"):
+        with pytest.raises(Exception, match="negative|mirrored"):
             value_quantiles_sketch(d)
+
+    def test_value_quantiles_sketch_zero_bin(self, tmp_path):
+        """Zeros land in the dedicated zero bin (sorts below every log
+        bin): a zero-majority column gets p50 == 0.0 exactly while the
+        tail quantiles still come from the log ladder."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.sketches import value_quantiles_sketch
+
+        d = str(tmp_path)
+        vals = [0.0] * 60 + [100.0] * 40
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array(["z"] * len(vals), pa.string()),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            ),
+            f"{d}/events.parquet",
+        )
+        est = value_quantiles_sketch(d).set_index("event_type")
+        assert est.loc["z", "p50"] == 0.0
+        assert abs(est.loc["z", "p90"] - 100.0) / 100.0 <= 0.02
 
     def test_vocab_topk_sketch_interval_vs_exact(self, ddb):
         """Misra-Gries guarantee on the fixture: for every reported
