@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Sum
 
@@ -87,7 +88,12 @@ def hll_users_per_type(sf_dir: str, p: int = 12) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        # dictionary-encode the group column: the row-length array stays
+        # int32 codes (no per-row python strings), only the tiny
+        # distinct-type dictionary is materialized
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = enc.dictionary.to_pylist()
         h = mix(uid)
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         # sentinel low bits guarantee rest != 0 and cap rho at 64-p+1
@@ -104,8 +110,8 @@ def hll_users_per_type(sf_dir: str, p: int = 12) -> pd.DataFrame:
         bitlen += 1  # 1-based position of the highest set bit
         rho = (64 - bitlen + 1).astype(np.int8)  # leading zeros + 1
         out_t, out_regs = [], []
-        order = np.argsort(et.astype(str), kind="stable")
-        et_s, idx_s, rho_s = et[order], idx[order], rho[order]
+        order = np.argsort(codes, kind="stable")  # int sort, not str
+        et_s, idx_s, rho_s = codes[order], idx[order], rho[order]
         starts = np.flatnonzero(
             np.concatenate(([True], et_s[1:] != et_s[:-1]))
         )
@@ -114,7 +120,7 @@ def hll_users_per_type(sf_dir: str, p: int = 12) -> pd.DataFrame:
             a, b = bounds[k], bounds[k + 1]
             regs = np.zeros(m, dtype=np.int8)
             np.maximum.at(regs, idx_s[a:b], rho_s[a:b])
-            out_t.append(str(et_s[a]))
+            out_t.append(cats[et_s[a]])
             out_regs.append(regs)
         return pa.table(
             {
