@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (binary payload columns; decode stubbed, plumbing real)
         "media_features": multimodal.media_features,
         "video_frame_samples": multimodal.video_frame_samples,
+        # distributed prefix scan (window function): sequence packing
+        "pack_sequences": corpus.pack_sequences,
         # flagship: crawl output -> dedup -> quality/lang -> partitioned corpus
         "corpus_prep": corpus.corpus_prep_demo,
         "hash_split": corpus.hash_split,
@@ -600,6 +602,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "pack_sequences": """
+            WITH scan AS (
+              SELECT doc_id,
+                     COALESCE(SUM(n_chars) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS cum_before
+              FROM documents
+            )
+            SELECT doc_id, cum_before, (cum_before // 4096)::BIGINT AS bin_id
+            FROM scan
         """,
         "scrub_props": """
             SELECT event_id::BIGINT AS event_id,

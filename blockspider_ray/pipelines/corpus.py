@@ -403,3 +403,82 @@ def hash_split(sf_dir: str, pcts: tuple[int, int] = (90, 95)) -> rd.Dataset:
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pack_sequences(sf_dir: str, budget: int = 4096, n_ranges: int | None = None) -> pd.DataFrame:
+    """Sequence packing — assign documents (ordered by doc_id) to
+    fixed-budget bins by cumulative length: doc d goes to bin
+    floor(running_total_before(d) / budget). The batching step a
+    training pipeline runs between corpus prep and the dataloader
+    (contiguous greedy packing; cost = ``n_chars`` so the op needs no
+    tokenizer pass — swap in token counts the same way).
+
+    This is the engine's distributed PREFIX-SCAN (window function)
+    primitive: a running total is inherently a total order, so it can't
+    be a hash shuffle. Shape: (1) one tiny aggregate finds max(doc_id)
+    and sizes contiguous RANGES (~4/cpu via ``n_shuffle_buckets`` — the
+    dispatch-amortization discipline, range- not hash-keyed because a
+    scan needs contiguity); (2) one partial-combiner pass lands
+    per-range totals on the driver (#ranges rows), whose cumsum gives
+    each range's global prefix OFFSET, broadcast back; (3) one groupby
+    co-locates each range, which lexsorts locally and adds its offset
+    to the in-range cumsum. The all-to-all moves (doc_id, n_chars)
+    pairs once; no global sort, no driver-resident data beyond #ranges
+    rows. Mirrors ``SUM() OVER (ORDER BY doc_id ROWS UNBOUNDED
+    PRECEDING ... 1 PRECEDING)`` in the oracle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .common import T, n_shuffle_buckets, rename
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    max_id = int(ds.max("doc_id"))
+    if n_ranges is None:
+        n_ranges = n_shuffle_buckets()
+    width = max(max_id // n_ranges + 1, 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        rng = pc.cast(pc.divide(t["doc_id"], width), pa.int64())
+        return pa.table({"range_id": rng, "doc_id": t["doc_id"], "n_chars": t["n_chars"]})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def range_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("range_id").aggregate([("n_chars", "sum")])
+        return rename(g, {"n_chars_sum": "p_sum"})
+
+    totals = (
+        tagged.map_batches(range_partial, batch_format="pyarrow")
+        .groupby("range_id")
+        .aggregate(Sum("p_sum", alias_name="range_sum"))
+        .to_pandas()  # #ranges rows — driver state bounded by cluster size
+        .sort_values("range_id")
+    )
+    offsets = dict(
+        zip(
+            totals["range_id"].astype(int),
+            np.concatenate(([0], np.cumsum(totals["range_sum"].to_numpy())[:-1])).astype(np.int64),
+        )
+    )
+    offsets_ref = ray.put(offsets)
+
+    def scan_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["range_id"].iloc[0])]
+        g = g.sort_values("doc_id", kind="stable")
+        n = g["n_chars"].to_numpy(dtype=np.int64)
+        before = off + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "cum_before": before,
+                "bin_id": before // budget,
+            }
+        )
+
+    out = (
+        tagged.groupby("range_id")
+        .map_groups(scan_range, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

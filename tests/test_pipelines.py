@@ -39,6 +39,7 @@ SWEEP = [
     "ngram_counts",
     "mixture_sample",
     "stratified_sample",
+    "pack_sequences",
     "line_dedup",
     "exact_dedup",
     "first_per_key",
@@ -115,6 +116,15 @@ class TestBucketGuards:
 
         with pytest.raises(ValueError, match="power of two"):
             interval_join_events(SF, n_buckets=12)
+
+    def test_pack_sequences_range_count_invariant(self):
+        """The prefix scan must be a pure partitioning choice: 2 fat
+        ranges and 64 thin ranges yield identical running totals."""
+        from blockspider_ray.pipelines.corpus import pack_sequences
+
+        a = pack_sequences(SF, n_ranges=2)
+        b = pack_sequences(SF, n_ranges=64)
+        pd.testing.assert_frame_equal(a, b)
 
     def test_sessionize_bucket_count_invariant(self):
         """The bucketed run-scan (hash(user) % B + lexsort + vectorized
