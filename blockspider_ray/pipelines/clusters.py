@@ -27,7 +27,8 @@ connected-components algorithm", 2020 — public algorithm literature):
        improved last round) co-located by hash(node) % B;
        label'(v) = min(label(v), incoming), prev'(v) = label(v),
        plus a changed flag
-  stop when no label changed (scalar Sum aggregate per iteration).
+  stop when no label changed (per-block changed-sums read straight
+  off the materialized blocks — no extra executor launch).
 
 The hooking messages are what make this logarithmic instead of linear:
 without them, a basin's representative m (a local min: label(m) = m, so
@@ -66,7 +67,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from .common import bounded_driver_frame, n_shuffle_buckets
+from .common import bounded_driver_frame, n_shuffle_buckets, sum_col_over_blocks
 
 _MAX_DRIVER_ROWS = 50_000_000
 
@@ -143,9 +144,6 @@ def connected_components(
     B = n_buckets or n_shuffle_buckets()
     if B & (B - 1):
         raise ValueError(f"n_buckets must be a power of two, got {B}")
-    # per-iteration fixed block count: enough blocks to spread the
-    # bucket groups, few enough that a k-iteration loop stays O(k)
-    n_blocks = min(B, 64)
 
     def mirror(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -157,9 +155,20 @@ def connected_components(
             }
         )
 
-    edges = (
-        pairs.map_batches(mirror, batch_format="pyarrow").repartition(n_blocks).materialize()
-    )
+    edges = pairs.map_batches(mirror, batch_format="pyarrow").materialize()
+    if n_buckets is None:
+        # scale-adaptive bucket count: the CPU-derived B is sized for
+        # corpus-scale pair lists; a toy/duplicate-light graph under it
+        # would pay B near-empty group dispatches per all-to-all PER
+        # ITERATION (measured: the dominant cost of the battery's
+        # 45-pair run). Target >= ~512 mirrored rows per bucket, floor
+        # 4, cap B — the count is free, edges is already materialized.
+        n_rows = edges.count()
+        B = min(B, 1 << max(2, int(n_rows // 512 + 1).bit_length()))
+    # per-iteration fixed block count: enough blocks to spread the
+    # bucket groups, few enough that a k-iteration loop stays O(k)
+    n_blocks = min(B, 64)
+    edges = edges.repartition(n_blocks).materialize()
 
     # node universe = distinct src (mirroring makes src cover both ends)
     from ray.data.aggregate import Count, Sum
@@ -320,7 +329,11 @@ def connected_components(
             .repartition(n_blocks)
             .materialize()
         )
-        if not int(labels.sum("changed", ignore_nulls=True) or 0):
+        # convergence probe off the just-materialized blocks — a
+        # Dataset.sum() here would pay a SECOND full executor launch
+        # per iteration (measured ~1 s planning tax each) to add a few
+        # dozen per-block ints
+        if not int(sum_col_over_blocks(labels, "changed")):
             break
 
     out = bounded_driver_frame(

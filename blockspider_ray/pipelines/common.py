@@ -95,3 +95,60 @@ def bounded_driver_frame(ds: rd.Dataset, what: str, max_rows: int):
 
 def rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
     return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+def sum_col_over_blocks(mat, col: str, where_col: str | None = None, equals=None):
+    """Scalar int sum of ``col`` over an ALREADY-MATERIALIZED dataset,
+    read straight off the object-store block refs with zero-cpu raw
+    tasks. ``Dataset.sum()`` on the same data launches a full streaming
+    executor (~1 s of planning/teardown at any scale) to add a few
+    dozen per-block ints; the iterative loops (FastSV connected
+    components, PageRank) paid that launch once per iteration as their
+    convergence check, and at toy scale it dominated wall time. Raw
+    tasks are the documented last-resort tier (SURVEY §4): this is a
+    driver-side scalar over blocks the executor just produced — a
+    convergence probe, not a data-plane bypass. Work per task is one
+    vectorized column sum; per-block results are summed on the driver
+    (#blocks scalars). With ``where_col``/``equals`` the per-block sum
+    is filtered first (the PageRank dangling-mass probe)."""
+    import ray
+
+    refs = [r for b in mat.iter_internal_ref_bundles() for r in b.block_refs]
+    return sum(ray.get([_block_col_sum.remote(r, col, where_col, equals) for r in refs]))
+
+
+def _lazy_block_col_sum():
+    import ray
+
+    @ray.remote(num_cpus=0)
+    def _sum(blk, col: str, where_col, equals):
+        if isinstance(blk, pa.Table):
+            import pyarrow.compute as pc
+
+            if where_col is not None:
+                blk = blk.filter(pc.equal(blk[where_col], equals))
+            v = pc.sum(blk.column(col)).as_py()
+            return v or 0
+        if where_col is not None:
+            blk = blk[blk[where_col] == equals]
+        s = blk[col].sum()
+        return s if len(blk) else 0
+
+    return _sum
+
+
+class _LazyRemote:
+    """Defer ray.remote decoration to first use so importing this
+    module never touches ray state."""
+
+    def __init__(self, factory):
+        self._factory = factory
+        self._fn = None
+
+    def remote(self, *a, **kw):
+        if self._fn is None:
+            self._fn = self._factory()
+        return self._fn.remote(*a, **kw)
+
+
+_block_col_sum = _LazyRemote(_lazy_block_col_sum)

@@ -37,6 +37,7 @@ import ray.data as rd
 
 from ..functions.extract import extract_links
 from ..functions.urls import hash64, url_host
+from .common import sum_col_over_blocks
 
 
 def host_graph(pages_dir: str) -> rd.Dataset:
@@ -215,8 +216,10 @@ def pagerank(
             .repartition(n_buckets)
             .materialize()
         )
-        row = parts.filter(expr=f'dst == "{_DANGLE}"').sum("part", ignore_nulls=True)
-        dang_total = float(row or 0.0)
+        # dangling-mass probe off the just-materialized blocks: the
+        # previous filter(...).sum(...) launched a second full executor
+        # per iteration (~1 s planning tax) to add #blocks floats
+        dang_total = float(sum_col_over_blocks(parts, "part", where_col="dst", equals=_DANGLE))
 
         # --- apply: co-locate contributions with the node table
         def tag_part(t: pa.Table) -> pa.Table:
