@@ -6,18 +6,21 @@ PageRank as a Ray-Data-native loop — the iterative-algorithm family
   per iteration, exactly two bucketed all-to-alls over fixed-width rows:
     1. contribute: rank rows and edge rows co-located by hash(src)
        bucket -> each src's rank multiplied onto its out-edge weights
-       (dangling srcs emit their whole mass to a sentinel row)
     2. apply: contribution rows and node rows co-located by hash(dst)
        bucket -> per-node sums + teleport/dangling redistribution
 
   the iteration state (the rank table) is materialized once per
-  iteration — the natural barrier of a power method; everything that
-  rides a shuffle is (key, float) pairs, never text or html.
+  iteration — the natural barrier of a power method, and the ONLY
+  executor launch per iteration: the dangling set is static (flagged
+  on the node table once), so its mass is probed straight off the
+  previous rank table's blocks instead of a mid-iteration sentinel-row
+  materialize+aggregate; everything that rides a shuffle is
+  (key, float) pairs, never text or html.
 
 Scale notes: buckets dilute hot hosts (a mega-host's out-edges share
 one group with many other hosts only if the bucket count is too small —
 ``n_buckets`` is the knob); the per-iteration dangling mass is a single
-scalar aggregate. The host graph itself is built from the synthetic
+per-block probe of the previous (already materialized) rank table. The host graph itself is built from the synthetic
 page store with the SAME extraction kernels the engine uses
 (functions/extract.extract_links + urls.url_host), so ranks are
 computed over exactly the graph the crawler walks (crawler frontier
@@ -95,7 +98,6 @@ def _bucket_col(keys: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
     return pa.array(b.astype(np.int64), pa.int64())
 
 
-_DANGLE = "<dangling>"  # sentinel dst for dangling-source mass rows (not a host: hosts never contain <>)
 
 
 def pagerank(
@@ -132,41 +134,58 @@ def pagerank(
         .materialize()
     )
 
-    # node universe = src ∪ dst (distinct), with a stable per-node bucket
+    # node universe = src ∪ dst (distinct), each node flagged with
+    # whether it has ANY out-edge — the dangling set is STATIC, so the
+    # per-iteration dangling mass can be probed off the previous rank
+    # table's blocks instead of materializing the contribution table
+    # mid-iteration just to sum sentinel rows (that was a second full
+    # executor launch per iteration)
     def node_rows(t: pa.Table) -> pa.Table:
-        u = pd.unique(
-            np.concatenate(
-                [
-                    t["src"].to_numpy(zero_copy_only=False),
-                    t["dst"].to_numpy(zero_copy_only=False),
-                ]
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d_ = t["dst"].to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "host": pa.array(np.concatenate([s, d_]), pa.string()),
+                    "out": pa.array(
+                        np.concatenate(
+                            [np.ones(len(s), dtype=np.int8), np.zeros(len(d_), dtype=np.int8)]
+                        )
+                    ),
+                }
             )
+            .group_by("host")
+            .aggregate([("out", "max")])
         )
-        return pa.table({"host": pa.array(u, pa.string())})
+        return g.rename_columns(["host", "p_out"])
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Max
 
     nodes = (
         edges.map_batches(node_rows, batch_format="pyarrow")
         .groupby("host")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["host"])
+        .aggregate(Max("p_out", alias_name="has_out"))
         .repartition(n_buckets)
         .materialize()
     )
     n = nodes.count()
     if n == 0:
-        return nodes.map_batches(
+        return nodes.select_columns(["host"]).map_batches(
             lambda t: t.append_column("r", pa.array([], pa.float64())),
             batch_format="pyarrow",
         )
 
-    rank = nodes.map_batches(
-        lambda t: t.append_column(
-            "r", pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    def init_rank(t: pa.Table) -> pa.Table:
+        has_out = t["has_out"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": t["host"],
+                "r": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64()),
+                "dang": pa.array((has_out == 0).astype(np.int8)),
+            }
+        )
+
+    rank = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
 
     for _ in range(k):
         # --- contribute: co-locate each src's rank with its out-edges
@@ -197,61 +216,57 @@ def pagerank(
             e = g[g["side"] == 1][["key", "dst", "val"]]
             m = e.merge(r, on="key", how="inner")
             parts = pd.DataFrame({"dst": m["dst"], "part": m["val"] * m["r"]})
-            # dangling: rank mass of srcs with no out-edges in this
-            # bucket (== no out-edges at all: bucketing is by src)
-            dang = r[~r["key"].isin(e["key"])]["r"].sum()
-            if dang > 0.0:
-                parts = pd.concat(
-                    [parts, pd.DataFrame({"dst": [_DANGLE], "part": [float(dang)]})],
-                    ignore_index=True,
-                )
+            # dangling mass is handled via the static per-node flag
+            # (probed off the previous rank table) — no sentinel rows
             # in-bucket partial sum: one row per distinct dst leaves
             return parts.groupby("dst", as_index=False)["part"].sum()
+
+        # --- apply: co-locate contributions with the node table
+        def tag_part(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": _bucket_col(t["dst"], n_buckets),
+                    "key": t["dst"],
+                    "val": t["part"],
+                    "dang": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                    "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def tag_node(t: pa.Table) -> pa.Table:
+            has_out = t["has_out"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": _bucket_col(t["host"], n_buckets),
+                    "key": t["host"],
+                    "val": pa.array(np.zeros(t.num_rows), pa.float64()),
+                    "dang": pa.array((has_out == 0).astype(np.int8)),
+                    "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        # dangling-mass probe off the PREVIOUS rank table's materialized
+        # blocks: the dangling set is static, so no contribution-table
+        # materialize (and no second executor launch) is needed — each
+        # iteration is ONE fused launch (contribute shuffle -> apply
+        # shuffle -> repartition)
+        dang_total = float(sum_col_over_blocks(rank, "r", where_col="dang", equals=1))
+        base = (1.0 - d) / n + d * dang_total / n
+
+        def apply_rank(g: pd.DataFrame, base=base) -> pd.DataFrame:
+            nodes_g = g[g["side"] == 0][["key", "dang"]]
+            sums = g[g["side"] == 1].groupby("key", as_index=False)["val"].sum()
+            m = nodes_g.merge(sums, on="key", how="left").fillna({"val": 0.0})
+            return pd.DataFrame(
+                {"host": m["key"], "r": base + d * m["val"], "dang": m["dang"].astype(np.int8)}
+            )
 
         parts = (
             rank.map_batches(tag_rank, batch_format="pyarrow")
             .union(edges_n.map_batches(tag_edge, batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(contribute, batch_format="pandas")
-            .repartition(n_buckets)
-            .materialize()
         )
-        # dangling-mass probe off the just-materialized blocks: the
-        # previous filter(...).sum(...) launched a second full executor
-        # per iteration (~1 s planning tax) to add #blocks floats
-        dang_total = float(sum_col_over_blocks(parts, "part", where_col="dst", equals=_DANGLE))
-
-        # --- apply: co-locate contributions with the node table
-        def tag_part(t: pa.Table) -> pa.Table:
-            keep = pa.compute.not_equal(t["dst"], _DANGLE)
-            t = t.filter(keep)
-            return pa.table(
-                {
-                    "bucket": _bucket_col(t["dst"], n_buckets),
-                    "key": t["dst"],
-                    "val": t["part"],
-                    "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-                }
-            )
-
-        def tag_node(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "bucket": _bucket_col(t["host"], n_buckets),
-                    "key": t["host"],
-                    "val": pa.array(np.zeros(t.num_rows), pa.float64()),
-                    "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
-                }
-            )
-
-        base = (1.0 - d) / n + d * dang_total / n
-
-        def apply_rank(g: pd.DataFrame, base=base) -> pd.DataFrame:
-            nodes_g = g[g["side"] == 0][["key"]]
-            sums = g[g["side"] == 1].groupby("key", as_index=False)["val"].sum()
-            m = nodes_g.merge(sums, on="key", how="left").fillna({"val": 0.0})
-            return pd.DataFrame({"host": m["key"], "r": base + d * m["val"]})
-
         rank = (
             nodes.map_batches(tag_node, batch_format="pyarrow")
             .union(parts.map_batches(tag_part, batch_format="pyarrow"))
@@ -261,7 +276,7 @@ def pagerank(
             .materialize()
         )
 
-    return rank
+    return rank.select_columns(["host", "r"])
 
 
 def pagerank_hosts(sf_dir: str, k: int = 8) -> pd.DataFrame:
