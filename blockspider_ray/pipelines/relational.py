@@ -506,14 +506,16 @@ def interval_join_events(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
     signup) candidate pairs and the band predicate filters — vectorized,
     no per-row loop.
 
-    Partitioning assumptions: (a) one BUCKET of keys fits a worker (the
-    asof assumption); (b) the in-bucket explode is bounded by
-    per-user event counts — per-key fan-in is human-scale (a user's
-    purchases x signups), so the candidate product is linear-ish in
-    bucket rows; a bot-scale hot user would be salted by time range
-    before the merge. The all-to-all moves fixed-width ids/ts/value
-    rows only (timestamps as int64 epoch-micros, hash-identical to the
-    oracle's ``epoch_us``)."""
+    Partitioning assumptions (documented, per the custom-operator
+    recipe): (a) one BUCKET of keys fits a worker (the asof
+    assumption); (b) the in-bucket equi-merge explodes purchases x
+    signups PER USER before the band filter, so per-key fan-in must be
+    human-scale — fine for user event streams, NOT for a bot-scale hot
+    key (that corpus would need in-bucket chunked merging or
+    time-range pre-bucketing, which this operator does not implement).
+    The all-to-all moves fixed-width ids/ts/value rows only
+    (timestamps as int64 epoch-micros, hash-identical to the oracle's
+    ``epoch_us``)."""
     if n_buckets < 1 or n_buckets & (n_buckets - 1):
         raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
     window_us = 24 * 3600 * 1_000_000
