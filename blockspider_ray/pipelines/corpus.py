@@ -405,7 +405,7 @@ def hash_split(sf_dir: str, pcts: tuple[int, int] = (90, 95)) -> rd.Dataset:
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-def pack_sequences(sf_dir: str, budget: int = 4096, n_ranges: int | None = None) -> pd.DataFrame:
+def pack_sequences(sf_dir: str, budget: int = 4096, n_ranges: int | None = None) -> rd.Dataset:
     """Sequence packing — assign documents (ordered by doc_id) to
     fixed-budget bins by cumulative length: doc d goes to bin
     floor(running_total_before(d) / budget). The batching step a
@@ -476,9 +476,8 @@ def pack_sequences(sf_dir: str, budget: int = 4096, n_ranges: int | None = None)
             }
         )
 
-    out = (
-        tagged.groupby("range_id")
-        .map_groups(scan_range, batch_format="pandas")
-        .to_pandas()
-    )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # Returned as a Dataset (one row per doc — full-output ops here never
+    # collect; see exact_dedup/scrub_props): the docstring's "no
+    # driver-resident data beyond #ranges rows" holds for the operator
+    # itself, and a consumer writes or streams the packed assignment.
+    return tagged.groupby("range_id").map_groups(scan_range, batch_format="pandas")

@@ -266,18 +266,35 @@ def vocab_topk_sketch(sf_dir: str, k: int = 100, m: int = 4096) -> pd.DataFrame:
             {"token": pa.array(out_tok.tolist(), pa.string()), "p_n": pa.array(out_n, pa.int64())}
         )
 
+    # The merged sketch is bounded (<= m rows per batch survive the
+    # trim), but at web scale "m x n_batches surviving tokens" is still
+    # a table, not a driver frame — so the top-k stays DISTRIBUTED
+    # (sort+limit, same as the exact vocab_topk) and the driver pulls
+    # exactly k rows plus the single merged sentinel row. materialize()
+    # here holds only the post-shuffle sketch table (vocab-bounded, a
+    # tiny fraction of the input) so the two consumers below don't
+    # re-run the corpus pass.
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("p_n", alias_name="n_est"))
-        .to_pandas()
+        .materialize()
     )
-    is_sentinel = merged["token"] == ""
-    bound = int(merged.loc[is_sentinel, "n_est"].sum())
+
+    def keep(sentinel: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t["token"], "") if sentinel else pc.not_equal(t["token"], "")
+            return t.filter(mask)
+
+        return f
+
+    bound_df = merged.map_batches(keep(True), batch_format="pyarrow").to_pandas()  # <=1 row
+    bound = int(bound_df["n_est"].sum())
     out = (
-        merged[~is_sentinel]
-        .sort_values(["n_est", "token"], ascending=[False, True], kind="stable")
-        .head(k)
+        merged.map_batches(keep(False), batch_format="pyarrow")
+        .sort(["n_est", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
         .reset_index(drop=True)
     )
     out["err_bound"] = np.int64(bound)

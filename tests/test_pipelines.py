@@ -122,9 +122,15 @@ class TestBucketGuards:
         ranges and 64 thin ranges yield identical running totals."""
         from blockspider_ray.pipelines.corpus import pack_sequences
 
-        a = pack_sequences(SF, n_ranges=2)
-        b = pack_sequences(SF, n_ranges=64)
-        pd.testing.assert_frame_equal(a, b)
+        def collect(n):
+            return (
+                pack_sequences(SF, n_ranges=n)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(collect(2), collect(64))
 
     def test_sessionize_bucket_count_invariant(self):
         """The bucketed run-scan (hash(user) % B + lexsort + vectorized
