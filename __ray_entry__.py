@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_events": relational.interval_join_events,
         # hierarchical aggregate (GROUP BY ROLLUP)
         "rollup_revenue": relational.rollup_revenue,
+        # grouped top-k (ROW_NUMBER PARTITION BY analog / per-domain cap)
+        "topk_events_per_user": relational.topk_events_per_user,
         # DDSketch-style log-binned quantiles (approximate by
         # construction — rows-only; pytest pins relative error vs
         # DuckDB quantile_disc and vs numpy on planted lognormals)
@@ -602,6 +604,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "topk_events_per_user": """
+            SELECT user_id, event_id, value, rk FROM (
+              SELECT user_id::BIGINT AS user_id,
+                     event_id::BIGINT AS event_id,
+                     value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                     )::BIGINT AS rk
+              FROM events
+            ) WHERE rk <= 3
         """,
         "pack_sequences": """
             WITH scan AS (

@@ -208,6 +208,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "pack_sequences",
         "interval_join_events",
         "rollup_revenue",
+        "topk_events_per_user",
         "enrich_props",
         "token_counts",
         "doc_stats_by_lang",

@@ -570,3 +570,76 @@ def interval_join_events(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(band_bucket, batch_format="pandas")
     )
+
+
+def topk_events_per_user(
+    sf_dir: str, k: int = 3, n_buckets: int | None = None
+) -> rd.Dataset:
+    """Grouped top-k — ``ROW_NUMBER() OVER (PARTITION BY user_id ORDER
+    BY value DESC, event_id) <= k``: each user's k highest-value events
+    with their rank. The per-GROUP sibling of ``topk_orders``'s total
+    order, and the diversity-cap shape a training corpus runs per domain
+    ("keep at most k docs per host") — same op, different key.
+
+    Scale shape (two-level top-k, house bucket+lexsort+run-scan
+    pattern): the per-batch combiner already keeps only each user's
+    in-batch top-k (a user's global top-k is a subset of the union of
+    its per-batch top-k, since in-batch rank <= global rank), so the
+    all-to-all moves <= k rows per (user, batch) instead of every event.
+    The shuffle key is ``user_id & (B-1)`` (B ~ cluster CPUs,
+    ``n_shuffle_buckets``), never the raw user id — one pandas dispatch
+    per BUCKET, not per user; inside a bucket one numpy lexsort orders
+    (user, -value, event_id) and a vectorized run-scan assigns ranks.
+    No driver-side data at any point; output rides out as a Dataset
+    (<= k rows per user)."""
+    from .common import n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    ds = T(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def _rank(uid: np.ndarray, eid: np.ndarray, val: np.ndarray):
+        """Positions of each user's top-k rows (by value desc, event_id
+        asc) in the input arrays, plus their 1-based ranks."""
+        order = np.lexsort((eid, -val, uid))
+        u = uid[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        idx = np.arange(len(u), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        rank = idx - start + 1
+        keep = rank <= k
+        return order[keep], rank[keep]
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos, _ = _rank(uid, eid, val)
+        return pa.table(
+            {
+                "bucket": pa.array(uid[pos] & (B - 1), pa.int64()),
+                "user_id": pa.array(uid[pos], pa.int64()),
+                "event_id": pa.array(eid[pos], pa.int64()),
+                "value": pa.array(val[pos], pa.float64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        val = g["value"].to_numpy(dtype=np.float64)
+        pos, rank = _rank(uid, eid, val)
+        return pd.DataFrame(
+            {
+                "user_id": uid[pos],
+                "event_id": eid[pos],
+                "value": val[pos],
+                "rk": rank.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -49,6 +49,7 @@ SWEEP = [
     "asof_join_events",
     "interval_join_events",
     "rollup_revenue",
+    "topk_events_per_user",
     "scrub_props",
     "hash_split",
     "knn_cosine",
@@ -110,6 +111,29 @@ class TestBucketGuards:
 
         with pytest.raises(AssertionError, match="power of two"):
             sessionize(SF, n_buckets=12)
+
+    def test_topk_per_user_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.relational import topk_events_per_user
+
+        with pytest.raises(AssertionError, match="power of two"):
+            topk_events_per_user(SF, n_buckets=12)
+
+    def test_topk_per_user_bucket_count_invariant(self):
+        """The two-level top-k must be a pure dispatch choice: 4 fat
+        buckets and 64 thin ones yield identical (user, event, rank)
+        sets — and the per-batch combiner can't have dropped a global
+        winner that wasn't its batch's local winner."""
+        from blockspider_ray.pipelines.relational import topk_events_per_user
+
+        def collect(b):
+            return (
+                topk_events_per_user(SF, n_buckets=b)
+                .to_pandas()
+                .sort_values(["user_id", "rk"])
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(collect(4), collect(64))
 
     def test_interval_join_rejects_non_power_of_two(self):
         from blockspider_ray.pipelines.relational import interval_join_events
