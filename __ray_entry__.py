@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query reads ONLY probed list_id= partitions; byte-identical to
         # knn_ivf (pytest-pinned), so rows-only here like knn_ivf
         "knn_ivf_indexed": similarity.knn_ivf_indexed,
+        # IVF-PQ: product-quantized codes + ADC shortlist + exact rerank
+        # (rows-only like knn_ivf; pytest pins recall + sim exactness)
+        "knn_ivfpq": similarity.knn_ivfpq,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
         # SemDeDup-style cluster-then-prune semantic dedup (clustering

@@ -230,6 +230,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "knn_lsh",
         "knn_ivf",
         "knn_ivf_indexed",
+        "knn_ivfpq",
         "embedding_near_dup_pairs",
         "label_centroids",
         # near-dup cluster resolution (round-5): frame-input path

@@ -675,3 +675,155 @@ def semantic_dedup(
             }
         )
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _train_pq(
+    X: np.ndarray, m_sub: int, n_codes: int, iters: int, seed: int = 47
+) -> np.ndarray:
+    """Product-quantizer codebooks (Jegou et al. TPAMI 2011): plain
+    k-means per disjoint subspace of the NORMALIZED training sample.
+    Returns (m_sub, n_codes, dim/m_sub) float64. Driver-side like
+    ``_train_quantizer`` — sized by the sample, not the corpus."""
+    n, dim = X.shape
+    assert dim % m_sub == 0, f"dim {dim} not divisible by m_sub {m_sub}"
+    ds = dim // m_sub
+    k = min(n_codes, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, k, ds), dtype=np.float64)
+    for m in range(m_sub):
+        sub = X[:, m * ds : (m + 1) * ds]
+        cent = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            # argmin ||x-c||^2 == argmax (x.c - ||c||^2/2), one matmul
+            score = sub @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            a = np.argmax(score, axis=1)
+            for c in range(k):
+                rows = sub[a == c]
+                if len(rows):
+                    cent[c] = rows.mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def _pq_encode(mn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """uint8 PQ codes (n, m_sub) of normalized rows ``mn`` — one matmul
+    per subspace, no per-row python."""
+    m_sub, _, ds = books.shape
+    codes = np.empty((len(mn), m_sub), dtype=np.uint8)
+    for m in range(m_sub):
+        sub = mn[:, m * ds : (m + 1) * ds]
+        score = sub @ books[m].T - 0.5 * (books[m] * books[m]).sum(axis=1)
+        codes[:, m] = np.argmax(score, axis=1)
+    return codes
+
+
+def knn_ivfpq(
+    sf_dir: str,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    m_sub: int = 8,
+    n_codes: int = 64,
+    rerank: int = 32,
+    train_sample: int = 4096,
+    iters: int = 10,
+) -> pd.DataFrame:
+    """IVF-PQ ANN — the compressed-residence scale path (the FAISS
+    recipe: coarse inverted lists + product-quantized codes + ADC
+    scoring + exact rerank), completing the ANN ladder
+    brute-force -> LSH -> IVF-flat -> IVF-PQ.
+
+    Why it exists at 100 TB: IVF-flat still touches the full float
+    vectors of every probed list (~n_probe/n_lists of the corpus bytes
+    per query batch). PQ shrinks each vector to ``m_sub`` uint8 codes
+    (64-dim float32 = 256 B -> 8 B, 32x), so the probe scan reads codes
+    only and reconstructs NOTHING: per query, an asymmetric-distance
+    lookup table LUT[m, c] = q_sub_m . codebook[m, c] is built once on
+    the driver ((n_queries, m_sub, n_codes) floats, corpus-independent)
+    and an estimated sim is a (n_cand, m_sub) uint8 gather + row sum.
+    The top ``rerank`` candidates per (query, batch) by ADC estimate
+    are then scored with TRUE cosine — so, like ``knn_ivf``, every
+    returned sim is exact and only recall is approximate (rows-only op;
+    pytest pins recall vs ``knn_cosine`` and per-row sim exactness).
+
+    Scale shape: quantizer + codebooks + LUTs broadcast once
+    (``ray.put``); corpus pass is one map_batches (assign list, encode
+    codes, ADC-score probed candidates, rerank); per-batch partial
+    top-k rides the same tiny (qid, vec_id, sim) shuffle as the other
+    knn ops. In a persisted deployment the codes table (vec_id, list_id,
+    codes) IS the index — 8 B/vector makes a 10^10-vector index fit
+    ~80 GB, object-store-resident; this one-shot path fuses build and
+    probe exactly like ``knn_ivf`` vs ``ivf_build_index``."""
+    qids, qm = _query_matrix(sf_dir)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    cent = _train_quantizer(sf_dir, n_lists, train_sample, iters)
+    sample = (
+        T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id >= {N_QUERIES}")
+        .limit(train_sample)
+        .to_pandas()  # quantizer-sized, not corpus-sized
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    books = _train_pq(X, m_sub, n_codes, iters)
+
+    dim = qn.shape[1]
+    ds_ = dim // m_sub
+    # per-query ADC lookup tables: (n_queries, m_sub, n_codes)
+    lut = np.einsum("qmd,mcd->qmc", qn.reshape(len(qn), m_sub, ds_), books)
+    qprobe = np.argsort(-(qn @ cent.T), axis=1)[:, : min(n_probe, len(cent))]
+    ref = ray.put((qids, qn, cent, books, lut, qprobe))
+
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _empty = pa.table(
+        {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids_, qn_, cent_, books_, lut_, qprobe_ = ray.get(ref)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mask = vids >= N_QUERIES
+        if not mask.any():
+            return _empty
+        m = _emb_matrix(t)[mask]
+        vids = vids[mask]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        lists = np.argmax(mn @ cent_.T, axis=1)
+        codes = _pq_encode(mn, books_)
+        msub = books_.shape[0]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            cand = np.flatnonzero(np.isin(lists, qprobe_[qi]))
+            if len(cand) == 0:
+                continue
+            # ADC estimate: uint8 gather into the query's LUT + row sum
+            est = lut_[qi][np.arange(msub)[None, :], codes[cand]].sum(axis=1)
+            r = min(rerank, len(cand))
+            shortlist = cand[np.argpartition(-est, r - 1)[:r]]
+            sims = mn[shortlist] @ qn_[qi]  # TRUE cosine on the shortlist only
+            k = min(K, len(shortlist))
+            idx = np.argpartition(-sims, k - 1)[:k]
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_v.extend(vids[shortlist][idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        if not out_q:
+            return _empty
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(K)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["sim"] = out["sim"].round(3)
+    return out.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)

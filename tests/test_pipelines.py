@@ -729,6 +729,49 @@ class TestSimilaritySemantics:
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.5, f"IVF recall too low: {recalls}"
 
+    def test_ivfpq_recall_and_sim_exactness(self):
+        """IVF-PQ: the ADC shortlist is reranked with TRUE cosine, so
+        every returned (qid, vec_id) that brute force also returns must
+        carry the identical sim; recall floor matches IVF-flat's (on the
+        fixture the PQ shortlist loses nothing vs flat — the misses are
+        coarse-probe misses shared by both)."""
+        from blockspider_ray.pipelines.similarity import knn_cosine, knn_ivfpq
+
+        exact = knn_cosine(SF)
+        approx = knn_ivfpq(SF)
+        ex = {(r.qid, r.vec_id): r.sim for r in exact.itertuples()}
+        ap = {(r.qid, r.vec_id): r.sim for r in approx.itertuples()}
+        for key in set(ex) & set(ap):
+            assert abs(ex[key] - ap[key]) < 1e-9
+        recalls = []
+        for qid in exact["qid"].unique():
+            e = {v for (q, v) in ex if q == qid}
+            a = {v for (q, v) in ap if q == qid}
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5, f"IVF-PQ recall too low: {recalls}"
+
+    def test_ivfpq_codes_reconstruct_nothing(self):
+        """The ADC estimate must be computable from the uint8 codes and
+        the query LUT alone — pin the encoder's shape/type contract and
+        that ADC ranks a planted near-duplicate of the query above
+        orthogonal noise (the property the shortlist pruning relies on)."""
+        import numpy as np
+
+        from blockspider_ray.pipelines.similarity import _pq_encode, _train_pq
+
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(512, 64))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        books = _train_pq(X, m_sub=8, n_codes=32, iters=5)
+        q = X[0] + rng.normal(scale=0.05, size=64)
+        q /= np.linalg.norm(q)
+        codes = _pq_encode(X, books)
+        assert codes.dtype == np.uint8 and codes.shape == (512, 8)
+        lut = np.einsum("md,mcd->mc", q.reshape(8, 8), books)
+        est = lut[np.arange(8)[None, :], codes].sum(axis=1)
+        # the near-dup of q must out-score ~everything under ADC
+        assert est[0] >= np.quantile(est, 0.99)
+
     def test_ivf_persisted_index_matches_fused(self, tmp_path):
         """The build-once persisted index (ivf_build_index +
         knn_ivf_indexed) returns byte-identical results to the fused
