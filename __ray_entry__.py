@@ -179,6 +179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sf oracle is a semantics-preserving identity — the removal
         # path is pinned by a planted multi-line fixture in pytest
         "line_dedup": dedup.line_dedup,
+        # incremental exact dedup against the persisted fp index (the
+        # daily-crawl path; default index built on first use under /tmp,
+        # update_index stays False here so repeat calls are deterministic)
+        "exact_dedup_incremental": dedup.exact_dedup_incremental,
         # near-dup cluster resolution: distributed connected components
         # (hash-to-min) over the exact ngram pair list
         "near_dup_clusters": clusters.near_dup_clusters,
@@ -535,6 +539,18 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": r"""
             SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents
             GROUP BY regexp_replace(trim(text), '\s+', ' ', 'g')
+        """,
+        "exact_dedup_incremental": r"""
+            WITH corp AS (
+              SELECT DISTINCT regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+              FROM documents WHERE doc_id % 2 = 0
+            ), newd AS (
+              SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+              FROM documents WHERE doc_id % 2 = 1
+            )
+            SELECT MIN(doc_id)::BIGINT AS doc_id FROM newd
+            WHERE norm NOT IN (SELECT norm FROM corp)
+            GROUP BY norm
         """,
         # exact all-pairs 5-gram Jaccard via inverted self-join with the
         # same df-ceiling prefix filter as the Ray pipeline.

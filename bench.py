@@ -217,6 +217,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "unigram_logprob",
         "ngram_counts",
         "exact_dedup",
+        "exact_dedup_incremental",
         "line_dedup",
         "mixture_sample",
         "stratified_sample",

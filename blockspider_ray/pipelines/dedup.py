@@ -876,3 +876,145 @@ def line_dedup(
 
     out = ds.map_batches(clean, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_index_build(
+    sf_dir: str, index_dir: str, n_parts: int = 64, parity: int = 0
+) -> int:
+    """Persist the corpus's exact-dedup fingerprint set as a
+    hash-partitioned parquet index: ``part=N/`` hive directories
+    (``part = fp & (n_parts-1)``), each holding the partition's DISTINCT
+    int64 fingerprints. The on-disk sibling of the engine's sharded
+    seen-set (SURVEY.md §2.6 D1) for the batch regime: a daily-crawl
+    pipeline dedups each NEW shard against this index without ever
+    re-reading corpus text — index residence is 8 B per distinct doc.
+
+    ``parity`` selects the demo split of the fixture ``documents``
+    table (0 = the even-doc_id "existing corpus" half); a production
+    caller indexes whole tables and ships new shards through
+    ``exact_dedup_incremental``. Returns the distinct-fp count."""
+    import json
+    import os
+
+    from ray.data.aggregate import Count
+
+    assert n_parts & (n_parts - 1) == 0, f"n_parts must be a power of two, got {n_parts}"
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            (t["doc_id"].to_numpy(zero_copy_only=False) & 1) == parity
+        )
+        t = t.filter(keep)
+        fp = tx.fingerprint64(t["text"].to_pylist()).view(np.int64)
+        # per-batch distinct first: the shuffle moves one row per
+        # (fp, batch), never per doc
+        u = np.unique(fp)
+        return pa.table(
+            {"part": pa.array(u & (n_parts - 1), pa.int64()), "fp": pa.array(u, pa.int64())}
+        )
+
+    distinct = (
+        ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby(["part", "fp"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["part", "fp"])
+        .materialize()
+    )
+    n = distinct.count()
+    distinct.write_parquet(index_dir, partition_cols=["part"])
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_parts": n_parts, "parity": parity}, f)
+    return n
+
+
+def exact_dedup_incremental(
+    sf_dir: str,
+    index_dir: str | None = None,
+    parity: int = 1,
+    update_index: bool = False,
+) -> rd.Dataset:
+    """Incremental exact dedup of a NEW shard against the persisted
+    fingerprint index — the operational daily-crawl path: the existing
+    corpus is never re-read (only its 8 B/doc fp index), and each index
+    partition is opened ONLY by the probe task that owns it.
+
+    Shape: one map_batches fingerprints the new shard (parity-1 docs of
+    the fixture split); ONE groupby co-locates rows by ``part = fp &
+    (P-1)`` — the same hash routing the index was written with — and the
+    per-part probe task reads exactly its own ``part=N/`` files,
+    first-wins dedups within the shard (min doc_id per fp, vectorized
+    sort + run-scan), and anti-joins against the partition's sorted fp
+    array via searchsorted. Dispatch is bounded by P (power of two,
+    cluster-sized), never by doc or fp count; nothing index- or
+    shard-sized touches the driver. With ``update_index=True`` the
+    surviving fps are appended into the same hive layout (new uniquely
+    named files per partition), making the op idempotent: a re-run of
+    the same shard returns 0 rows — pinned in pytest alongside
+    SQL-oracle equality (NOT IN over the normalized text) and the
+    planted-duplicate behavior."""
+    import json
+    import os
+
+    if index_dir is None:
+        index_dir = os.path.join(
+            "/tmp",
+            "bsr_dedup_index",
+            f"{os.path.basename(os.path.normpath(sf_dir))}-p{1 - parity}",
+        )
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        dedup_index_build(sf_dir, index_dir, parity=1 - parity)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_parts = int(meta["n_parts"])
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        keep = pa.array((t["doc_id"].to_numpy(zero_copy_only=False) & 1) == parity)
+        t = t.filter(keep)
+        fp = tx.fingerprint64(t["text"].to_pylist()).view(np.int64)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(fp & (n_parts - 1), pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+            }
+        )
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        part = int(g["part"].iloc[0])
+        fp = g["fp"].to_numpy(dtype=np.int64)
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        # first-wins within the shard: sort (fp, doc_id), keep run heads
+        order = np.lexsort((doc, fp))
+        fp_s, doc_s = fp[order], doc[order]
+        head = np.concatenate(([True], fp_s[1:] != fp_s[:-1]))
+        fp_s, doc_s = fp_s[head], doc_s[head]
+        # anti-join against ONLY this task's partition files
+        pdir = os.path.join(index_dir, f"part={part}")
+        if os.path.isdir(pdir):
+            seen = np.sort(pq.read_table(pdir, columns=["fp"])["fp"].to_numpy(zero_copy_only=False))
+            if len(seen):
+                pos = np.searchsorted(seen, fp_s)
+                pos[pos == len(seen)] = len(seen) - 1
+                fresh = seen[pos] != fp_s
+                fp_s, doc_s = fp_s[fresh], doc_s[fresh]
+        return pd.DataFrame(
+            {"part": np.full(len(fp_s), part, dtype=np.int64), "fp": fp_s, "doc_id": doc_s}
+        )
+
+    survivors = (
+        ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(probe, batch_format="pandas")
+        .materialize()
+    )
+    if update_index:
+        survivors.select_columns(["part", "fp"]).write_parquet(
+            index_dir, partition_cols=["part"]
+        )
+    return survivors.select_columns(["doc_id"])

@@ -42,6 +42,7 @@ SWEEP = [
     "pack_sequences",
     "line_dedup",
     "exact_dedup",
+    "exact_dedup_incremental",
     "first_per_key",
     "ngram_jaccard_pairs",
     "near_dup_clusters",
@@ -650,6 +651,73 @@ class TestDedupSemantics:
         assert got["n_removed_lines"].max() == 3  # banner + footer + empty line
         assert not got["text_clean"].str.contains("COOKIE BANNER").any()
         assert got["text_clean"].str.contains("uniq").all()  # unique body kept
+
+    def test_incremental_dedup_planted_and_idempotent(self, tmp_path):
+        """The sf corpora have no cross-parity duplicates, so the SWEEP
+        oracle only pins the no-dup path; this plants a table where
+        every third odd doc duplicates an even doc (cross-shard dup ->
+        dropped by the index probe) and two odd docs duplicate EACH
+        OTHER (within-shard dup -> first wins), pins against the same
+        DuckDB oracle SQL, then pins the operational contract:
+        update_index=True appends survivors so a re-run of the same
+        shard returns 0 rows, and the index layout is hash-partitioned
+        hive directories the probe opens one-of."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as em
+        from blockspider_ray.pipelines.dedup import (
+            dedup_index_build,
+            exact_dedup_incremental,
+        )
+
+        texts, ids = [], []
+        for i in range(60):
+            ids.append(i)
+            if i % 2 == 1 and i % 3 == 0:
+                texts.append(f"shared corpus text {i - 1}")  # dup of even doc i-1
+            elif i in (41, 43):
+                texts.append("twin odd document")  # within-shard dup pair
+            else:
+                texts.append(f"shared corpus text {i}" if i % 2 == 0 else f"fresh text {i}")
+        d = str(tmp_path / "data")
+        os.makedirs(d)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            f"{d}/documents.parquet",
+        )
+        idx = str(tmp_path / "idx")
+        n_fp = dedup_index_build(d, idx, n_parts=16)
+        assert n_fp == 30  # even docs are all distinct
+
+        got = (
+            exact_dedup_incremental(d, idx)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+        want = (
+            con.sql(em.oracle_sql()["exact_dedup_incremental"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        kept = set(got["doc_id"])
+        assert 41 in kept and 43 not in kept  # within-shard first-wins
+        assert not any(i % 3 == 0 and i % 2 == 1 for i in kept)  # cross-shard dups dropped
+
+        # hive layout: multiple part= dirs plus the meta sidecar
+        parts = [p for p in os.listdir(idx) if p.startswith("part=")]
+        assert len(parts) >= 2 and os.path.exists(f"{idx}/meta.json")
+
+        # idempotence: append survivors, re-run returns nothing
+        exact_dedup_incremental(d, idx, update_index=True)
+        assert exact_dedup_incremental(d, idx).count() == 0
 
     def test_driver_frame_cap_raises(self, tmp_path):
         """The duplicate-bounded frames these pipelines pull to the
