@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_hour": windows.tumbling_hour,
         "hopping_window": windows.hopping_window,
         "sessionize": windows.sessionize,
+        "user_event_gaps": windows.user_event_gaps,
         "enrich_props": windows.enrich_props,
         # distinct-cardinality family: exact pair-shuffle companion
         # (SQL-oracled) + HyperLogLog sketch (approximate by
@@ -168,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": textstats.doc_len_quantiles,
         "unigram_logprob": textstats.unigram_logprob,
         "ngram_counts": textstats.ngram_counts,
+        "token_postings": textstats.token_postings,
+        "bigram_pmi": textstats.bigram_pmi,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "first_per_key": dedup.first_per_key,
@@ -347,6 +350,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, SUM(new_s)::BIGINT AS n_sessions, COUNT(*)::BIGINT AS n_events
             FROM d GROUP BY user_id
         """,
+        # LAG inter-arrival gap; -1 sentinel for each user's first event
+        # (not NULL, so both sides hash identically); event_id breaks
+        # ts ties the same way the pipeline's lexsort does
+        "user_event_gaps": """
+            SELECT event_id, user_id,
+                   COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id), -1)::BIGINT AS gap_us
+            FROM events
+        """,
         "enrich_props": r"""
             SELECT event_type,
                    SUM(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS sum_k,
@@ -459,6 +471,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, COUNT(*)::BIGINT AS n
             FROM b GROUP BY ngram ORDER BY n DESC, ngram LIMIT 100
+        """,
+        # inverted index: postings as the comma-joined ascending doc_id
+        # string the pipeline emits per term
+        "token_postings": r"""
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, u.tok AS token
+                FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
+            )
+            SELECT token, COUNT(*)::BIGINT AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM pairs GROUP BY token
+        """,
+        # PMI: the division tree ln((n/Nb) / ((cx/Nu)*(cy/Nu))) mirrors
+        # the pipeline's numpy expression operation-for-operation (same
+        # float64 intermediates, same libm log), rounded to 4 on both
+        # sides — the unigram_logprob float-parity approach
+        "bigram_pmi": r"""
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+                FROM documents
+            ),
+            uni AS (
+                SELECT u.tok AS tok, COUNT(*)::DOUBLE AS c
+                FROM toks, unnest(w) AS u(tok) GROUP BY u.tok
+            ),
+            nu AS (SELECT SUM(c) AS nu FROM uni),
+            bi AS (
+                SELECT w[g.i] AS tok1, w[g.i + 1] AS tok2, COUNT(*)::BIGINT AS n
+                FROM toks, unnest(generate_series(1, len(w) - 1)) AS g(i)
+                GROUP BY w[g.i], w[g.i + 1]
+            ),
+            nb AS (SELECT SUM(n)::DOUBLE AS nb FROM bi)
+            SELECT b.tok1, b.tok2, b.n,
+                   ROUND(ln((b.n::DOUBLE / nb.nb) /
+                            ((u1.c / nu.nu) * (u2.c / nu.nu))), 4) AS pmi
+            FROM bi b
+            JOIN uni u1 ON u1.tok = b.tok1
+            JOIN uni u2 ON u2.tok = b.tok2
+            CROSS JOIN nu CROSS JOIN nb
         """,
         # boilerplate line removal: drop lines held by >= 3 distinct
         # docs, reassemble in original order; docs losing every line

@@ -201,6 +201,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "tumbling_hour",
         "hopping_window",
         "sessionize",
+        "user_event_gaps",
         "distinct_users_per_type",
         "hll_users_per_type",
         "value_quantiles_sketch",
@@ -216,6 +217,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "doc_len_quantiles",
         "unigram_logprob",
         "ngram_counts",
+        "token_postings",
+        "bigram_pmi",
         "exact_dedup",
         "exact_dedup_incremental",
         "line_dedup",

@@ -469,6 +469,166 @@ def ngram_counts(sf_dir: str, n: int = 2, k: int = 100) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def token_postings(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
+    """Inverted index build: ``token -> (df, sorted posting list)`` —
+    the retrieval-side artifact a web corpus ships next to the text
+    (and the input to BM25 / contamination lookup services). Postings
+    are emitted as a comma-joined string of ascending doc_ids so the
+    row is a plain (string, int64, string) record — the on-disk layout
+    a sharded index actually stores per term.
+
+    Shuffle discipline: the per-batch partial dedups (doc_id, token)
+    pairs — globally distinct because a document is whole within one
+    batch — so the all-to-all moves one row per distinct (doc, token),
+    never per occurrence. The grouping key is ``hash64(token) % B``
+    (house bucketed dispatch, B ~ cluster CPUs), NOT the raw token: a
+    10^7-term vocabulary would otherwise pay Ray's per-group pandas
+    dispatch once per term. Inside a bucket one lexsort orders
+    (token, doc_id) and the join-per-term runs at C speed via pandas'
+    grouped ``str.join``. Output stays a distributed Dataset — the
+    index is vocab-partitioned across buckets; no node ever holds all
+    postings (stop-word rows are long, but one row each, and Arrow
+    strings stream block-by-block)."""
+    from .common import n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    from ..functions.urls import hash64
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        distinct = _token_pairs(t).group_by(["doc_id", "tok"]).aggregate([])
+        tok = distinct["tok"].combine_chunks()
+        b = (hash64(tok.to_pylist()) & np.uint64(B - 1)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "token": tok,
+                "doc_id": distinct["doc_id"],
+            }
+        )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        tok = g["token"].to_numpy(dtype=object)
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((doc, tok))
+        tok_s, doc_s = tok[order], doc[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], tok_s[1:] != tok_s[:-1]))
+        )
+        df = np.diff(np.append(starts, len(tok_s)))
+        doc_str = doc_s.astype(str)
+        postings = [
+            ",".join(doc_str[s : s + n]) for s, n in zip(starts, df)
+        ]
+        return pd.DataFrame(
+            {
+                "token": tok_s[starts],
+                "df": df.astype(np.int64),
+                "postings": postings,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+def bigram_pmi(sf_dir: str, max_vocab_rows: int = 50_000_000) -> rd.Dataset:
+    """Pointwise mutual information per adjacent-word bigram —
+    ``ln( P(xy) / (P(x) P(y)) )`` — the collocation / phrase-mining
+    score (Mikolov et al. 2013 phrase detection; "new york" scores
+    high, "the the" low).
+
+    Same two-pass shape as ``tfidf_topk`` / ``unigram_logprob``: the
+    unigram count table is vocab-bounded (Zipf), lands on the driver
+    through ``bounded_driver_frame`` and is broadcast ONCE via
+    ``ray.put`` as (sorted vocab, counts); the bigram count table is
+    corpus-bounded so it STAYS a Dataset (in-batch additive partials
+    ride the one shuffle, exactly ``ngram_counts``'s discipline) and
+    the PMI attach is a shuffle-free vectorized ``searchsorted`` map
+    over it. Both scalar totals come from the count tables themselves
+    (N_uni = sum of unigram counts; N_bi = sum of bigram counts), so
+    the arithmetic ``ln((n/Nb) / ((cx/Nu)*(cy/Nu)))`` is mirrored
+    operation-for-operation by the SQL oracle (same float64 division
+    tree, same libm log), rounded to 4 decimals on both sides."""
+    import ray
+
+    from .common import bounded_driver_frame
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        g = _token_pairs(t).group_by("tok").aggregate([([], "count_all")])
+        return rename(g, {"tok": "token", "count_all": "p_n"})
+
+    cnt = bounded_driver_frame(
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_n", alias_name="n")),
+        "bigram_pmi unigram count table (vocab-bounded)",
+        max_vocab_rows,
+    )
+    vocab = cnt["token"].to_numpy(dtype=object).astype(str)
+    order = np.argsort(vocab)
+    ucounts = cnt["n"].to_numpy(dtype=np.float64)[order]
+    nu = float(ucounts.sum())
+    ref = ray.put((vocab[order], ucounts))
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        pairs = _token_pairs(t)
+        doc = pairs["doc_id"].to_numpy(zero_copy_only=False)
+        tok = np.asarray(pairs["tok"].to_pylist(), dtype=str)
+        if len(tok) < 2:
+            return pa.table(
+                {
+                    "tok1": pa.array([], pa.string()),
+                    "tok2": pa.array([], pa.string()),
+                    "p_n": pa.array([], pa.int64()),
+                }
+            )
+        valid = doc[:-1] == doc[1:]  # bigrams never cross documents
+        g = (
+            pa.table(
+                {
+                    "tok1": pa.array(tok[:-1][valid], pa.string()),
+                    "tok2": pa.array(tok[1:][valid], pa.string()),
+                }
+            )
+            .group_by(["tok1", "tok2"])
+            .aggregate([([], "count_all")])
+        )
+        return rename(g, {"count_all": "p_n"})
+
+    bi = (
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby(["tok1", "tok2"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .materialize()
+    )
+    nb = float(bi.sum("n"))
+
+    def attach(t: pa.Table) -> pa.Table:
+        vocab_, cnt_ = ray.get(ref)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = cnt_[np.searchsorted(vocab_, np.asarray(t["tok1"].to_pylist(), dtype=str))]
+        cy = cnt_[np.searchsorted(vocab_, np.asarray(t["tok2"].to_pylist(), dtype=str))]
+        pmi = np.log((n / nb) / ((cx / nu) * (cy / nu)))
+        return pa.table(
+            {
+                "tok1": t["tok1"],
+                "tok2": t["tok2"],
+                "n": t["n"],
+                "pmi": pa.array(np.round(pmi, 4), pa.float64()),
+            }
+        )
+
+    return bi.map_batches(attach, batch_format="pyarrow")
+
+
 def fingerprints(sf_dir: str) -> rd.Dataset:
     """64-bit rolling-hash fingerprint + simhash per document."""
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])

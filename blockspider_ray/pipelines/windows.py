@@ -145,6 +145,62 @@ def sessionize(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def user_event_gaps(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
+    """Per-key LAG window: for every event, the time since the SAME
+    user's previous event — ``epoch_us(ts) - LAG(epoch_us(ts)) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id)`` — the
+    inter-arrival-time feature a sessionization / abuse-detection
+    pipeline derives before gap thresholding.
+
+    Ray Data has no window functions; the shape is the house bucketed
+    run-scan (``sessionize``): shuffle on ``hash(user) % B`` (never the
+    raw key — at 10^8+ users per-key ``map_groups`` pays Ray's pandas
+    dispatch once per user), one numpy lexsort of (user, ts, event_id)
+    per bucket, then the lag is a single vectorized ``np.diff`` over
+    the sorted run with user-boundary positions masked. A user's rows
+    all land in one bucket, so the lag never needs cross-partition
+    state. First-event rows get gap_us = -1 (sentinel, not NULL, so
+    both sides hash identically). Output stays a distributed Dataset —
+    one row per event, never collected."""
+    import numpy as np
+
+    from .common import n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    ds = T(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.cast(pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), B - 1), pa.int64())
+        return pa.table(
+            {"bucket": b, "event_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"]}
+        )
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        # events carry microsecond timestamps; the ns view is exactly
+        # divisible, so gap_us below is integer-exact vs epoch_us()
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s, ts_s = uid[order], eid[order], ts[order]
+        gap = np.empty(len(ts_s), dtype=np.int64)
+        gap[0] = -1
+        np.subtract(ts_s[1:], ts_s[:-1], out=gap[1:])
+        gap[1:] //= 1000
+        new_user = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        gap[new_user] = -1
+        return pd.DataFrame({"event_id": eid_s, "user_id": uid_s, "gap_us": gap})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
 def enrich_props(sf_dir: str) -> pd.DataFrame:
     """Wire-format parse + aggregate — the hex-decode normalization analog
     (M1/2.3: util/util.go:53-74): extract the numeric ``k`` from the JSON

@@ -25,6 +25,7 @@ SWEEP = [
     "tumbling_hour",
     "hopping_window",
     "sessionize",
+    "user_event_gaps",
     "enrich_props",
     "events_stats",
     "distinct_users_per_type",
@@ -37,6 +38,8 @@ SWEEP = [
     "doc_len_quantiles",
     "unigram_logprob",
     "ngram_counts",
+    "token_postings",
+    "bigram_pmi",
     "mixture_sample",
     "stratified_sample",
     "pack_sequences",
@@ -131,6 +134,49 @@ class TestBucketGuards:
                 topk_events_per_user(SF, n_buckets=b)
                 .to_pandas()
                 .sort_values(["user_id", "rk"])
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(collect(4), collect(64))
+
+    def test_user_event_gaps_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.windows import user_event_gaps
+
+        with pytest.raises(AssertionError, match="power of two"):
+            user_event_gaps(SF, n_buckets=12)
+
+    def test_user_event_gaps_bucket_count_invariant(self):
+        """The lag is computed inside one bucket's sorted run; 4 fat
+        buckets and 64 thin ones must produce identical per-event
+        gaps (a user's rows may never straddle buckets)."""
+        from blockspider_ray.pipelines.windows import user_event_gaps
+
+        def collect(b):
+            return (
+                user_event_gaps(SF, n_buckets=b)
+                .to_pandas()
+                .sort_values("event_id")
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(collect(4), collect(64))
+
+    def test_token_postings_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.textstats import token_postings
+
+        with pytest.raises(AssertionError, match="power of two"):
+            token_postings(SF, n_buckets=12)
+
+    def test_token_postings_bucket_count_invariant(self):
+        """A term's postings are assembled inside one bucket; the hash
+        dispatch width must not change any posting list."""
+        from blockspider_ray.pipelines.textstats import token_postings
+
+        def collect(b):
+            return (
+                token_postings(SF, n_buckets=b)
+                .to_pandas()
+                .sort_values("token")
                 .reset_index(drop=True)
             )
 
