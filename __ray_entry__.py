@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": textstats.quality,
         "fingerprints": textstats.fingerprints,
         "repetition_stats": textstats.repetition_stats,
+        # zlib entropy quality gate (not SQL-expressible — rows-only;
+        # pytest pins planted repetitive/random/fluent docs)
+        "compression_ratio": textstats.compression_ratio,
         "vocab_topk": textstats.vocab_topk,
         "token_doc_freq": textstats.token_doc_freq,
         "tfidf_topk": textstats.tfidf_topk,
@@ -197,8 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": relational.asof_join_events,
         # interval (band) join — one-to-many temporal sibling of asof
         "interval_join_events": relational.interval_join_events,
-        # hierarchical aggregate (GROUP BY ROLLUP)
+        # hierarchical aggregate (GROUP BY ROLLUP) + full CUBE sibling
         "rollup_revenue": relational.rollup_revenue,
+        "cube_revenue": relational.cube_revenue,
         # grouped top-k (ROW_NUMBER PARTITION BY analog / per-domain cap)
         "topk_events_per_user": relational.topk_events_per_user,
         # DDSketch-style log-binned quantiles (approximate by
@@ -674,6 +678,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                   COUNT(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "topk_events_per_user": """
             SELECT user_id, event_id, value, rk FROM (

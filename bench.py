@@ -209,6 +209,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "pack_sequences",
         "interval_join_events",
         "rollup_revenue",
+        "cube_revenue",
         "topk_events_per_user",
         "enrich_props",
         "token_counts",
@@ -219,6 +220,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "ngram_counts",
         "token_postings",
         "bigram_pmi",
+        "compression_ratio",
         "exact_dedup",
         "exact_dedup_incremental",
         "line_dedup",

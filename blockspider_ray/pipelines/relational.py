@@ -495,6 +495,60 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def cube_revenue(sf_dir: str) -> pd.DataFrame:
+    """``GROUP BY CUBE(returnflag, linestatus)`` — every grouping-set
+    combination (both dims, each dim alone, grand total) in one result;
+    the CUBE sibling of ``rollup_revenue``'s prefix hierarchy.
+
+    Same scale shape: ONE distributed partial-combiner pass lands the
+    finest-grain table (|flag|x|status| rows, tiny by definition) and
+    every other grouping set — including the (linestatus)-only set
+    ROLLUP never produces — is a driver-side re-aggregation of those
+    few dozen rows. The fact table is scanned and shuffled exactly
+    once no matter how many sets the cube expands to. Cubed-away key
+    columns are NULL exactly like the SQL."""
+    ds = T(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_extendedprice", "sum"), ("l_extendedprice", "count")]
+        )
+        return rename(g, {"l_extendedprice_sum": "p_price", "l_extendedprice_count": "p_n"})
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_price", alias_name="sum_price"), Sum("p_n", alias_name="n_rows"))
+        .to_pandas()
+    )
+    by_flag = (
+        finest.groupby("l_returnflag", as_index=False)[["sum_price", "n_rows"]]
+        .sum()
+        .assign(l_linestatus=None)
+    )
+    by_status = (
+        finest.groupby("l_linestatus", as_index=False)[["sum_price", "n_rows"]]
+        .sum()
+        .assign(l_returnflag=None)
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "sum_price": [finest["sum_price"].sum()],
+            "n_rows": [finest["n_rows"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_flag, by_status, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_price", "n_rows"]
+    ]
+    out["sum_price"] = out["sum_price"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    ).reset_index(drop=True)
+
+
 def interval_join_events(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
     """Per-key interval (band) join: each purchase matched to ALL
     signups by the same user inside the preceding 24-hour window —

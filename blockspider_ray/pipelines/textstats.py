@@ -629,6 +629,46 @@ def bigram_pmi(sf_dir: str, max_vocab_rows: int = 50_000_000) -> rd.Dataset:
     return bi.map_batches(attach, batch_format="pyarrow")
 
 
+def compression_ratio(
+    sf_dir: str, min_ratio: float = 0.25, max_ratio: float = 1.0, level: int = 6
+) -> rd.Dataset:
+    """Per-document zlib compression ratio — the entropy-based quality
+    signal (highly compressible text is boilerplate/repetition, nearly
+    incompressible text is noise/garbage; Dolma and RefinedWeb both
+    gate on this family). ``keep`` = min_ratio <= ratio <= max_ratio.
+
+    Batch-local and shuffle-free: one ``map_batches``, the compressor
+    is a per-doc C call (zlib) over the batch — the same
+    per-row-C-kernel shape as ``fingerprints``; nothing about a doc's
+    score depends on any other doc, so the stage streams at input
+    parallelism. Not SQL-expressible (no oracle); pinned in pytest by
+    planted repetitive / random / fluent docs and determinism."""
+    import zlib
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        raw = [s.encode() if s else b"" for s in texts]
+        n_bytes = np.array([len(b) for b in raw], dtype=np.int64)
+        n_comp = np.array(
+            [len(zlib.compress(b, level)) for b in raw], dtype=np.int64
+        )
+        ratio = n_comp / np.maximum(n_bytes, 1)
+        keep = (ratio >= min_ratio) & (ratio <= max_ratio) & (n_bytes > 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "n_compressed": pa.array(n_comp, pa.int64()),
+                "ratio": pa.array(np.round(ratio, 4), pa.float64()),
+                "keep": pa.array(keep.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def fingerprints(sf_dir: str) -> rd.Dataset:
     """64-bit rolling-hash fingerprint + simhash per document."""
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])

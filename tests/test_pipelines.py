@@ -53,6 +53,7 @@ SWEEP = [
     "asof_join_events",
     "interval_join_events",
     "rollup_revenue",
+    "cube_revenue",
     "topk_events_per_user",
     "scrub_props",
     "hash_split",
@@ -1242,6 +1243,50 @@ class TestTextSemantics:
         a = _to_df(em.queries()["langid"](SF)).sort_values("doc_id").reset_index(drop=True)
         b = _to_df(em.queries()["langid"](SF)).sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+    def test_compression_ratio_planted(self, tmp_path):
+        """Planted entropy extremes: pure repetition compresses far
+        below the keep floor, cryptographic-noise text sits above the
+        fluent band's ceiling, natural-ish text lands inside it — and
+        ratios must be integer-arithmetic reproducible run-to-run."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.textstats import compression_ratio
+
+        rng = np.random.default_rng(3)
+        noise = " ".join(
+            "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz0123456789"), size=8))
+            for _ in range(60)
+        )
+        words = [f"w{i}x{i % 7}" for i in range(2000)]
+        docs = {
+            0: "the quick brown fox jumps over the lazy dog near the quiet river bank",
+            1: "spam " * 400,  # pure repetition -> ratio ~0.01
+            2: noise,  # high entropy -> ratio ~0.7
+            3: " ".join(rng.choice(words, size=150)),  # varied vocab -> ~0.4
+        }
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        out = (
+            compression_ratio(d).to_pandas().set_index("doc_id").sort_index()
+        )
+        assert out.loc[1, "ratio"] < 0.25 and out.loc[1, "keep"] == 0
+        assert out.loc[2, "ratio"] > out.loc[3, "ratio"]
+        assert out.loc[3, "keep"] == 1
+        assert (out["n_compressed"] > 0).all()
+        out2 = (
+            compression_ratio(d).to_pandas().set_index("doc_id").sort_index()
+        )
+        pd.testing.assert_frame_equal(out, out2)
 
 
 class TestPagerank:
