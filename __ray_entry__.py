@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (SQL-oracled) + HyperLogLog sketch (approximate by
         # construction — rows-only; pytest pins relative error)
         "distinct_users_per_type": sketches.distinct_users_per_type,
+        "distinct_users_per_window": sketches.distinct_users_per_window,
         "hll_users_per_type": sketches.hll_users_per_type,
         "scrub_props": windows.scrub_props,
         "events_stats": windows.events_stats,
@@ -226,6 +227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ: product-quantized codes + ADC shortlist + exact rerank
         # (rows-only like knn_ivf; pytest pins recall + sim exactness)
         "knn_ivfpq": similarity.knn_ivfpq,
+        # persisted IVF-PQ serving path: codes-only index scan + one
+        # row-group-pruned point gather for the exact rerank (rows-only;
+        # pytest pins layout, recall, sim exactness, build-once reuse)
+        "knn_ivfpq_indexed": similarity.knn_ivfpq_indexed,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
         # SemDeDup-style cluster-then-prune semantic dedup (clustering
@@ -372,6 +377,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type
+        """,
+        "distinct_users_per_window": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "events_stats": """
             SELECT event_type, COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS sum_value

@@ -203,6 +203,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "sessionize",
         "user_event_gaps",
         "distinct_users_per_type",
+        "distinct_users_per_window",
         "hll_users_per_type",
         "value_quantiles_sketch",
         "vocab_topk_sketch",
@@ -237,6 +238,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "knn_ivf",
         "knn_ivf_indexed",
         "knn_ivfpq",
+        "knn_ivfpq_indexed",
         "embedding_near_dup_pairs",
         "label_centroids",
         # near-dup cluster resolution (round-5): frame-input path
@@ -264,6 +266,13 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     shutil.rmtree(_idx, ignore_errors=True)
     ivf_build_index(sf_dir, _idx)
     qs["knn_ivf_indexed"] = lambda sf, _f=qs["knn_ivf_indexed"]: _f(sf, index_dir=_idx)
+
+    from blockspider_ray.pipelines.similarity import ivfpq_build_index
+
+    _pqidx = "/tmp/bsr_bench_ivfpq_index"
+    shutil.rmtree(_pqidx, ignore_errors=True)
+    ivfpq_build_index(sf_dir, _pqidx)
+    qs["knn_ivfpq_indexed"] = lambda sf, _f=qs["knn_ivfpq_indexed"]: _f(sf, index_dir=_pqidx)
 
     out: dict[str, float] = {}
     for name in names:

@@ -66,6 +66,43 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def distinct_users_per_window(sf_dir: str) -> pd.DataFrame:
+    """EXACT distinct users per (event_type, tumbling hour) — the
+    windowed-cardinality composition (``tumbling_hour``'s window key x
+    ``distinct_users_per_type``'s dedup discipline): unique-visitors-
+    per-hour, the canonical web-analytics exact rollup.
+
+    Same two-shuffle shape as the per-type op: window assignment is a
+    vectorized ``floor_temporal``; each batch contributes each
+    (type, hour, user) triple once (in-batch dedup), one groupby
+    dedups the triple universe globally, then additive partials count
+    per (type, hour). The triple universe is what it is — exact
+    windowed distinct cannot shrink it (that's what ``hll_users_per_
+    type`` exists for); what the shape guarantees is that raw events
+    never ride the all-to-all, only deduped triples."""
+    ds = T(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        t = t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+        return t.drop_columns("ts").group_by(["event_type", "hour", "user_id"]).aggregate([])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+        return rename(g, {"count_all": "p_n"})
+
+    out = (
+        ds.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby(["event_type", "hour", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["event_type", "hour", "user_id"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("p_n", alias_name="n_users"))
+        .to_pandas()
+    )
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
 def hll_users_per_type(sf_dir: str, p: int = 12) -> pd.DataFrame:
     """HyperLogLog distinct-user estimate per event type.
 

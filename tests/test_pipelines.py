@@ -29,6 +29,7 @@ SWEEP = [
     "enrich_props",
     "events_stats",
     "distinct_users_per_type",
+    "distinct_users_per_window",
     "token_counts",
     "doc_stats_by_lang",
     "repetition_stats",
@@ -914,6 +915,56 @@ class TestSimilaritySemantics:
         mtimes = {p: os.path.getmtime(f"{idx}/{p}") for p in parts}
         again = knn_ivf_indexed(SF, index_dir=idx, n_lists=16, n_probe=6)
         pd.testing.assert_frame_equal(again, fused)
+        assert mtimes == {p: os.path.getmtime(f"{idx}/{p}") for p in parts}
+
+    def test_ivfpq_persisted_index(self, tmp_path):
+        """The persisted IVF-PQ serving path: the index stores ONLY
+        uint8 codes (no embedding column — the 32x residence claim is a
+        schema fact, not a docstring), queries reuse the build (mtimes
+        unchanged, identical frames), every returned sim is the exact
+        cosine (rerank reads true vectors), and recall vs brute force
+        clears the fused path's floor."""
+        import os
+
+        import pyarrow.parquet as pq_
+
+        from blockspider_ray.pipelines.similarity import (
+            ivfpq_build_index,
+            knn_cosine,
+            knn_ivfpq_indexed,
+        )
+
+        idx = str(tmp_path / "ivfpq")
+        ivfpq_build_index(SF, idx, n_lists=16)
+        parts = sorted(d for d in os.listdir(idx) if d.startswith("list_id="))
+        assert len(parts) >= 2
+        assert os.path.exists(f"{idx}/centroids.parquet")
+        assert os.path.exists(f"{idx}/books.parquet")
+        part_file = next(
+            f"{idx}/{parts[0]}/{f}"
+            for f in sorted(os.listdir(f"{idx}/{parts[0]}"))
+            if f.endswith(".parquet")
+        )
+        schema = pq_.read_schema(part_file)
+        assert "embedding" not in schema.names  # codes-only residence
+        assert schema.field("codes").type.value_type == "uint8"
+
+        out = knn_ivfpq_indexed(SF, index_dir=idx, n_lists=16)
+        exact = knn_cosine(SF)
+        ex = {(r.qid, r.vec_id): r.sim for r in exact.itertuples()}
+        ap = {(r.qid, r.vec_id): r.sim for r in out.itertuples()}
+        for key in set(ex) & set(ap):
+            assert abs(ex[key] - ap[key]) < 1e-9  # true-cosine rerank
+        recalls = []
+        for qid in exact["qid"].unique():
+            e = {v for (q, v) in ex if q == qid}
+            a = {v for (q, v) in ap if q == qid}
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5, f"indexed IVF-PQ recall too low: {recalls}"
+
+        mtimes = {p: os.path.getmtime(f"{idx}/{p}") for p in parts}
+        again = knn_ivfpq_indexed(SF, index_dir=idx, n_lists=16)
+        pd.testing.assert_frame_equal(again, out)
         assert mtimes == {p: os.path.getmtime(f"{idx}/{p}") for p in parts}
 
     def test_embedding_near_dup_lsh_subset_and_planted_recall(self, tmp_path):
