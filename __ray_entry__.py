@@ -126,6 +126,22 @@ def entry() -> Any:
     return textstats.quality_langid("/root/testdata/sf0.001")
 
 
+def _corpus_shards_fresh(sf_dir: str):
+    """write_corpus_shards into a clean /tmp export dir (full
+    write-every-call so repeat runs are deterministic; the resume path
+    is pinned separately in pytest)."""
+    import os
+    import shutil
+
+    from blockspider_ray.pipelines import corpus
+
+    d = os.path.join(
+        "/tmp", "bsr_corpus_shards", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return corpus.write_corpus_shards(sf_dir, d)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from blockspider_ray.pipelines import clusters, corpus, dedup, graph, multimodal, relational, similarity, sketches, textstats, windows
 
@@ -246,6 +262,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship: crawl output -> dedup -> quality/lang -> partitioned corpus
         "corpus_prep": corpus.corpus_prep_demo,
         "hash_split": corpus.hash_split,
+        # resumable sharded export: fresh /tmp dir per call so the
+        # timed path is the full write+manifest; the oracle evaluates
+        # the manifest expression over the SOURCE table, so a hash
+        # match certifies the on-disk shards account for every row
+        "corpus_shards_manifest": _corpus_shards_fresh,
         "mixture_sample": corpus.mixture_sample,
         "stratified_sample": corpus.stratified_sample,
         # iterative graph algorithm over the crawl host graph (no SQL
@@ -741,6 +762,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM h
+        """,
+        # manifest certified against the SOURCE table: same mixed-ring
+        # shard expression as hash_split; all n_shards rows emitted
+        # (zero-row shards included) to mirror the writer's manifest
+        "corpus_shards_manifest": """
+            WITH h AS (
+              SELECT n_chars,
+                     ((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                      % 4294967296) AS mixed
+              FROM documents
+            ),
+            agg AS (
+              SELECT (mixed % 16)::BIGINT AS shard, COUNT(*)::BIGINT AS n_rows,
+                     SUM(n_chars)::BIGINT AS sum_n_chars,
+                     SUM(mixed)::BIGINT AS checksum
+              FROM h GROUP BY (mixed % 16)::BIGINT
+            )
+            SELECT s.shard::BIGINT AS shard,
+                   COALESCE(a.n_rows, 0)::BIGINT AS n_rows,
+                   COALESCE(a.sum_n_chars, 0)::BIGINT AS sum_n_chars,
+                   COALESCE(a.checksum, 0)::BIGINT AS checksum
+            FROM (SELECT unnest(generate_series(0, 15)) AS shard) s
+            LEFT JOIN agg a ON a.shard = s.shard
         """,
         "first_per_key": """
             SELECT lang, source, MIN(doc_id)::BIGINT AS first_doc, COUNT(*)::BIGINT AS n_docs

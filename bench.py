@@ -227,6 +227,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "line_dedup",
         "mixture_sample",
         "stratified_sample",
+        "corpus_shards_manifest",
         "semantic_dedup",
         "minhash_lsh_pairs",
         "simhash_near_dups",

@@ -481,3 +481,112 @@ def pack_sequences(sf_dir: str, budget: int = 4096, n_ranges: int | None = None)
     # driver-resident data beyond #ranges rows" holds for the operator
     # itself, and a consumer writes or streams the packed assignment.
     return tagged.groupby("range_id").map_groups(scan_range, batch_format="pandas")
+
+
+def write_corpus_shards(
+    sf_dir: str, out_dir: str, n_shards: int = 16
+) -> pd.DataFrame:
+    """Resumable sharded corpus export — the brief's "resumable output"
+    contract as a first-class operator: documents land in
+    ``out_dir/shard=K/part-*.parquet`` by a deterministic
+    multiplicative hash of ``doc_id`` (the same mod-2^32 ring as
+    ``hash_split``, so any worker — or the SQL oracle — recomputes any
+    doc's shard locally), and each completed shard gets an ATOMIC
+    manifest entry (``_manifest/shard-K.json``, tmp + ``os.replace``)
+    written only after the shard's files are read BACK and counted —
+    the manifest describes what is actually on disk, not what the
+    writer intended.
+
+    Resume semantics: a rerun loads the manifest, deletes any shard
+    directory WITHOUT a manifest entry (partial output from a crashed
+    run), filters the input to just the missing shards — finished
+    shards' rows never leave the scan (predicate before the write, so
+    a 1-shard rerun rewrites ~1/n_shards of the corpus, not all of
+    it) — and writes + manifests only those. A completed export is a
+    no-op rerun. Returns the manifest as a frame: (shard, n_rows,
+    sum_n_chars, checksum), checksum = sum of each doc's mixed ring
+    value (int64-exact to ~10^9 rows/shard; the SQL oracle evaluates
+    the identical expression over the SOURCE table, so a green hash
+    match certifies the on-disk shards byte-account for every source
+    row)."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from .common import T
+
+    assert n_shards & (n_shards - 1) == 0, f"n_shards must be a power of two, got {n_shards}"
+    mdir = os.path.join(out_dir, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+
+    def _mpath(k: int) -> str:
+        return os.path.join(mdir, f"shard-{k}.json")
+
+    done = set()
+    for k in range(n_shards):
+        try:
+            with open(_mpath(k)) as f:
+                json.load(f)
+            done.add(k)
+        except (OSError, ValueError):
+            pass
+    todo = sorted(set(range(n_shards)) - done)
+
+    if todo:
+        for k in todo:  # drop partial output from a crashed run
+            shutil.rmtree(os.path.join(out_dir, f"shard={k}"), ignore_errors=True)
+        todo_arr = np.array(todo, dtype=np.int64)
+        ds = T(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+
+        def assign(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            mixed = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+            shard = (mixed & np.uint64(n_shards - 1)).astype(np.int64)
+            t = t.append_column("shard", pa.array(shard, pa.int64()))
+            keep = np.isin(shard, todo_arr)
+            return t.filter(pa.array(keep))
+
+        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+            out_dir, partition_cols=["shard"]
+        )
+
+        @ray.remote
+        def manifest_shard(shard_dir: str, k: int) -> dict:
+            """Read the shard BACK off disk and account for it — python
+            ints for the checksum so a 10^9-row shard can't overflow."""
+            dset = pads.dataset(shard_dir)
+            tbl = dset.to_table(columns=["doc_id", "n_chars"])
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            mixed = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+            return {
+                "shard": k,
+                "n_rows": tbl.num_rows,
+                "sum_n_chars": int(tbl["n_chars"].to_numpy(zero_copy_only=False).sum()),
+                "checksum": int(sum(int(v) for v in mixed)),
+            }
+
+        entries = ray.get(
+            [
+                manifest_shard.remote(os.path.join(out_dir, f"shard={k}"), k)
+                for k in todo
+                if os.path.isdir(os.path.join(out_dir, f"shard={k}"))
+            ]
+        )
+        by_shard = {e["shard"]: e for e in entries}
+        for k in todo:
+            e = by_shard.get(k, {"shard": k, "n_rows": 0, "sum_n_chars": 0, "checksum": 0})
+            tmp = _mpath(k) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(e, f)
+            os.replace(tmp, _mpath(k))  # atomic: entry exists => shard complete
+
+    rows = []
+    for k in range(n_shards):
+        with open(_mpath(k)) as f:
+            rows.append(json.load(f))
+    out = pd.DataFrame(rows, columns=["shard", "n_rows", "sum_n_chars", "checksum"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)

@@ -44,6 +44,7 @@ SWEEP = [
     "mixture_sample",
     "stratified_sample",
     "pack_sequences",
+    "corpus_shards_manifest",
     "line_dedup",
     "exact_dedup",
     "exact_dedup_incremental",
@@ -1272,6 +1273,71 @@ class TestSketches:
             want = sv[max(int(np.ceil(q * len(sv))) - 1, 0)]
             got = est.loc["heavy", f"p{int(q * 100)}"]
             assert abs(got - want) / want <= 2 * rel_err, (q, got, want)
+
+
+class TestShardExport:
+    def test_resume_rewrites_only_missing_shards(self, tmp_path):
+        """The resumable-output contract: a rerun after losing one
+        shard's manifest rewrites THAT shard only (other shard dirs'
+        file sets untouched), a complete export reruns as a no-op, and
+        the union of shards equals the source exactly."""
+        import json
+        import os
+
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq_
+
+        from blockspider_ray.pipelines.corpus import write_corpus_shards
+
+        out = str(tmp_path / "export")
+        m1 = write_corpus_shards(SF, out, n_shards=8)
+        assert len(m1) == 8 and m1["n_rows"].sum() > 0
+
+        def listing():
+            return {
+                d: sorted(os.listdir(f"{out}/{d}"))
+                for d in os.listdir(out)
+                if d.startswith("shard=")
+            }
+
+        files1 = listing()
+        # source accounting: union of shard rows == source table
+        src = pq_.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        got = pads.dataset(
+            [f"{out}/{d}/{f}" for d, fs in files1.items() for f in fs]
+        ).to_table(columns=["doc_id"])
+        assert sorted(got["doc_id"].to_pylist()) == sorted(src["doc_id"].to_pylist())
+
+        # no-op rerun: manifest equal, no file changes anywhere
+        m2 = write_corpus_shards(SF, out, n_shards=8)
+        pd.testing.assert_frame_equal(m2, m1)
+        assert listing() == files1
+
+        # lose shard 3's manifest (simulated crash mid-shard): rerun
+        # must rewrite shard 3 and leave every other dir untouched
+        os.remove(f"{out}/_manifest/shard-3.json")
+        mtimes_other = {
+            d: os.path.getmtime(f"{out}/{d}/{f}")
+            for d, fs in files1.items()
+            if d != "shard=3"
+            for f in fs
+        }
+        m3 = write_corpus_shards(SF, out, n_shards=8)
+        pd.testing.assert_frame_equal(m3, m1)
+        assert {
+            d: os.path.getmtime(f"{out}/{d}/{f}")
+            for d, fs in listing().items()
+            if d != "shard=3"
+            for f in fs
+        } == mtimes_other
+        with open(f"{out}/_manifest/shard-3.json") as f:
+            assert json.load(f)["n_rows"] == int(m1.loc[m1["shard"] == 3, "n_rows"].iloc[0])
+
+    def test_rejects_non_power_of_two(self, tmp_path):
+        from blockspider_ray.pipelines.corpus import write_corpus_shards
+
+        with pytest.raises(AssertionError, match="power of two"):
+            write_corpus_shards(SF, str(tmp_path / "x"), n_shards=12)
 
 
 class TestTextSemantics:
