@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the manifest expression over the SOURCE table, so a hash
         # match certifies the on-disk shards account for every row
         "corpus_shards_manifest": _corpus_shards_fresh,
+        # deterministic epoch shuffle (ROW_NUMBER over the ring mix)
+        "shuffle_epoch": corpus.shuffle_epoch,
         "mixture_sample": corpus.mixture_sample,
         "stratified_sample": corpus.stratified_sample,
         # iterative graph algorithm over the crawl host graph (no SQL
@@ -785,6 +787,20 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.checksum, 0)::BIGINT AS checksum
             FROM (SELECT unnest(generate_series(0, 15)) AS shard) s
             LEFT JOIN agg a ON a.shard = s.shard
+        """,
+        # same ring mix as hash_split with the seed term added (seed=1
+        # default: + 2246822519); rank = ROW_NUMBER - 1 over (mixed,
+        # doc_id) — ties impossible, so the order is total and exact
+        "shuffle_epoch": """
+            WITH h AS (
+              SELECT doc_id,
+                     ((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761
+                       + 2246822519) % 4294967296) AS mixed
+              FROM documents
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   (ROW_NUMBER() OVER (ORDER BY mixed, doc_id) - 1)::BIGINT AS epoch_rank
+            FROM h
         """,
         "first_per_key": """
             SELECT lang, source, MIN(doc_id)::BIGINT AS first_doc, COUNT(*)::BIGINT AS n_docs

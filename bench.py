@@ -228,6 +228,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "mixture_sample",
         "stratified_sample",
         "corpus_shards_manifest",
+        "shuffle_epoch",
         "semantic_dedup",
         "minhash_lsh_pairs",
         "simhash_near_dups",

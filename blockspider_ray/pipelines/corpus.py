@@ -590,3 +590,83 @@ def write_corpus_shards(
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("shard").reset_index(drop=True)
+
+
+def shuffle_epoch(sf_dir: str, seed: int = 1, n_ranges: int | None = None) -> rd.Dataset:
+    """Deterministic training-epoch shuffle: every document gets a
+    global position ``epoch_rank`` in a pseudorandom order that is a
+    pure function of (doc_id, seed) — the reproducible dataloader
+    order a training run needs (same seed -> same order on any
+    cluster; next epoch = next seed, no state carried).
+
+    Shape: the shuffle key is the ``hash_split`` multiplicative ring
+    mix of (doc_id, seed), so the SQL oracle evaluates the identical
+    expression; ranking is the ``pack_sequences`` distributed
+    prefix-scan, but RANGE-partitioned over the KEY domain [0, 2^32)
+    — the mix is uniform, so fixed-width key ranges are balanced by
+    construction (no sampling step a Dataset.sort would need): one
+    partial-combiner pass lands per-range COUNTS on the driver
+    (#ranges rows), their cumsum is each range's global rank offset
+    (broadcast back), and each range lexsorts (key, doc_id) locally
+    and adds its offset. No global sort machinery, no driver-resident
+    data beyond #ranges rows; ties impossible (doc_id breaks them).
+    Mirrors ``ROW_NUMBER() OVER (ORDER BY mixed, doc_id) - 1``."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .common import T, n_shuffle_buckets, rename
+
+    if n_ranges is None:
+        n_ranges = n_shuffle_buckets()
+    width = (1 << 32) // n_ranges + 1
+    mul, smix = np.uint64(2654435761), np.uint64(2246822519)
+    ring = np.uint64(1 << 32)
+    seed_term = (np.uint64(seed) * smix) % ring
+
+    ds = T(sf_dir, "documents", columns=["doc_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = ((ids % ring) * mul + seed_term) % ring
+        return pa.table(
+            {
+                "range_id": pa.array((mixed // np.uint64(width)).astype(np.int64), pa.int64()),
+                "mixed": pa.array(mixed.astype(np.int64), pa.int64()),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def range_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("range_id").aggregate([([], "count_all")])
+        return rename(g, {"count_all": "p_n"})
+
+    totals = (
+        tagged.map_batches(range_partial, batch_format="pyarrow")
+        .groupby("range_id")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()  # #ranges rows only
+        .sort_values("range_id")
+    )
+    offsets = dict(
+        zip(
+            totals["range_id"].astype(int),
+            np.concatenate(([0], np.cumsum(totals["n"].to_numpy())[:-1])).astype(np.int64),
+        )
+    )
+    offsets_ref = ray.put(offsets)
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["range_id"].iloc[0])]
+        mixed = g["mixed"].to_numpy(dtype=np.int64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, mixed))
+        return pd.DataFrame(
+            {
+                "doc_id": ids[order],
+                "epoch_rank": off + np.arange(len(ids), dtype=np.int64),
+            }
+        )
+
+    return tagged.groupby("range_id").map_groups(rank_range, batch_format="pandas")

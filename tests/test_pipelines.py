@@ -45,6 +45,7 @@ SWEEP = [
     "stratified_sample",
     "pack_sequences",
     "corpus_shards_manifest",
+    "shuffle_epoch",
     "line_dedup",
     "exact_dedup",
     "exact_dedup_incremental",
@@ -1338,6 +1339,32 @@ class TestShardExport:
 
         with pytest.raises(AssertionError, match="power of two"):
             write_corpus_shards(SF, str(tmp_path / "x"), n_shards=12)
+
+
+class TestShuffleEpoch:
+    def test_permutation_seed_and_range_invariance(self):
+        """epoch_rank must be an exact permutation of 0..n-1, identical
+        across range widths (the partitioning is a dispatch choice, not
+        a semantic one), and a different seed must produce a different
+        order while staying a permutation."""
+        from blockspider_ray.pipelines.corpus import shuffle_epoch
+
+        def collect(**kw):
+            return (
+                shuffle_epoch(SF, **kw)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+        a = collect(n_ranges=2)
+        b = collect(n_ranges=64)
+        pd.testing.assert_frame_equal(a, b)
+        n = len(a)
+        assert sorted(a["epoch_rank"].tolist()) == list(range(n))
+        c = collect(seed=2)
+        assert sorted(c["epoch_rank"].tolist()) == list(range(n))
+        assert (a["epoch_rank"] != c["epoch_rank"]).any()
 
 
 class TestTextSemantics:
