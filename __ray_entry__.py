@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": textstats.ngram_counts,
         "token_postings": textstats.token_postings,
         "bigram_pmi": textstats.bigram_pmi,
+        "bm25_topk": textstats.bm25_topk,
+        "zscore_by_lang": textstats.zscore_by_lang,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "first_per_key": dedup.first_per_key,
@@ -547,6 +549,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u1 ON u1.tok = b.tok1
             JOIN uni u2 ON u2.tok = b.tok2
             CROSS JOIN nu CROSS JOIN nb
+        """,
+        # BM25 with the pipeline's exact float64 expression tree
+        # (left-assoc (idf * tf-part) / denom; avgdl = toks/docs);
+        # ORDER BY the unrounded score like the pipeline's sort
+        "bm25_topk": r"""
+            WITH toks AS (
+                SELECT doc_id, u.tok AS tok
+                FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
+            ),
+            dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+            stats AS (
+                SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+                       (SELECT COUNT(*) FROM toks)::DOUBLE
+                         / (SELECT COUNT(*) FROM documents)::DOUBLE AS avgdl
+            ),
+            df AS (
+                SELECT tok, COUNT(DISTINCT doc_id)::DOUBLE AS df
+                FROM toks WHERE tok IN ('hash', 'scan', 'table') GROUP BY tok
+            ),
+            tf AS (
+                SELECT doc_id, tok, COUNT(*)::DOUBLE AS tf
+                FROM toks WHERE tok IN ('hash', 'scan', 'table') GROUP BY doc_id, tok
+            ),
+            part AS (
+                SELECT tf.doc_id,
+                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS p
+                FROM tf
+                JOIN df d ON d.tok = tf.tok
+                JOIN dl l ON l.doc_id = tf.doc_id
+                CROSS JOIN stats s
+            )
+            SELECT doc_id::BIGINT AS doc_id, ROUND(SUM(p), 4) AS score
+            FROM part GROUP BY doc_id ORDER BY SUM(p) DESC, doc_id LIMIT 10
+        """,
+        # moment arithmetic mirrored explicitly (sqrt(ss/n - mean^2)),
+        # not STDDEV_POP, so the float64 trees agree; the integer sums
+        # are float64-exact so partial-order differences vanish
+        "zscore_by_lang": """
+            WITH m AS (
+                SELECT lang, COUNT(*)::DOUBLE AS n,
+                       SUM(n_chars::DOUBLE) AS s,
+                       SUM(n_chars::DOUBLE * n_chars::DOUBLE) AS ss
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id::BIGINT AS doc_id, d.lang,
+                   d.n_chars::BIGINT AS n_chars,
+                   ROUND((d.n_chars::DOUBLE - m.s / m.n)
+                         / sqrt(m.ss / m.n - (m.s / m.n) * (m.s / m.n)), 4) AS z_len
+            FROM documents d JOIN m ON m.lang = d.lang
         """,
         # boilerplate line removal: drop lines held by >= 3 distinct
         # docs, reassemble in original order; docs losing every line

@@ -221,6 +221,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "ngram_counts",
         "token_postings",
         "bigram_pmi",
+        "bm25_topk",
+        "zscore_by_lang",
         "compression_ratio",
         "exact_dedup",
         "exact_dedup_incremental",

@@ -684,3 +684,168 @@ def fingerprints(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def bm25_topk(
+    sf_dir: str,
+    query: str = "hash table scan",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pd.DataFrame:
+    """BM25 keyword search: top-``k`` documents for a query string
+    (Robertson-Sparck Jones probabilistic relevance, the lexical
+    retrieval baseline next to the kNN family) — what a corpus ships
+    the ``token_postings`` index FOR.
+
+    Shuffle-shape: corpus stats (N, avgdl, per-term df) come from ONE
+    pass of additive per-batch partials — df only for the query's own
+    terms, so the stats frame is query-sized, not vocab-sized — and
+    broadcast back. Scoring is then SHUFFLE-FREE: a document is whole
+    within one batch, so each batch computes its docs' COMPLETE BM25
+    scores (vectorized: one ``_token_pairs`` explode, tf per
+    (doc, term) via arrow group_by, one searchsorted into the term
+    table) and emits only its local top-k — the global top-k is a
+    sort+limit over k rows per batch. The SQL oracle mirrors the
+    float64 expression tree (idf = ln((N - df + .5)/(df + .5) + 1);
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))) term for term."""
+    import ray
+
+    terms = sorted(set(query.split()))
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        pairs = _token_pairs(t)
+        tok = pairs["tok"]
+        hit = pairs.filter(pc.is_in(tok, value_set=pa.array(terms)))
+        dfp = hit.group_by(["doc_id", "tok"]).aggregate([]).group_by("tok").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "tok": pa.concat_arrays(
+                    [dfp["tok"].combine_chunks(), pa.array(["\x00docs", "\x00toks"])]
+                ),
+                "p_n": pa.array(
+                    dfp["count_all"].to_pylist() + [t.num_rows, pairs.num_rows],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    st = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()  # |terms| + 2 rows
+        .set_index("tok")["n"]
+    )
+    n_docs = float(st["\x00docs"])
+    avgdl = float(st["\x00toks"]) / n_docs
+    df = np.array([float(st.get(t_, 0)) for t_ in terms])
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    term_arr = np.array(terms, dtype=object).astype(str)
+    ref = ray.put((term_arr, idf))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        terms_, idf_ = ray.get(ref)
+        pairs = _token_pairs(t)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+        if pairs.num_rows == 0:
+            return empty
+        dl_t = pairs.group_by("doc_id").aggregate([([], "count_all")])
+        dl_doc = dl_t["doc_id"].to_numpy(zero_copy_only=False)
+        dl_n = dl_t["count_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hit = pairs.filter(pc.is_in(pairs["tok"], value_set=pa.array(list(terms_))))
+        if hit.num_rows == 0:
+            return empty
+        tf_t = hit.group_by(["doc_id", "tok"]).aggregate([([], "count_all")])
+        doc = tf_t["doc_id"].to_numpy(zero_copy_only=False)
+        tok = np.asarray(tf_t["tok"].to_pylist(), dtype=str)
+        tf = tf_t["count_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ti = np.searchsorted(terms_, tok)
+        dlo = np.argsort(dl_doc)
+        dl = dl_n[dlo[np.searchsorted(dl_doc[dlo], doc)]]
+        part = idf_[ti] * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        # per-doc sum over its matched terms (docs are batch-whole, so
+        # these are COMPLETE scores), then the in-batch top-k combiner
+        udoc, inv = np.unique(doc, return_inverse=True)
+        score = np.zeros(len(udoc))
+        np.add.at(score, inv, part)
+        top = np.lexsort((udoc, -score))[: min(k, len(udoc))]
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc[top], pa.int64()),
+                "score": pa.array(score[top], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(score_topk, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
+def zscore_by_lang(sf_dir: str) -> rd.Dataset:
+    """Per-group feature normalization: z-score each document's length
+    within its language — the grouped standardization step an ML prep
+    pipeline runs before mixing features across populations (an 'en'
+    doc and a 'zh' doc of equal byte length are very different
+    lengths relative to their groups).
+
+    Two passes, no all-to-all over rows: pass 1 is the house
+    partial-combiner groupby landing |langs| rows of (n, sum, sumsq)
+    moments on the driver; the per-lang mean and population std are
+    broadcast once, and pass 2 is a shuffle-free vectorized map. The
+    SQL oracle mirrors the moment arithmetic (sqrt(sumsq/n - mean^2))
+    rather than calling STDDEV_POP, so the float64 trees agree."""
+    import ray
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t2 = pa.table(
+            {"lang": t["lang"], "x": pa.array(x), "xx": pa.array(x * x)}
+        )
+        g = t2.group_by("lang").aggregate([("x", "sum"), ("xx", "sum"), ([], "count_all")])
+        return rename(g, {"x_sum": "p_sum", "xx_sum": "p_sumsq", "count_all": "p_n"})
+
+    mom = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("p_sum", alias_name="s"),
+            Sum("p_sumsq", alias_name="ss"),
+            Sum("p_n", alias_name="n"),
+        )
+        .to_pandas()  # |langs| rows
+    )
+    langs = mom["lang"].to_numpy(dtype=object).astype(str)
+    order = np.argsort(langs)
+    n = mom["n"].to_numpy(dtype=np.float64)[order]
+    mean = mom["s"].to_numpy(dtype=np.float64)[order] / n
+    std = np.sqrt(mom["ss"].to_numpy(dtype=np.float64)[order] / n - mean * mean)
+    ref = ray.put((langs[order], mean, std))
+
+    def attach(t: pa.Table) -> pa.Table:
+        langs_, mean_, std_ = ray.get(ref)
+        li = np.searchsorted(langs_, np.asarray(t["lang"].to_pylist(), dtype=str))
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z = (x - mean_[li]) / std_[li]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "z_len": pa.array(np.round(z, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -41,6 +41,8 @@ SWEEP = [
     "ngram_counts",
     "token_postings",
     "bigram_pmi",
+    "bm25_topk",
+    "zscore_by_lang",
     "mixture_sample",
     "stratified_sample",
     "pack_sequences",
