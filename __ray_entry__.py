@@ -159,11 +159,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_parts": relational.semi_join_parts,
         "global_max": relational.global_max,
         "explode_tokens": relational.explode_tokens,
+        # TPC-H Q3 shape: 3-table join composition (broadcast semi +
+        # bucketed large-large) with per-bucket-final top-k combiners
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        # LEFT OUTER broadcast join (null-preserving enrichment)
+        "left_join_customer_names": relational.left_join_customer_names,
+        # grouped Pearson correlation from one-pass sufficient stats
+        "corr_quantity_price": relational.corr_quantity_price,
         # stream-shaped (§2.7)
         "tumbling_hour": windows.tumbling_hour,
         "hopping_window": windows.hopping_window,
         "sessionize": windows.sessionize,
         "user_event_gaps": windows.user_event_gaps,
+        # per-key running total (SUM OVER PARTITION BY ... ORDER BY ...)
+        "cumulative_spend": windows.cumulative_spend,
         "enrich_props": windows.enrich_props,
         # distinct-cardinality family: exact pair-shuffle companion
         # (SQL-oracled) + HyperLogLog sketch (approximate by
@@ -187,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": textstats.token_doc_freq,
         "tfidf_topk": textstats.tfidf_topk,
         "doc_len_quantiles": textstats.doc_len_quantiles,
+        "doc_len_histogram": textstats.doc_len_histogram,
         "unigram_logprob": textstats.unigram_logprob,
         "ngram_counts": textstats.ngram_counts,
         "token_postings": textstats.token_postings,
@@ -199,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_near_dups": dedup.simhash_near_dups,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # substring-level duplication profile (positional k-gram
+        # multiplicity — the Lee et al. 2022 span-dedup measurement)
+        "repeated_spans": dedup.repeated_spans,
         # boilerplate line removal (cross-doc repeated lines); the sf
         # corpora are single-line docs with no cross-doc repeats, so the
         # sf oracle is a semantics-preserving identity — the removal
@@ -308,6 +321,32 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
+        # TPC-H Q3 shape; ORDER BY the unrounded revenue (the pipeline
+        # ranks before rounding) with (date, orderkey) tiebreaks
+        "q3_shipping_priority": """
+            SELECT l_orderkey::BIGINT AS o_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "left_join_customer_names": """
+            SELECT o_orderkey, o_custkey, c_name
+            FROM orders LEFT JOIN (
+                SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+            ) c ON o_custkey = c_custkey
+        """,
+        "corr_quantity_price": """
+            SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+                   ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "join_orders_lineitem_native": """
             SELECT o_orderstatus,
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -392,6 +431,16 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER
                             (PARTITION BY user_id ORDER BY ts, event_id), -1)::BIGINT AS gap_us
             FROM events
+        """,
+        # fixed-point running total: both sides sum integer cents (the
+        # half-away ROUND of price*100), so accumulation order can't
+        # produce a float hash mismatch
+        "cumulative_spend": """
+            SELECT o_orderkey, o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::BIGINT
+                       AS cum_spend_cents
+            FROM orders
         """,
         "enrich_props": r"""
             SELECT event_type,
@@ -676,6 +725,31 @@ def oracle_sql() -> dict[str, str]:
                          len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
                   FROM documents)
             GROUP BY lang
+        """,
+        "doc_len_histogram": """
+            SELECT lang, (n_chars // 200 * 200)::BIGINT AS bin_lo, COUNT(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang, bin_lo
+        """,
+        # positional k-gram multiplicity (NO distinct — a span repeated
+        # within one doc counts); same tokenize/shingle CTEs as the
+        # n-gram Jaccard oracle, short docs collapse to one full-text span
+        "repeated_spans": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(1, CASE WHEN len(w) >= 5 THEN len(w) - 4
+                                                    WHEN len(w) > 0 THEN 1 ELSE 0 END)) AS i
+              FROM toks
+            ),
+            g AS (SELECT doc_id, array_to_string(w[i : i + 4], ' ') AS s FROM pos),
+            rep AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) >= 2)
+            SELECT g.doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_pos,
+                   COUNT(rep.s)::BIGINT AS n_repeated_pos
+            FROM g LEFT JOIN rep ON g.s = rep.s
+            GROUP BY g.doc_id
         """,
         "exact_dedup": r"""
             SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents

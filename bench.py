@@ -212,11 +212,16 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "rollup_revenue",
         "cube_revenue",
         "topk_events_per_user",
+        "q3_shipping_priority",
+        "left_join_customer_names",
+        "corr_quantity_price",
+        "cumulative_spend",
         "enrich_props",
         "token_counts",
         "doc_stats_by_lang",
         "tfidf_topk",
         "doc_len_quantiles",
+        "doc_len_histogram",
         "unigram_logprob",
         "ngram_counts",
         "token_postings",
@@ -235,6 +240,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "minhash_lsh_pairs",
         "simhash_near_dups",
         "ngram_jaccard_pairs",
+        "repeated_spans",
         "decontaminate",
         "asof_join_events",
         "knn_cosine",

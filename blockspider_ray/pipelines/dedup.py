@@ -1018,3 +1018,92 @@ def exact_dedup_incremental(
             index_dir, partition_cols=["part"]
         )
     return survivors.select_columns(["doc_id"])
+
+
+def repeated_spans(sf_dir: str, k: int = 5, n_buckets: int | None = None) -> rd.Dataset:
+    """Substring-level (positional) duplication profile — for every doc,
+    how many of its k-token spans also occur elsewhere in the corpus
+    (counting multiplicity: a span repeated WITHIN one doc counts too).
+    This is the measurement pass of suffix/substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022): where
+    doc-level MinHash asks "is this document a near-copy", this asks
+    "which fraction of it is boilerplate copied from anywhere" — the
+    signal used to cut repeated spans out of otherwise-unique pages.
+
+    Scale shape: ONE shingling pass emits one fixed-width row per
+    position — (bucket = sh & (B-1), sh, doc_id) — never text and never
+    a distinct-ification (multiplicity is the semantics). All positions
+    of a given span hash land in one bucket, so a bucket-local numpy
+    run-scan over the lexsorted span column reads off GLOBAL
+    multiplicities; rows in runs of length >= 2 are repeated positions.
+    The per-doc reduction happens inside the bucket (one partial row per
+    (doc, bucket)), and the final groupby(doc_id) sums B-bounded
+    partials. Output: (doc_id, n_pos, n_repeated_pos), one row per
+    non-empty doc, as a distributed Dataset. Span identity is the house
+    64-bit hash (``hash64``) — same collision convention as
+    ``ngram_jaccard_pairs`` (the SQL oracle groups by the span string)."""
+    from ray.data.aggregate import Sum
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def span_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        parts, docs = [], []
+        for i, x in enumerate(texts):
+            s = tx.shingles(x, k=k)
+            if not s:
+                continue
+            hv = hash64(s).view(np.int64)  # positional: NOT uniqued
+            parts.append(hv)
+            docs.append(np.full(len(hv), ids[i], dtype=np.int64))
+        if not parts:
+            return _empty
+        sh = np.concatenate(parts)
+        return pa.table(
+            {
+                "bucket": pa.array(sh & np.int64(B - 1), pa.int64()),
+                "sh": pa.array(sh, pa.int64()),
+                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy(dtype=np.int64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, sh))
+        sh_s, ids_s = sh[order], ids[order]
+        new_run = np.concatenate(([True], sh_s[1:] != sh_s[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, len(sh_s)))
+        repeated = np.repeat(run_len >= 2, run_len)
+        # per-doc partials: total positions + repeated positions
+        uniq, counts = np.unique(ids_s, return_counts=True)
+        rep_counts = np.bincount(
+            np.searchsorted(uniq, ids_s[repeated]), minlength=len(uniq)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": uniq,
+                "p_pos": counts.astype(np.int64),
+                "p_rep": rep_counts.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(span_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("p_pos", alias_name="n_pos"), Sum("p_rep", alias_name="n_repeated_pos"))
+    )

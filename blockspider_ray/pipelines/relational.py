@@ -697,3 +697,194 @@ def topk_events_per_user(
         .groupby("bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def q3_shipping_priority(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10
+) -> pd.DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date predicates,
+    revenue per order, global top-k — the reference's multi-table
+    enrichment composed from the house join primitives (J1 broadcast +
+    the bucketed large-large join of ``join_orders_lineitem``).
+
+    Scale plan: the segment's custkeys are a small side (1/5 of
+    customer) shipped ONCE via ``ray.put`` and probed with ``pc.is_in``
+    per batch — no customer shuffle. orders and lineitem are both
+    date-pruned AT THE READ (only 3 columns each leave storage), then
+    meet in ONE bucketed all-to-all keyed on ``orderkey & (B-1)``.
+    Because an orderkey lives in exactly one bucket, the per-bucket
+    revenue totals are FINAL — each bucket emits only its local top-k,
+    and the driver merges B·k candidate rows, never the joined set."""
+    from .common import n_shuffle_buckets
+
+    B = n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    cut = np.datetime64(cutoff, "ns").astype("datetime64[us]").astype(_dt.datetime)
+
+    cust = T(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_keys = ray.put(
+        np.sort(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy(np.int64))
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(t["o_orderdate"], pa.scalar(cut)),
+            pc.is_in(t["o_custkey"], value_set=pa.array(ray.get(seg_keys))),
+        )
+        t = t.filter(keep)
+        key = t["o_orderkey"]
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int64()),
+                "key": key,
+                "rev": pa.nulls(t.num_rows, pa.float64()),
+                "o_orderdate": t["o_orderdate"],
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        # in-batch partial: one row per (orderkey, batch), not per item
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = (
+            pa.table({"key": t["l_orderkey"], "rev": r})
+            .group_by("key")
+            .aggregate([("rev", "sum")])
+        )
+        key = g["key"]
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int64()),
+                "key": key,
+                "rev": g["rev_sum"],
+                "o_orderdate": pa.nulls(g.num_rows, pa.timestamp("us")),
+                "side": pa.array(np.zeros(g.num_rows, dtype=np.int8)),
+            }
+        )
+
+    orders = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        tag_orders, batch_format="pyarrow"
+    )
+    li = T(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]).map_batches(
+        tag_lineitem, batch_format="pyarrow"
+    )
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0].groupby("key", as_index=False).agg(revenue=("rev", "sum"))
+        r = g[g["side"] == 1][["key", "o_orderdate"]]
+        m = l.merge(r, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "revenue": pd.Series([], dtype="float64"),
+                    "o_orderdate": pd.Series([], dtype="datetime64[ns]"),
+                }
+            )
+        m = m.sort_values(["revenue", "o_orderdate", "key"], ascending=[False, True, True]).head(k)
+        return m.rename(columns={"key": "o_orderkey"})[["o_orderkey", "revenue", "o_orderdate"]]
+
+    cand = (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(topk_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cand.sort_values(
+        ["revenue", "o_orderdate", "o_orderkey"], ascending=[False, True, True]
+    ).head(k)
+    out["revenue"] = out["revenue"].round(2)
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def left_join_customer_names(sf_dir: str, segment: str = "BUILDING") -> rd.Dataset:
+    """LEFT OUTER broadcast join — the null-preserving enrichment the
+    inner/semi/anti family doesn't cover: every order keeps its row,
+    orders whose customer is outside ``segment`` get a NULL ``c_name``
+    (the reference's receipt-decoration leaves unmatched receipts
+    intact, common/blocks.go:44-58). Small side shipped once via
+    ``ray.put`` (sorted key array + aligned name array, probed with
+    ``np.searchsorted`` per batch — no shuffle, no pandas map). Output
+    stays a distributed Dataset, one row per order."""
+    cust = T(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]).to_pandas()
+    cust = cust[cust["c_mktsegment"] == segment].sort_values("c_custkey")
+    ref = ray.put(
+        (cust["c_custkey"].to_numpy(np.int64), cust["c_name"].to_numpy(object))
+    )
+
+    ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def join(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = (len(keys) > 0) & (keys[pos_c] == ck)
+        out = np.full(len(ck), None, dtype=object)
+        out[hit] = names[pos_c[hit]]
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "c_name": pa.array(out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(join, batch_format="pyarrow")
+
+
+def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation (sample) of quantity vs extended
+    price per returnflag — the two-column statistics shape computed from
+    ONE pass of six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    pre-aggregated in-batch; the shuffle moves one 6-float partial per
+    (group, batch) and the final r is algebra on a groups-sized frame."""
+    ds = T(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x, y = t["l_quantity"], t["l_extendedprice"]
+        aux = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+            }
+        )
+        g = aux.group_by("l_returnflag").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"), ("yy", "sum"), ([], "count_all")]
+        )
+        return rename(
+            g,
+            {"x_sum": "sx", "y_sum": "sy", "xy_sum": "sxy", "xx_sum": "sxx", "yy_sum": "syy", "count_all": "n"},
+        )
+
+    f = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    n = f["n"].to_numpy(np.float64)
+    cov = f["sxy"] - f["sx"] * f["sy"] / n
+    vx = f["sxx"] - f["sx"] ** 2 / n
+    vy = f["syy"] - f["sy"] ** 2 / n
+    out = pd.DataFrame(
+        {
+            "l_returnflag": f["l_returnflag"],
+            "n": f["n"].astype("int64"),
+            "corr_qty_price": (cov / np.sqrt(vx * vy)).round(4),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)

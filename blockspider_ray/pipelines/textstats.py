@@ -849,3 +849,37 @@ def zscore_by_lang(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def doc_len_histogram(sf_dir: str, bin_width: int = 200) -> pd.DataFrame:
+    """Fixed-width histogram of document length per language — the
+    corpus-profiling distribution a data-quality dashboard plots before
+    choosing filter thresholds. Bin assignment is one vectorized integer
+    division over the pre-computed ``n_chars`` column (only 2 columns
+    leave storage — the text itself is never read); the in-batch partial
+    pre-counts per (lang, bin), so the all-to-all moves one row per
+    (lang, bin, batch) regardless of corpus size."""
+    ds = T(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bin_lo = pc.multiply(
+            pc.divide(t["n_chars"], pa.scalar(bin_width, pa.int64())),
+            pa.scalar(bin_width, pa.int64()),
+        )
+        g = (
+            pa.table({"lang": t["lang"], "bin_lo": bin_lo})
+            .group_by(["lang", "bin_lo"])
+            .aggregate([([], "count_all")])
+        )
+        return rename(g, {"count_all": "p_n"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "bin_lo"])
+        .aggregate(Sum("p_n", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["lang", "bin_lo"]).reset_index(drop=True)

@@ -266,3 +266,69 @@ def scrub_props(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def cumulative_spend(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
+    """Per-key running total — ``SUM(...) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey)`` — the cumulative window function
+    (lifetime-spend feature) via the house bucketed run-scan: shuffle on
+    ``hash(custkey) % B`` (never the raw key), one numpy lexsort of
+    (custkey, date, orderkey) per bucket, then a segmented cumsum
+    (global cumsum minus the per-key offset gathered at run starts).
+    Prices are fixed-point (integer cents, half-away rounding to match
+    DuckDB's ROUND) so the running sum is integer-exact regardless of
+    accumulation order — a float cumsum could not hash-match an oracle
+    whose window aggregate sums in segment-tree order. Output stays a
+    distributed Dataset, one row per order."""
+    import numpy as np
+
+    from .common import n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        b = pc.cast(pc.bit_wise_and(pc.cast(t["o_custkey"], pa.int64()), B - 1), pa.int64())
+        return pa.table(
+            {
+                "bucket": b,
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "cents": cents,
+            }
+        )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["o_custkey"].to_numpy(dtype=np.int64)
+        ok = g["o_orderkey"].to_numpy(dtype=np.int64)
+        dt = g["o_orderdate"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ok, dt, ck))
+        ck_s, ok_s, cents_s = ck[order], ok[order], cents[order]
+        cum = np.cumsum(cents_s)
+        new_key = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+        starts = np.flatnonzero(new_key)
+        # offset[i] = cumulative total BEFORE row i's key-run started
+        offsets = np.repeat(cum[starts] - cents_s[starts], np.diff(np.append(starts, len(cum))))
+        return pd.DataFrame(
+            {
+                "o_orderkey": ok_s,
+                "o_custkey": ck_s,
+                "cum_spend_cents": cum - offsets,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(running, batch_format="pandas")
+    )

@@ -57,6 +57,12 @@ SWEEP = [
     "decontaminate",
     "asof_join_events",
     "interval_join_events",
+    "q3_shipping_priority",
+    "left_join_customer_names",
+    "corr_quantity_price",
+    "cumulative_spend",
+    "doc_len_histogram",
+    "repeated_spans",
     "rollup_revenue",
     "cube_revenue",
     "topk_events_per_user",
@@ -1472,3 +1478,82 @@ class TestPagerank:
         assert np.allclose(got["r"].to_numpy(), r, atol=1e-9)
         assert abs(got["r"].sum() - 1.0) < 1e-9
         assert n > 3  # the tiny web is a real multi-host graph
+
+
+class TestRepeatedSpans:
+    def test_planted_span_multiplicity(self, tmp_path):
+        """Hand-computed positional 5-gram multiplicities: a cyclic
+        within-doc repeat counts (multiplicity, not distinct), a
+        cross-doc shared prefix marks one position in EACH doc, short
+        docs collapse to one full-text span that can itself be repeated."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.dedup import repeated_spans
+
+        docs = [
+            "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9",   # all-unique: (6, 0)
+            "c0 c1 c2 c3 c4 c0 c1 c2 c3 c4",   # cyclic self-repeat: (6, 2)
+            "d0 d1 d2 d3 d4 x0 x1 x2 x3 x4",   # shares prefix with doc 3: (6, 1)
+            "d0 d1 d2 d3 d4 y0 y1 y2 y3 y4",   # (6, 1)
+            "s0 s1",                            # short twin of doc 5: (1, 1)
+            "s0 s1",                            # (1, 1)
+        ]
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": pa.array(docs, pa.string())}),
+            f"{d}/documents.parquet",
+        )
+        out = repeated_spans(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = pd.DataFrame(
+            {
+                "doc_id": list(range(6)),
+                "n_pos": [6, 6, 6, 6, 1, 1],
+                "n_repeated_pos": [0, 2, 1, 1, 1, 1],
+            }
+        )
+        pd.testing.assert_frame_equal(
+            out.astype("int64"), want.astype("int64"), check_dtype=False
+        )
+
+    def test_bucket_count_invariant(self):
+        """Bucketing is a pure dispatch choice: 4 fat buckets and 64
+        thin ones yield identical per-doc counts on the sf corpus."""
+        from blockspider_ray.pipelines.dedup import repeated_spans
+
+        def collect(b):
+            return (
+                repeated_spans(SF, n_buckets=b)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(collect(4), collect(64))
+
+    def test_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.dedup import repeated_spans
+
+        with pytest.raises(AssertionError, match="power of two"):
+            repeated_spans(SF, n_buckets=12)
+
+
+class TestCumulativeSpend:
+    def test_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.windows import cumulative_spend
+
+        with pytest.raises(AssertionError, match="power of two"):
+            cumulative_spend(SF, n_buckets=12)
+
+    def test_bucket_count_invariant(self):
+        from blockspider_ray.pipelines.windows import cumulative_spend
+
+        def collect(b):
+            return (
+                cumulative_spend(SF, n_buckets=b)
+                .to_pandas()
+                .sort_values(["o_custkey", "o_orderkey"])
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(collect(4), collect(64))
