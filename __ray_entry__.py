@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_customer_names": relational.left_join_customer_names,
         # grouped Pearson correlation from one-pass sufficient stats
         "corr_quantity_price": relational.corr_quantity_price,
+        # skew-resistant join: distributed hot-key census + salted
+        # sub-buckets with small-side replication
+        "salted_join_events": relational.salted_join_events,
         # stream-shaped (§2.7)
         "tumbling_hour": windows.tumbling_hour,
         "hopping_window": windows.hopping_window,
@@ -173,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": windows.user_event_gaps,
         # per-key running total (SUM OVER PARTITION BY ... ORDER BY ...)
         "cumulative_spend": windows.cumulative_spend,
+        # exact per-group quantile clipping -> robust mean
+        "winsorized_value_stats": windows.winsorized_value_stats,
         "enrich_props": windows.enrich_props,
         # distinct-cardinality family: exact pair-shuffle companion
         # (SQL-oracled) + HyperLogLog sketch (approximate by
@@ -346,6 +351,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*)::BIGINT AS n,
                    ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "salted_join_events": """
+            SELECT c_mktsegment, ROUND(SUM(value), 2) AS sum_value,
+                   COUNT(*)::BIGINT AS n_events
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        # lo/hi replicate the pipeline's (total-1)*q interpolation, which
+        # is quantile_cont's convention
+        "winsorized_value_stats": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_type, COUNT(*)::BIGINT AS n,
+                   ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 4) AS clipped_mean
+            FROM events e JOIN q USING (event_type)
+            GROUP BY e.event_type
         """,
         "join_orders_lineitem_native": """
             SELECT o_orderstatus,

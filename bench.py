@@ -213,9 +213,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "cube_revenue",
         "topk_events_per_user",
         "q3_shipping_priority",
+        "salted_join_events",
         "left_join_customer_names",
         "corr_quantity_price",
         "cumulative_spend",
+        "winsorized_value_stats",
         "enrich_props",
         "token_counts",
         "doc_stats_by_lang",

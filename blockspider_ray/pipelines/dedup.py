@@ -1037,13 +1037,13 @@ def repeated_spans(sf_dir: str, k: int = 5, n_buckets: int | None = None) -> rd.
     run-scan over the lexsorted span column reads off GLOBAL
     multiplicities; rows in runs of length >= 2 are repeated positions.
     The per-doc reduction happens inside the bucket (one partial row per
-    (doc, bucket)), and the final groupby(doc_id) sums B-bounded
-    partials. Output: (doc_id, n_pos, n_repeated_pos), one row per
-    non-empty doc, as a distributed Dataset. Span identity is the house
-    64-bit hash (``hash64``) — same collision convention as
+    (doc, bucket)), and a SECOND bucketed run-scan keyed by
+    ``doc_id & (B-1)`` sums the B-bounded partials per doc (a native
+    Sum aggregate here pays per-group dispatch at 10^4+ docs — see
+    ``doc_totals``). Output: (doc_id, n_pos, n_repeated_pos), one row
+    per non-empty doc, as a distributed Dataset. Span identity is the
+    house 64-bit hash (``hash64``) — same collision convention as
     ``ngram_jaccard_pairs`` (the SQL oracle groups by the span string)."""
-    from ray.data.aggregate import Sum
-
     B = n_buckets or n_shuffle_buckets()
     assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1094,9 +1094,31 @@ def repeated_spans(sf_dir: str, k: int = 5, n_buckets: int | None = None) -> rd.
         )
         return pd.DataFrame(
             {
+                # re-key the second exchange by doc ownership
+                "doc_bucket": uniq & np.int64(B - 1),
                 "doc_id": uniq,
                 "p_pos": counts.astype(np.int64),
                 "p_rep": rep_counts.astype(np.int64),
+            }
+        )
+
+    def doc_totals(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized in-bucket reduction (a native Sum aggregate over
+        # the pandas map_groups blocks pays a per-group dispatch at
+        # 10^4+ doc groups — measured 28 s vs 0.3 s for this run-scan
+        # on the sf0.1 corpus; same amortization story as the rest of
+        # the bucketed family)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        pp = g["p_pos"].to_numpy(dtype=np.int64)[order]
+        pr = g["p_rep"].to_numpy(dtype=np.int64)[order]
+        uniq, starts = np.unique(ids_s, return_index=True)
+        return pd.DataFrame(
+            {
+                "doc_id": uniq,
+                "n_pos": np.add.reduceat(pp, starts),
+                "n_repeated_pos": np.add.reduceat(pr, starts),
             }
         )
 
@@ -1104,6 +1126,6 @@ def repeated_spans(sf_dir: str, k: int = 5, n_buckets: int | None = None) -> rd.
         ds.map_batches(span_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_counts, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Sum("p_pos", alias_name="n_pos"), Sum("p_rep", alias_name="n_repeated_pos"))
+        .groupby("doc_bucket")
+        .map_groups(doc_totals, batch_format="pandas")
     )

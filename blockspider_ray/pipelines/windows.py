@@ -332,3 +332,90 @@ def cumulative_spend(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(running, batch_format="pandas")
     )
+
+
+def winsorized_value_stats(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95) -> pd.DataFrame:
+    """Per-type robust (winsorized) mean: clip ``value`` at the exact
+    per-group [q_lo, q_hi] quantiles, then average — the outlier-proof
+    statistic a metrics pipeline prefers over a raw mean. Two passes:
+    (1) exact quantiles via the compressed value distribution (in-batch
+    (type, value) count partials — bounded by DISTINCT values, which for
+    quantized domains like 2-decimal prices is tiny; for genuinely
+    continuous columns use ``sketches.value_quantiles_sketch`` to clip
+    approximately instead), interpolated per group with the same
+    ``(total-1)*q`` convention DuckDB's ``quantile_cont`` uses;
+    (2) broadcast the per-group (lo, hi) frame (groups-sized) and
+    clip + average shuffle-free with in-batch partials."""
+    import numpy as np
+
+    ds = T(sf_dir, "events", columns=["event_type", "value"])
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["event_type", "value"])
+            .group_by(["event_type", "value"])
+            .aggregate([([], "count_all")])
+        )
+        return rename(g, {"count_all": "p_n"})
+
+    def interp(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        w = g["n"].to_numpy(dtype=np.int64)
+        o = np.argsort(v)
+        v, w = v[o], w[o]
+        cum = np.cumsum(w)
+        total = cum[-1]
+
+        def q_at(q: float) -> float:
+            pos = (total - 1) * q
+            lo_i = np.floor(pos)
+            val = v[np.searchsorted(cum, lo_i, side="right")]
+            hi_val = v[np.searchsorted(cum, min(lo_i + 1, total - 1), side="right")]
+            return float(val + (hi_val - val) * (pos - lo_i))
+
+        return pd.DataFrame(
+            [{"event_type": g["event_type"].iloc[0], "lo": q_at(q_lo), "hi": q_at(q_hi)}]
+        )
+
+    bounds = (
+        ds.map_batches(dist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "value"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(interp, batch_format="pandas")
+        .to_pandas()
+    )
+    lo_map = dict(zip(bounds["event_type"], bounds["lo"]))
+    hi_map = dict(zip(bounds["event_type"], bounds["hi"]))
+    import ray as _ray
+
+    ref = _ray.put((lo_map, hi_map))
+
+    def clip_partial(t: pa.Table) -> pa.Table:
+        lo_m, hi_m = _ray.get(ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = np.array([lo_m[x] for x in et])
+        hi = np.array([hi_m[x] for x in et])
+        clipped = np.minimum(np.maximum(v, lo), hi)
+        g = (
+            pa.table({"event_type": t["event_type"], "cv": pa.array(clipped, pa.float64())})
+            .group_by("event_type")
+            .aggregate([("cv", "sum"), ([], "count_all")])
+        )
+        return rename(g, {"cv_sum": "p_sum", "count_all": "p_n"})
+
+    out = (
+        ds.map_batches(clip_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("p_sum", alias_name="s"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    res = pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "n": out["n"].astype("int64"),
+            "clipped_mean": (out["s"] / out["n"]).round(4),
+        }
+    )
+    return res.sort_values("event_type").reset_index(drop=True)

@@ -58,6 +58,8 @@ SWEEP = [
     "asof_join_events",
     "interval_join_events",
     "q3_shipping_priority",
+    "salted_join_events",
+    "winsorized_value_stats",
     "left_join_customer_names",
     "corr_quantity_price",
     "cumulative_spend",
@@ -1557,3 +1559,75 @@ class TestCumulativeSpend:
             )
 
         pd.testing.assert_frame_equal(collect(4), collect(64))
+
+
+class TestSaltedJoin:
+    def _fixture(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(11)
+        n = 10_000
+        # user 7 owns half the events — one key melting one bucket
+        uid = rng.integers(0, 20, size=n)
+        uid[: n // 2] = 7
+        ev = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+                "value": pa.array(np.round(rng.uniform(0, 100, size=n), 2), pa.float64()),
+            }
+        )
+        cust = pa.table(
+            {
+                "c_custkey": pa.array(np.arange(20, dtype=np.int64), pa.int64()),
+                "c_mktsegment": pa.array(
+                    [["BUILDING", "MACHINERY", "HOUSEHOLD"][i % 3] for i in range(20)],
+                    pa.string(),
+                ),
+            }
+        )
+        d = str(tmp_path)
+        pq.write_table(ev, f"{d}/events.parquet")
+        pq.write_table(cust, f"{d}/customer.parquet")
+        want = (
+            duckdb.sql(
+                f"""SELECT c_mktsegment, ROUND(SUM(value), 2) AS sum_value,
+                           COUNT(*)::BIGINT AS n_events
+                    FROM read_parquet('{d}/events.parquet') e
+                    JOIN read_parquet('{d}/customer.parquet') c ON e.user_id = c.c_custkey
+                    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        return d, want
+
+    def test_planted_skew_salted_equals_oracle(self, tmp_path):
+        """50%-hot key: the auto census must detect it (count 5000 >>
+        2x mean 1000), scatter its rows over r_salt sub-buckets, and the
+        replicated small side must keep the join output exactly equal."""
+        from blockspider_ray.pipelines.relational import salted_join_events
+
+        d, want = self._fixture(tmp_path)
+        got = salted_join_events(d, n_buckets=8, r_salt=4)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_no_hot_and_all_hot_paths_agree(self, tmp_path):
+        """hot_min=inf (plain bucketed join) and hot_min=1 (EVERY key
+        salted) are pure execution choices — byte-identical output."""
+        from blockspider_ray.pipelines.relational import salted_join_events
+
+        d, want = self._fixture(tmp_path)
+        cold = salted_join_events(d, n_buckets=8, hot_min=10**9)
+        all_hot = salted_join_events(d, n_buckets=8, r_salt=2, hot_min=1)
+        pd.testing.assert_frame_equal(cold, want, check_dtype=False)
+        pd.testing.assert_frame_equal(all_hot, want, check_dtype=False)
+
+    def test_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.relational import salted_join_events
+
+        with pytest.raises(AssertionError, match="power of two"):
+            salted_join_events(SF, n_buckets=12)
+        with pytest.raises(AssertionError, match="power of two"):
+            salted_join_events(SF, r_salt=3)
