@@ -178,6 +178,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_spend": windows.cumulative_spend,
         # exact per-group quantile clipping -> robust mean
         "winsorized_value_stats": windows.winsorized_value_stats,
+        # integer-exact half-life-decayed value sum (recency weighting)
+        "time_decayed_spend": windows.time_decayed_spend,
+        # funnel step-pair conversion (view -> purchase within window)
+        "funnel_conversions": windows.funnel_conversions,
+        # hour-of-day x event-type pivot matrix (in-batch indicator pivot)
+        "event_type_matrix": windows.event_type_matrix,
+        # distributed NTILE(10): exact global deciles, range-partitioned
+        "value_deciles": windows.value_deciles,
         "enrich_props": windows.enrich_props,
         # distinct-cardinality family: exact pair-shuffle companion
         # (SQL-oracled) + HyperLogLog sketch (approximate by
@@ -371,6 +379,48 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 4) AS clipped_mean
             FROM events e JOIN q USING (event_type)
             GROUP BY e.event_type
+        """,
+        # every term is integer-exact (cents x dyadic milli-weight) so
+        # the sum is order-independent on both engines; SUM(BIGINT) is
+        # HUGEINT in DuckDB, hence the ::BIGINT
+        "time_decayed_spend": """
+            WITH m AS (SELECT MAX(ts) AS tmax FROM events)
+            SELECT event_type,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)
+                       * CAST(FLOOR(1000 * POWER(0.5,
+                             (epoch_us(tmax) - epoch_us(ts)) // 604800000000)) AS BIGINT)
+                      )::BIGINT AS decayed_units,
+                   COUNT(*)::BIGINT AS n_events
+            FROM events, m
+            GROUP BY event_type
+        """,
+        # the self-join the pipeline computes in one linear scan;
+        # b.ts >= a.ts: a same-instant purchase counts as converting
+        "funnel_conversions": """
+            WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+                 c AS (SELECT DISTINCT a.user_id
+                       FROM events a JOIN events b ON a.user_id = b.user_id
+                       WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+                         AND b.ts >= a.ts
+                         AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000)
+            SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_viewers,
+                   (SELECT COUNT(*) FROM c)::BIGINT AS n_converted
+        """,
+        "event_type_matrix": """
+            SELECT hour(ts) AS hod,
+                   COUNT(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+                   COUNT(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+                   COUNT(*)::BIGINT AS n_total,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY hour(ts)
+        """,
+        "value_deciles": """
+            SELECT event_id,
+                   ntile(10) OVER (ORDER BY value, event_id)::BIGINT AS decile
+            FROM events
         """,
         "join_orders_lineitem_native": """
             SELECT o_orderstatus,

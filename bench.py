@@ -218,6 +218,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "corr_quantity_price",
         "cumulative_spend",
         "winsorized_value_stats",
+        "time_decayed_spend",
+        "funnel_conversions",
+        "event_type_matrix",
+        "value_deciles",
         "enrich_props",
         "token_counts",
         "doc_stats_by_lang",

@@ -334,6 +334,256 @@ def cumulative_spend(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
     )
 
 
+def time_decayed_spend(sf_dir: str, half_life_weeks: int = 1) -> pd.DataFrame:
+    """Per-type exponentially-decayed value sum — the recency-weighted
+    engagement metric (weight halves every ``half_life_weeks``), the
+    time-decay aggregate a freshness-aware ranking pipeline computes
+    over its event log. Two passes: (1) the global high-water timestamp
+    (one scalar — the reference's head-poll shape, S2); (2) shuffle-free
+    in-batch partials of ``cents * floor(1000 * 2^-age_weeks)``.
+
+    Every term is integer-exact by construction so the sum is
+    order-independent and hash-matches the SQL oracle: prices go to
+    integer cents (half-away rounding = DuckDB ROUND), the decay weight
+    is ``floor(1000 * 0.5**age_weeks)`` where ``0.5**k`` is a dyadic
+    rational that float64 (numpy ldexp here, POWER(0.5, k) in DuckDB)
+    represents EXACTLY — a float ``exp(-age/tau)`` weight could never
+    hash-match across engines with different libm vectorizations."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = T(sf_dir, "events", columns=["ts", "event_type", "value"])
+    tmax_us = pd.Timestamp(ds.max("ts")).value // 1000
+    week_us = np.int64(half_life_weeks) * 7 * 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age_weeks = (tmax_us - ts_us) // week_us
+        w_milli = np.floor(np.ldexp(1000.0, -np.minimum(age_weeks, 1060))).astype(np.int64)
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(100.0)), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "units": pa.array(cents * w_milli, pa.int64()),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("units", "sum"), ([], "count_all")])
+        )
+        return rename(g, {"units_sum": "p_units", "count_all": "p_n"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("p_units", alias_name="decayed_units"), Sum("p_n", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["decayed_units"] = out["decayed_units"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def funnel_conversions(sf_dir: str, window_min: int = 60, n_buckets: int | None = None) -> pd.DataFrame:
+    """Funnel step-pair conversion: how many distinct users had a
+    'view' event, and how many of those had a 'purchase' at-or-after
+    that view within ``window_min`` minutes — the product-analytics
+    funnel the SQL oracle expresses as a self-join (quadratic per user
+    in SQL; linear here). Shape: filter both step types AT THE READ
+    BATCH (rows that are neither step never reach the shuffle), bucket
+    by ``hash(user) % B`` (users are bucket-disjoint, so distinct-user
+    partials add exactly), and inside each bucket one lexsort of
+    (user, ts, step) + a reversed ``minimum.accumulate`` gives every
+    view its nearest following purchase INDEX in O(n): if that nearest
+    purchase belongs to a different user, the view's user has no later
+    purchase at all (sorted runs are contiguous), so one vectorized
+    (same-user AND within-window) mask finishes the join."""
+    import numpy as np
+
+    from .common import n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    window_us = np.int64(window_min) * 60 * 1_000_000
+    ds = T(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_p = pc.equal(t["event_type"], "purchase")
+        keep = pc.or_(pc.equal(t["event_type"], "view"), is_p)
+        t = t.filter(keep)
+        b = pc.cast(pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), B - 1), pa.int64())
+        return pa.table(
+            {
+                "bucket": b,
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "is_p": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int8()),
+            }
+        )
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64) // 1000
+        is_p = g["is_p"].to_numpy(dtype=np.int8)
+        # views sort BEFORE purchases at an equal timestamp so a
+        # same-instant purchase counts as "at or after" the view
+        order = np.lexsort((is_p, ts, uid))
+        uid_s, ts_s, is_p_s = uid[order], ts[order], is_p[order]
+        n = len(uid_s)
+        pos = np.where(is_p_s == 1, np.arange(n, dtype=np.int64), np.int64(n))
+        next_p = np.minimum.accumulate(pos[::-1])[::-1]
+        is_view = is_p_s == 0
+        has_next = next_p < n
+        idx = np.where(has_next, next_p, 0)
+        converted = (
+            is_view
+            & has_next
+            & (uid_s[idx] == uid_s)
+            & (ts_s[idx] - ts_s <= window_us)
+        )
+        n_viewers = len(np.unique(uid_s[is_view]))
+        n_converted = len(np.unique(uid_s[converted]))
+        return pd.DataFrame([{"p_viewers": n_viewers, "p_converted": n_converted}])
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_viewers": np.int64(out["p_viewers"].sum()),
+                "n_converted": np.int64(out["p_converted"].sum()),
+            }
+        ]
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pivot: hour-of-day rows x event-type count columns (+ total and
+    value sum) — the wide-format activity matrix (SQL's ``COUNT(*)
+    FILTER (WHERE ...)`` pivot) produced shuffle-light: the pivot
+    happens INSIDE each batch (one 0/1 indicator column per type, then
+    a 24-row-bounded in-batch groupby), so the all-to-all moves <= 24
+    partial rows per batch regardless of data size."""
+    import pyarrow.compute as pc
+
+    ds = T(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"hod": pc.hour(t["ts"]), "value": t["value"]}
+        for et in EVENT_TYPES:
+            cols[f"n_{et}"] = pc.cast(pc.equal(t["event_type"], et), pa.int64())
+        g = (
+            pa.table(cols)
+            .group_by("hod")
+            .aggregate([(f"n_{et}", "sum") for et in EVENT_TYPES] + [("value", "sum"), ([], "count_all")])
+        )
+        m = {f"n_{et}_sum": f"p_{et}" for et in EVENT_TYPES}
+        m.update({"value_sum": "p_value", "count_all": "p_n"})
+        return rename(g, m)
+
+    aggs = [Sum(f"p_{et}", alias_name=f"n_{et}") for et in EVENT_TYPES]
+    aggs += [Sum("p_value", alias_name="sum_value"), Sum("p_n", alias_name="n_total")]
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("hod").aggregate(*aggs).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    for c in out.columns:
+        if c.startswith("n_"):
+            out[c] = out[c].astype("int64")
+    return out.sort_values("hod").reset_index(drop=True)
+
+
+def value_deciles(sf_dir: str, k: int = 10, n_ranges: int | None = None) -> rd.Dataset:
+    """Distributed NTILE(k): every event's global decile under
+    ``ORDER BY value, event_id`` — the quantile-bucket feature
+    (spend deciles, length deciles) training pipelines attach before
+    stratified policies. No global sort: pass 1 lands the COMPRESSED
+    value distribution on the driver (one row per DISTINCT 2-decimal
+    value — domain-bounded, cap-guarded), whose cumsum yields both the
+    balanced range boundaries and each range's exact global rank
+    offset; pass 2 tags rows by ``searchsorted(bounds, value)``,
+    lexsorts (value, event_id) inside each range, adds the offset, and
+    maps ranks through SQL NTILE's first-buckets-get-the-remainder
+    formula. Output stays a distributed Dataset, one row per event.
+
+    Partitioning assumption (documented, as with the interval join's
+    hot-key bound): rows sharing one value never split across ranges
+    — a single value carrying a large fraction of all rows lands in
+    one range task. For heavy-hitter domains, pre-bucket the tie-break
+    (event_id) range instead."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .common import bounded_driver_frame, n_shuffle_buckets
+
+    B = n_ranges or n_shuffle_buckets()
+    ds = T(sf_dir, "events", columns=["event_id", "value"])
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["value"]).group_by("value").aggregate([([], "count_all")])
+        return rename(g, {"count_all": "p_n"})
+
+    dist = bounded_driver_frame(
+        ds.map_batches(dist_partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("p_n", alias_name="n")),
+        "value_deciles distinct-value distribution",
+        max_rows=2_000_000,
+    ).sort_values("value")
+    vals = dist["value"].to_numpy(dtype=np.float64)
+    counts = dist["n"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    # range boundaries at ~equal row mass: bounds[i] = first value whose
+    # cumulative count crosses (i+1)/B of the total (dedup'd: skewed
+    # values collapse adjacent cuts instead of splitting a value)
+    cut_idx = np.unique(np.searchsorted(cum, (np.arange(1, B) * total) // B, side="left"))
+    cut_idx = cut_idx[(cut_idx >= 1) & (cut_idx < len(vals) - 1)]
+    bounds = vals[cut_idx]  # row -> range_id via searchsorted(side='right')
+    # range j starts AT bounds[j-1] (searchsorted side='right' sends a
+    # row equal to a bound into the range after it), so its global rank
+    # offset is the mass STRICTLY BELOW the bound: cum[cut-1], not cum[cut]
+    offsets = np.concatenate(([0], cum[cut_idx - 1]))
+    q, rem = total // k, total % k
+    thr = rem * (q + 1)
+    import ray as _ray
+
+    bref = _ray.put((bounds, offsets))
+
+    def tag(t: pa.Table) -> pa.Table:
+        bnds, _ = _ray.get(bref)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        rid = np.searchsorted(bnds, v, side="right").astype(np.int64)
+        return pa.table({"range_id": pa.array(rid), "event_id": t["event_id"], "value": t["value"]})
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        _, offs = _ray.get(bref)
+        rid = int(g["range_id"].iloc[0])
+        v = g["value"].to_numpy(dtype=np.float64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, v))
+        r = offs[rid] + np.arange(len(v), dtype=np.int64)
+        dec = np.where(r < thr, r // (q + 1), rem + (r - thr) // max(q, 1)) + 1
+        return pd.DataFrame({"event_id": eid[order], "decile": dec.astype(np.int64)})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("range_id")
+        .map_groups(rank_range, batch_format="pandas")
+    )
+
+
 def winsorized_value_stats(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95) -> pd.DataFrame:
     """Per-type robust (winsorized) mean: clip ``value`` at the exact
     per-group [q_lo, q_hi] quantiles, then average — the outlier-proof

@@ -60,6 +60,10 @@ SWEEP = [
     "q3_shipping_priority",
     "salted_join_events",
     "winsorized_value_stats",
+    "time_decayed_spend",
+    "funnel_conversions",
+    "event_type_matrix",
+    "value_deciles",
     "left_join_customer_names",
     "corr_quantity_price",
     "cumulative_spend",
