@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_matrix": windows.event_type_matrix,
         # distributed NTILE(10): exact global deciles, range-partitioned
         "value_deciles": windows.value_deciles,
+        # weekly retention triangle (cohort x offset distinct users)
+        "retention_cohorts": windows.retention_cohorts,
         "enrich_props": windows.enrich_props,
         # distinct-cardinality family: exact pair-shuffle companion
         # (SQL-oracled) + HyperLogLog sketch (approximate by
@@ -405,6 +407,19 @@ def oracle_sql() -> dict[str, str]:
                          AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000)
             SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_viewers,
                    (SELECT COUNT(*) FROM c)::BIGINT AS n_converted
+        """,
+        # integer epoch-week buckets on both sides (no date_trunc
+        # week-start convention to match)
+        "retention_cohorts": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // 604800000000 AS week
+                        FROM events),
+                 c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+            SELECT cohort_week::BIGINT AS cohort_week,
+                   (week - cohort_week)::BIGINT AS week_offset,
+                   COUNT(*)::BIGINT AS n_users
+            FROM uw JOIN c USING (user_id)
+            GROUP BY cohort_week, week - cohort_week
         """,
         "event_type_matrix": """
             SELECT hour(ts) AS hod,

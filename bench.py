@@ -222,6 +222,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "funnel_conversions",
         "event_type_matrix",
         "value_deciles",
+        "retention_cohorts",
         "enrich_props",
         "token_counts",
         "doc_stats_by_lang",

@@ -467,6 +467,75 @@ def funnel_conversions(sf_dir: str, window_min: int = 60, n_buckets: int | None 
     )
 
 
+def retention_cohorts(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
+    """Weekly retention matrix: users are cohorted by the epoch-week of
+    their FIRST event; cell (cohort_week, week_offset) counts distinct
+    users of that cohort active ``week_offset`` weeks later — the
+    retention triangle a growth pipeline derives from the raw log.
+
+    Weeks are integer epoch-microsecond divisions (``epoch_us //
+    week_us``) so both engines bucket identically (no date_trunc
+    week-start convention to match). Shape: (1) in-batch dedup to
+    (user, week) indicator partials, then a groupby that moves one row
+    per DISTINCT (user, week) pair; (2) the per-user min + offsets via
+    the house bucketed run-scan — shuffle key ``hash(user) % B``, one
+    lexsort per bucket, cohort = first week of each user run, emit
+    per-bucket (cohort, offset) count partials (users are
+    bucket-disjoint so distinct counts add); (3) a final tiny groupby
+    over #cohorts x #offsets rows."""
+    import numpy as np
+
+    from .common import n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    week_us = np.int64(7 * 86_400_000_000)
+    ds = T(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        week = pc.divide(t["ts"].cast(pa.timestamp("us")).cast(pa.int64()), pa.scalar(int(week_us)))
+        uid = pc.cast(t["user_id"], pa.int64())
+        b = pc.bit_wise_and(uid, B - 1)
+        return (
+            pa.table({"bucket": b, "user_id": uid, "week": week})
+            .group_by(["bucket", "user_id", "week"])
+            .aggregate([])
+        )
+
+    def cohort_scan(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        wk = g["week"].to_numpy(dtype=np.int64)
+        order = np.lexsort((wk, uid))
+        uid_s, wk_s = uid[order], wk[order]
+        new_user = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        # a user's cohort week, repeated over their (still possibly
+        # duplicated across input batches) sorted run
+        starts = np.flatnonzero(new_user)
+        runs = np.diff(np.append(starts, len(uid_s)))
+        cohort = np.repeat(wk_s[starts], runs)
+        off = wk_s - cohort
+        # pair-dedup survived only within each input batch; finish it
+        # here so each (user, week) counts once
+        key_new = new_user | (np.concatenate(([True], off[1:] != off[:-1])))
+        c, o = cohort[key_new], off[key_new]
+        tab = pa.table({"cohort_week": pa.array(c), "week_offset": pa.array(o)})
+        g2 = tab.group_by(["cohort_week", "week_offset"]).aggregate([([], "count_all")])
+        return g2.rename_columns(["cohort_week", "week_offset", "p_users"]).to_pandas()
+
+    out = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cohort_scan, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("p_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

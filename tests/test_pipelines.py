@@ -64,6 +64,7 @@ SWEEP = [
     "funnel_conversions",
     "event_type_matrix",
     "value_deciles",
+    "retention_cohorts",
     "left_join_customer_names",
     "corr_quantity_price",
     "cumulative_spend",
@@ -1635,3 +1636,45 @@ class TestSaltedJoin:
             salted_join_events(SF, n_buckets=12)
         with pytest.raises(AssertionError, match="power of two"):
             salted_join_events(SF, r_salt=3)
+
+
+class TestRetentionCohorts:
+    def test_cross_batch_pair_dedup(self, tmp_path):
+        """pair_partial dedups (user, week) only within its batch; the
+        bucket scan must finish the dedup. Concatenate events 16x (same
+        distinct pairs, >4096 rows => multiple map_batches batches, so
+        duplicates of one pair are guaranteed to cross batches) — the
+        retention triangle must equal the single-copy oracle's."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.windows import retention_cohorts
+
+        ev = pq.read_table(f"{SF}/events.parquet")
+        d = str(tmp_path)
+        pq.write_table(pa.concat_tables([ev] * 16), f"{d}/events.parquet")
+        got = retention_cohorts(d, n_buckets=8)
+        want = (
+            duckdb.sql(
+                f"""WITH uw AS (SELECT DISTINCT user_id,
+                                       epoch_us(ts) // 604800000000 AS week
+                                FROM read_parquet('{SF}/events.parquet')),
+                         c AS (SELECT user_id, MIN(week) AS cohort_week
+                               FROM uw GROUP BY user_id)
+                    SELECT cohort_week::BIGINT AS cohort_week,
+                           (week - cohort_week)::BIGINT AS week_offset,
+                           COUNT(*)::BIGINT AS n_users
+                    FROM uw JOIN c USING (user_id)
+                    GROUP BY cohort_week, week - cohort_week
+                    ORDER BY cohort_week, week_offset"""
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.windows import retention_cohorts
+
+        with pytest.raises(AssertionError, match="power of two"):
+            retention_cohorts(SF, n_buckets=12)
