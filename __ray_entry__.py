@@ -284,6 +284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # soundness vs the exact all-pairs frame + planted-dup recall)
         "semantic_dedup": similarity.semantic_dedup,
         "label_centroids": similarity.label_centroids,
+        # distributed Lloyd's k-means (iterative — no SQL oracle;
+        # pytest pins it against a driver-local numpy Lloyd's)
+        "kmeans_embeddings": similarity.kmeans_embeddings,
         # multimodal (binary payload columns; decode stubbed, plumbing real)
         "media_features": multimodal.media_features,
         "video_frame_samples": multimodal.video_frame_samples,

@@ -258,6 +258,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "knn_ivfpq_indexed",
         "embedding_near_dup_pairs",
         "label_centroids",
+        "kmeans_embeddings",
         # near-dup cluster resolution (round-5): frame-input path
         # (mining + driver-local resolve) and the distributed FastSV
         # loop (Dataset input) timed separately

@@ -585,6 +585,93 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("label").reset_index(drop=True)
 
 
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over the full embedding corpus — the
+    clustering pass a curation pipeline runs before per-cluster
+    sampling / dedup (SemDeDup-style). Per iteration: centroids are
+    BROADCAST (``ray.put`` once, k x dim floats — driver state is
+    model-sized, never corpus-sized), assignment + per-centroid partial
+    (sum, count) happen in one vectorized ``map_batches`` (argmin over
+    ``-2 X @ C.T + ||C||^2``, one matmul per batch), and the reduce is
+    a k-row ``groupby.map_groups`` merge — the shuffle moves k rows per
+    batch, never an embedding. Exactly one executor launch per
+    iteration (fixed ``iters``, no mid-loop convergence materialize —
+    the lesson the round-5 PageRank/FastSV probes paid for). Init is
+    deterministic: the k vectors with the smallest vec_id.
+
+    Not SQL-expressible (iterative); pinned in pytest against a
+    driver-local numpy Lloyd's with identical init and iteration count
+    (identical assignments; centroids/inertia to float tolerance —
+    partial-sum merge order differs from numpy's single reduction).
+    Returns one row per cluster: (cluster_id, n_vecs, inertia, norm)."""
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    init = (
+        ds.filter(expr=f"vec_id < {k}").to_pandas().sort_values("vec_id")
+    )  # k rows only
+    cent = np.stack([np.asarray(v, dtype=np.float64) for v in init["embedding"]])
+
+    def sums_for(cref):
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _emb_matrix(t)
+            d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+            a = np.argmin(d, axis=1)
+            uniq = np.unique(a)
+            sums = np.stack([m[a == u].sum(axis=0) for u in uniq])
+            # inertia partial: ||x||^2 terms + the assigned -2x.c + ||c||^2
+            x2 = (m * m).sum(axis=1)
+            ine = np.array(
+                [(x2[a == u] + d[a == u, u]).sum() for u in uniq], dtype=np.float64
+            )
+            ns = np.array([(a == u).sum() for u in uniq], dtype=np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(uniq.astype(np.int64), pa.int64()),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(ns, pa.int64()),
+                    "p_inertia": pa.array(ine, pa.float64()),
+                }
+            )
+
+        return partial
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vs = np.stack([np.asarray(v) for v in g["vsum"]]).sum(axis=0)
+        return pd.DataFrame(
+            {
+                "cid": [int(g["cid"].iloc[0])],
+                "vsum": [vs],
+                "n": [int(g["n"].sum())],
+                "inertia": [float(g["p_inertia"].sum())],
+            }
+        )
+
+    stats = None
+    for _ in range(iters):
+        cref = ray.put(cent)
+        stats = (
+            ds.map_batches(sums_for(cref), batch_format="pyarrow")
+            .groupby("cid")
+            .map_groups(merge, batch_format="pandas")
+            .to_pandas()  # k rows only
+            .sort_values("cid")
+        )
+        new_cent = cent.copy()  # empty clusters keep their centroid
+        for cid, vsum, n in zip(stats["cid"], stats["vsum"], stats["n"]):
+            new_cent[int(cid)] = np.asarray(vsum) / n
+        cent = new_cent
+
+    out = pd.DataFrame(
+        {
+            "cluster_id": stats["cid"].astype("int64"),
+            "n_vecs": stats["n"].astype("int64"),
+            "inertia": stats["inertia"].round(4),
+            "centroid_norm": np.round(np.linalg.norm(cent[stats["cid"].to_numpy()], axis=1), 4),
+        }
+    )
+    return out.sort_values("cluster_id").reset_index(drop=True)
+
+
 def semantic_dedup(
     sf_dir: str,
     threshold: float = 0.95,

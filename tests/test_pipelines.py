@@ -1678,3 +1678,41 @@ class TestRetentionCohorts:
 
         with pytest.raises(AssertionError, match="power of two"):
             retention_cohorts(SF, n_buckets=12)
+
+
+class TestKMeansEmbeddings:
+    def test_matches_local_lloyds(self):
+        """Distributed Lloyd's == driver-local numpy Lloyd's with the
+        identical deterministic init (first k by vec_id) and iteration
+        count: cluster sizes exact, inertia/centroid norms to float
+        tolerance (partial-sum merge order differs from numpy's single
+        reduction)."""
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.similarity import kmeans_embeddings
+
+        k, iters = 8, 5
+        got = kmeans_embeddings(SF, k=k, iters=iters)
+
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        order = np.argsort(t["vec_id"].to_numpy())
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])[order]
+        cent = X[:k].copy()
+        for _ in range(iters):
+            d = -2.0 * (X @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+            a = np.argmin(d, axis=1)
+            x2 = (X * X).sum(axis=1)
+            n = np.bincount(a, minlength=k)
+            inertia = np.array([(x2[a == c] + d[a == c, c]).sum() for c in range(k)])
+            new = cent.copy()
+            for c in range(k):
+                if n[c]:
+                    new[c] = X[a == c].mean(axis=0)
+            cent = new
+        present = np.flatnonzero(n)
+        assert got["cluster_id"].tolist() == present.tolist()
+        assert got["n_vecs"].tolist() == n[present].tolist()
+        np.testing.assert_allclose(got["inertia"], inertia[present], rtol=1e-6, atol=1e-3)
+        np.testing.assert_allclose(
+            got["centroid_norm"], np.linalg.norm(cent[present], axis=1), rtol=1e-6, atol=1e-3
+        )
