@@ -287,6 +287,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Lloyd's k-means (iterative — no SQL oracle;
         # pytest pins it against a driver-local numpy Lloyd's)
         "kmeans_embeddings": similarity.kmeans_embeddings,
+        # nearest-centroid classification (SQL-oracled vector op)
+        "nearest_centroid_labels": similarity.nearest_centroid_labels,
+        # per-language vocabulary heavy hitters (PARTITION BY top-k)
+        "top_tokens_per_lang": textstats.top_tokens_per_lang,
         # multimodal (binary payload columns; decode stubbed, plumbing real)
         "media_features": multimodal.media_features,
         "video_frame_samples": multimodal.video_frame_samples,
@@ -593,6 +597,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT u.tok AS token, COUNT(*)::BIGINT AS n
             FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
             GROUP BY u.tok ORDER BY n DESC, token LIMIT 100
+        """,
+        "top_tokens_per_lang": r"""
+            WITH c AS (
+                SELECT lang, u.tok AS token, COUNT(*)::BIGINT AS n
+                FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
+                GROUP BY lang, u.tok)
+            SELECT lang, token, n,
+                   row_number() OVER (PARTITION BY lang ORDER BY n DESC, token)::BIGINT AS rank
+            FROM c QUALIFY rank <= 10
+        """,
+        # score = dot / ||centroid||: the vector's own norm is constant
+        # across labels, so the argmax equals the cosine argmax; ties
+        # (exactly-equal scores) go to the smallest label on both sides
+        "nearest_centroid_labels": """
+            WITH e AS (SELECT vec_id, label, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS pos
+                       FROM embeddings),
+                 c AS (SELECT label, pos, AVG(v) AS cv FROM e GROUP BY label, pos),
+                 cn AS (SELECT label, sqrt(SUM(cv * cv)) AS nrm FROM c GROUP BY label),
+                 dots AS (SELECT e.vec_id, c.label, SUM(e.v * c.cv) AS dot
+                          FROM e JOIN c USING (pos) GROUP BY e.vec_id, c.label)
+            SELECT vec_id, label AS pred_label
+            FROM dots JOIN cn USING (label)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot / nrm DESC, label) = 1
         """,
         "token_doc_freq": r"""
             WITH pairs AS (

@@ -227,6 +227,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "token_counts",
         "doc_stats_by_lang",
         "tfidf_topk",
+        "top_tokens_per_lang",
         "doc_len_quantiles",
         "doc_len_histogram",
         "unigram_logprob",
@@ -259,6 +260,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "embedding_near_dup_pairs",
         "label_centroids",
         "kmeans_embeddings",
+        "nearest_centroid_labels",
         # near-dup cluster resolution (round-5): frame-input path
         # (mining + driver-local resolve) and the distributed FastSV
         # loop (Dataset input) timed separately

@@ -585,6 +585,66 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("label").reset_index(drop=True)
 
 
+def nearest_centroid_labels(sf_dir: str) -> pd.DataFrame:
+    """Nearest-centroid classification: every vector gets the label
+    whose mean embedding it is most cosine-similar to — the cheap
+    label-propagation / domain-tagging pass a curation pipeline runs
+    with a handful of labeled anchors. Pass 1 reduces per-label (sum,
+    count) partials to a |labels| x dim centroid matrix (label-bounded
+    driver frame, broadcast once); pass 2 is one matmul per batch,
+    argmax over ``dot / ||centroid||`` (equivalent to cosine — the
+    vector's own norm is constant across labels), ties to the smallest
+    label (argmax-first with label-ascending columns, mirrored by the
+    oracle's ORDER BY tie-break). Rows never leave their batch: output
+    is (vec_id, pred_label), computed shuffle-free."""
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(labels)
+        sums = np.stack([m[labels == u].sum(axis=0) for u in uniq])
+        ns = np.array([(labels == u).sum() for u in uniq], dtype=np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq.astype(np.int64), pa.int64()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vs = np.stack([np.asarray(v) for v in g["vsum"]]).sum(axis=0)
+        n = int(g["n"].sum())
+        return pd.DataFrame({"label": [int(g["label"].iloc[0])], "centroid": [vs / n]})
+
+    cents = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # |labels| rows only
+        .sort_values("label")
+    )
+    labels_sorted = cents["label"].to_numpy(dtype=np.int64)
+    C = np.stack([np.asarray(c) for c in cents["centroid"]])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cref = ray.put((labels_sorted, C))
+
+    def classify(t: pa.Table) -> pa.Table:
+        labs, cu = ray.get(cref)
+        m = _emb_matrix(t)
+        a = np.argmax(m @ cu.T, axis=1)  # first max = smallest label (labs ascending)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "pred_label": pa.array(labs[a], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(classify, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
     """Distributed Lloyd's k-means over the full embedding corpus — the
     clustering pass a curation pipeline runs before per-cluster

@@ -207,6 +207,74 @@ def vocab_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def top_tokens_per_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Grouped vocabulary heavy hitters: each language's top-``k``
+    tokens by count with rank — ``vocab_topk``'s PARTITION BY sibling
+    (the per-language stopword/vocab profile). Counts are global after
+    the (lang, token) groupby, so a per-batch partial top-k per lang is
+    a sound combiner (the global top-k is a subset of the union of
+    batch top-ks over final counts): each batch ships <= k rows per
+    language to the final |langs|-group merge. Ties break (n DESC,
+    token ASC) on both engines."""
+    ds = T(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        toks = pc.split_pattern_regex(text, pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = np.repeat(t["lang"].combine_chunks().to_numpy(zero_copy_only=False), lens)
+        pairs = pa.table({"lang": pa.array(lang, pa.string()), "tok": pc.list_flatten(toks)})
+        pairs = pairs.filter(pc.not_equal(pairs["tok"], ""))
+        g = pairs.group_by(["lang", "tok"]).aggregate([([], "count_all")])
+        return rename(g, {"count_all": "p_n"})
+
+    def _lang_topk(lang: np.ndarray, tok: np.ndarray, n: np.ndarray) -> pd.DataFrame:
+        order = np.lexsort((tok, -n, lang))
+        lang_s, tok_s, n_s = lang[order], tok[order], n[order]
+        new_lang = np.concatenate(([True], lang_s[1:] != lang_s[:-1]))
+        starts = np.flatnonzero(new_lang)
+        runs = np.diff(np.append(starts, len(lang_s)))
+        rank = np.arange(len(lang_s), dtype=np.int64) - np.repeat(starts, runs) + 1
+        keep = rank <= k
+        return pd.DataFrame(
+            {"lang": lang_s[keep], "token": tok_s[keep], "n": n_s[keep], "rank": rank[keep]}
+        )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = _lang_topk(
+            t["lang"].to_numpy(zero_copy_only=False),
+            t["tok"].to_numpy(zero_copy_only=False),
+            t["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        # plain pa.table (NOT from_pandas: that attaches the unhashable
+        # b'pandas' schema metadata T() exists to keep off the shuffle)
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "tok": pa.array(df["token"], pa.string()),
+                "n": pa.array(df["n"], pa.int64()),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return _lang_topk(
+            g["lang"].to_numpy(), g["tok"].to_numpy(), g["n"].to_numpy(dtype=np.int64)
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
 def token_doc_freq(sf_dir: str, k: int = 100) -> pd.DataFrame:
     """Document-frequency table (the IDF numerator): top-``k`` tokens by
     the number of distinct documents containing them.

@@ -36,6 +36,8 @@ SWEEP = [
     "vocab_topk",
     "token_doc_freq",
     "tfidf_topk",
+    "top_tokens_per_lang",
+    "nearest_centroid_labels",
     "doc_len_quantiles",
     "unigram_logprob",
     "ngram_counts",
