@@ -308,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_epoch": corpus.shuffle_epoch,
         "mixture_sample": corpus.mixture_sample,
         "stratified_sample": corpus.stratified_sample,
+        # downsample every language to the smallest one's count
+        "rebalance_langs": corpus.rebalance_langs,
+        # canonical lowercase/whitespace normalization kernel
+        "normalize_text": textstats.normalize_text,
         # iterative graph algorithm over the crawl host graph (no SQL
         # oracle: power iteration; pytest pins it to a dense reference)
         "pagerank_hosts": graph.pagerank_hosts,
@@ -795,6 +799,33 @@ def oracle_sql() -> dict[str, str]:
         # integer ring as hash_split, remixed through xorshift-multiply
         # (xor(h, h >> 16) * 2246822519) so split and mixture draws are
         # decorrelated; keep when draw < rate * 10000
+        # identical integer ring to mixture_sample; thresholds are
+        # integer-exact (min*10000)//n so both engines cut identically
+        "rebalance_langs": """
+            WITH counts AS (SELECT lang, COUNT(*)::HUGEINT AS n FROM documents GROUP BY lang),
+                 m AS (SELECT MIN(n) AS mn FROM counts),
+                 th AS (SELECT lang, (mn * 10000) // n AS thresh FROM counts, m),
+                 h AS (
+                   SELECT doc_id, lang,
+                          ((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                           % 4294967296) AS h32
+                   FROM documents
+                 ),
+                 u AS (
+                   SELECT doc_id, lang,
+                          ((CAST(xor(h32, h32 // 65536) AS HUGEINT) * 2246822519)
+                           % 4294967296) % 10000 AS draw
+                   FROM h
+                 )
+            SELECT u.doc_id::BIGINT AS doc_id, u.lang
+            FROM u JOIN th USING (lang)
+            WHERE draw < thresh
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   lower(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g'))) AS norm_text
+            FROM documents
+        """,
         "mixture_sample": """
             WITH h AS (
               SELECT doc_id, source,

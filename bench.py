@@ -242,6 +242,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "line_dedup",
         "mixture_sample",
         "stratified_sample",
+        "rebalance_langs",
+        "normalize_text",
         "corpus_shards_manifest",
         "shuffle_epoch",
         "semantic_dedup",

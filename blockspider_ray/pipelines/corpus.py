@@ -325,6 +325,52 @@ def mixture_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def rebalance_langs(sf_dir: str) -> rd.Dataset:
+    """Language-distribution rebalancing: downsample every language to
+    (in expectation) the SMALLEST language's document count — the
+    uniform-mixture step a multilingual corpus runs so high-resource
+    languages don't drown the tail. Pass 1 is a |langs|-row count
+    groupby (in-batch partials); the per-language keep thresholds are
+    integer-exact ``(min_count * 10000) // count`` so both engines
+    compute the identical cut, broadcast once. Pass 2 is the
+    ``mixture_sample`` shuffle-free hash filter (same decorrelated
+    xorshift-multiply ring — a doc's rebalance draw equals its mixture
+    draw by design: both model 'the' sampling variate of the doc)."""
+    from ray.data.aggregate import Sum
+
+    from .common import T, rename
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([([], "count_all")])
+        return rename(g, {"count_all": "p_n"})
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()  # |langs| rows only
+    )
+    mn = int(counts["n"].min())
+    thresh = {l: (mn * 10000) // int(n) for l, n in zip(counts["lang"], counts["n"])}
+    tref = ray.put(thresh)
+
+    m32 = np.uint64(1 << 32)
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % m32
+        u = ((h ^ (h >> np.uint64(16))) * np.uint64(2246822519)) % m32
+        draw = u % np.uint64(10000)
+        lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+        cut = np.fromiter((th[s] for s in lang), dtype=np.uint64, count=len(lang))
+        return t.filter(pa.array(draw < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def stratified_sample(sf_dir: str, n_per: int = 20) -> pd.DataFrame:
     """Deterministic stratified sample: exactly ``n_per`` documents per
     language (or all of a smaller stratum), chosen by ascending

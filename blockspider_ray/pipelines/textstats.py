@@ -207,6 +207,29 @@ def vocab_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def normalize_text(sf_dir: str) -> rd.Dataset:
+    """Canonical text normalization (the pre-dedup/pre-fingerprint
+    transform): lowercase, collapse every whitespace run to one space,
+    trim — three Arrow RE2/utf8 kernels fused in one shuffle-free
+    ``map_batches``, zero Python per row. Both engines run RE2, so the
+    ``\\s`` class is byte-identical to the oracle's
+    ``regexp_replace(..., 'g')``."""
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.replace_substring_regex(
+            pc.fill_null(t["text"], ""), pattern=r"\s+", replacement=" "
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": pc.utf8_lower(pc.utf8_trim_whitespace(s)),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def top_tokens_per_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Grouped vocabulary heavy hitters: each language's top-``k``
     tokens by count with rank — ``vocab_topk``'s PARTITION BY sibling

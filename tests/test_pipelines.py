@@ -47,6 +47,8 @@ SWEEP = [
     "zscore_by_lang",
     "mixture_sample",
     "stratified_sample",
+    "rebalance_langs",
+    "normalize_text",
     "pack_sequences",
     "corpus_shards_manifest",
     "shuffle_epoch",
