@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_customer_orders": relational.join_customer_orders,
         "join_orders_lineitem": relational.join_orders_lineitem,
         "join_orders_lineitem_native": relational.join_orders_lineitem_native,
+        # Bloom-pushdown join: fixed-size bitmap of the filtered build
+        # side prunes the probe side before the all-to-all
+        "join_orders_lineitem_bloom": relational.join_orders_lineitem_bloom,
         "topk_orders": relational.topk_orders,
         "top_orders_per_segment": relational.top_orders_per_segment,
         "distinct_segments": relational.distinct_segments,
@@ -453,6 +456,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                    COUNT(*)::BIGINT AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
+        """,
+        "join_orders_lineitem_bloom": """
+            SELECT o_orderstatus,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_totalprice > 200000
             GROUP BY o_orderstatus
         """,
         "join_orders_lineitem": """

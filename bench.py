@@ -197,6 +197,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "filter_project",
         "join_customer_orders",
         "join_orders_lineitem",
+        "join_orders_lineitem_bloom",
         "topk_orders",
         "tumbling_hour",
         "hopping_window",

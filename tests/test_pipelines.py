@@ -62,6 +62,7 @@ SWEEP = [
     "asof_join_events",
     "interval_join_events",
     "q3_shipping_priority",
+    "join_orders_lineitem_bloom",
     "salted_join_events",
     "winsorized_value_stats",
     "time_decayed_spend",
@@ -1720,3 +1721,44 @@ class TestKMeansEmbeddings:
         np.testing.assert_allclose(
             got["centroid_norm"], np.linalg.norm(cent[present], axis=1), rtol=1e-6, atol=1e-3
         )
+
+
+class TestBloomJoin:
+    def test_fp_rate_independence(self):
+        """Output is exact at ANY bitmap size: a 256-bit bloom (dense,
+        high-FP — most probe rows survive the prefilter) and a 2^20-bit
+        bloom (sparse, ~zero FP) must be byte-identical — false
+        positives only waste shuffle bytes, the in-bucket join removes
+        them."""
+        from blockspider_ray.pipelines.relational import join_orders_lineitem_bloom
+
+        tiny_m = join_orders_lineitem_bloom(SF, log2_m=8)
+        big_m = join_orders_lineitem_bloom(SF, log2_m=20)
+        pd.testing.assert_frame_equal(tiny_m, big_m)
+
+    def test_bloom_actually_prunes(self):
+        """At 2^20 bits / 4 hashes over a selective predicate
+        (price > 400k keeps ~5% of orders) the joined-row count must be
+        far below the lineitem total AND equal the exact SQL count —
+        i.e. the prefilter prunes without dropping a single match
+        (soundness + pushdown in one pin)."""
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.relational import join_orders_lineitem_bloom
+
+        out = join_orders_lineitem_bloom(SF, price_min=400000.0, log2_m=20)
+        n_joined = int(out["n_items"].sum())
+        n_li = pq.read_metadata(f"{SF}/lineitem.parquet").num_rows
+        want = duckdb.sql(
+            f"""SELECT COUNT(*) FROM read_parquet('{SF}/lineitem.parquet') l
+                JOIN read_parquet('{SF}/orders.parquet') o ON l_orderkey = o_orderkey
+                WHERE o_totalprice > 400000"""
+        ).fetchone()[0]
+        assert n_joined == want
+        assert n_joined < n_li * 0.5
+
+    def test_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.relational import join_orders_lineitem_bloom
+
+        with pytest.raises(AssertionError, match="power of two"):
+            join_orders_lineitem_bloom(SF, n_buckets=12)
