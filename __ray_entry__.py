@@ -292,6 +292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": similarity.kmeans_embeddings,
         # nearest-centroid classification (SQL-oracled vector op)
         "nearest_centroid_labels": similarity.nearest_centroid_labels,
+        # distributed PCA (eigendecomposition — no SQL oracle; pytest
+        # pins projections against a driver-local numpy PCA)
+        "pca_embeddings": similarity.pca_embeddings,
         # per-language vocabulary heavy hitters (PARTITION BY top-k)
         "top_tokens_per_lang": textstats.top_tokens_per_lang,
         # multimodal (binary payload columns; decode stubbed, plumbing real)

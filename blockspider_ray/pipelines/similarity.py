@@ -585,6 +585,62 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("label").reset_index(drop=True)
 
 
+def pca_embeddings(sf_dir: str, n_components: int = 2) -> rd.Dataset:
+    """Distributed PCA: project every embedding onto the corpus's top
+    principal components — the whitening / visualization / compression
+    preprocessing an embedding pipeline runs at corpus scale. One pass
+    of moment partials (per batch: ``X^T X`` (dim x dim), column sum,
+    count — fixed-size regardless of rows, the wide-aggregate shape),
+    merged on the driver into the covariance matrix; ``eigh`` of the
+    dim x dim matrix is driver-local (model-sized), components are
+    sign-canonicalized (largest-|loading| coordinate positive, ties to
+    the lowest index) so the output is deterministic, broadcast once;
+    projection is one matmul per batch, shuffle-free, Dataset out.
+
+    Not SQL-expressible (eigendecomposition); pinned in pytest against
+    a driver-local numpy PCA on the same table (projections to float
+    tolerance after the same sign canonicalization)."""
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        g = m.T @ m  # dim x dim
+        return pa.table(
+            {
+                "xtx": pa.array([g.ravel()], pa.list_(pa.float64())),
+                "xsum": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+                "n": pa.array([len(m)], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()  # #batches rows
+    n = int(parts["n"].sum())
+    xsum = np.stack([np.asarray(v) for v in parts["xsum"]]).sum(axis=0)
+    dim = len(xsum)
+    xtx = np.stack([np.asarray(v) for v in parts["xtx"]]).sum(axis=0).reshape(dim, dim)
+    mean = xsum / n
+    cov = xtx / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :n_components].T  # (n_components, dim), descending
+    # canonical sign: the largest-|loading| coordinate (lowest index on
+    # ties) is positive — eigh's sign is arbitrary and platform-dependent
+    for i in range(len(comps)):
+        j = np.argmax(np.abs(comps[i]))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    pref = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu, c = ray.get(pref)
+        p = (_emb_matrix(t) - mu) @ c.T
+        cols = {"vec_id": t["vec_id"]}
+        for i in range(c.shape[0]):
+            cols[f"pc{i + 1}"] = pa.array(p[:, i], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def nearest_centroid_labels(sf_dir: str) -> pd.DataFrame:
     """Nearest-centroid classification: every vector gets the label
     whose mean embedding it is most cosine-similar to — the cheap

@@ -1762,3 +1762,41 @@ class TestBloomJoin:
 
         with pytest.raises(AssertionError, match="power of two"):
             join_orders_lineitem_bloom(SF, n_buckets=12)
+
+
+class TestPCAEmbeddings:
+    def test_matches_local_pca(self):
+        """Distributed moment-partial PCA == driver-local numpy PCA on
+        the same table, after the same sign canonicalization (largest-
+        |loading| coordinate positive). Projections to float tolerance:
+        the partial X^T X merge order differs from numpy's single
+        matmul."""
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.similarity import pca_embeddings
+
+        got = pca_embeddings(SF, n_components=3).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        order = np.argsort(t["vec_id"].to_numpy())
+        vid = t["vec_id"].to_numpy()[order]
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])[order]
+        mean = X.mean(axis=0)
+        cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+        w, v = np.linalg.eigh(cov)
+        comps = v[:, ::-1][:, :3].T
+        for i in range(len(comps)):
+            j = np.argmax(np.abs(comps[i]))
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+        P = (X - mean) @ comps.T
+        assert got["vec_id"].tolist() == vid.tolist()
+        for i in range(3):
+            np.testing.assert_allclose(got[f"pc{i + 1}"], P[:, i], rtol=1e-7, atol=1e-9)
+
+    def test_variance_ordering(self):
+        """pc1 must carry at least as much sample variance as pc2."""
+        from blockspider_ray.pipelines.similarity import pca_embeddings
+
+        df = pca_embeddings(SF, n_components=2).to_pandas()
+        assert df["pc1"].var() >= df["pc2"].var()
