@@ -605,15 +605,35 @@ def pca_embeddings(sf_dir: str, n_components: int = 2) -> rd.Dataset:
     def moments(t: pa.Table) -> pa.Table:
         m = _emb_matrix(t)
         g = m.T @ m  # dim x dim
+        # bucket keys the partial PRE-REDUCE: at 100-TB block counts the
+        # raw per-batch partials are #blocks x dim^2 floats — too big to
+        # land on the driver — so a 64-group merge folds them worker-side
+        # first (any batch->bucket map works; first vec_id is stable)
+        b = int(t["vec_id"][0].as_py()) & 63 if t.num_rows else 0
         return pa.table(
             {
+                "bucket": pa.array([b], pa.int64()),
                 "xtx": pa.array([g.ravel()], pa.list_(pa.float64())),
                 "xsum": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
                 "n": pa.array([len(m)], pa.int64()),
             }
         )
 
-    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()  # #batches rows
+    def prereduce(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "xtx": [np.stack([np.asarray(v) for v in g["xtx"]]).sum(axis=0)],
+                "xsum": [np.stack([np.asarray(v) for v in g["xsum"]]).sum(axis=0)],
+                "n": [int(g["n"].sum())],
+            }
+        )
+
+    parts = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(prereduce, batch_format="pandas")
+        .to_pandas()  # <= 64 rows
+    )
     n = int(parts["n"].sum())
     xsum = np.stack([np.asarray(v) for v in parts["xsum"]]).sum(axis=0)
     dim = len(xsum)
