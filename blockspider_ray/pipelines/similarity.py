@@ -740,7 +740,10 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
     (identical assignments; centroids/inertia to float tolerance —
     partial-sum merge order differs from numpy's single reduction).
     Returns one row per cluster: (cluster_id, n_vecs, inertia, norm)."""
-    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # iterative loops re-scan their input every pass: materialize the
+    # pruned read ONCE so iterations gather object-store blocks (spillable
+    # at corpus scale) instead of re-decoding parquet per iteration
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     init = (
         ds.filter(expr=f"vec_id < {k}").to_pandas().sort_values("vec_id")
     )  # k rows only
