@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Sum
 
 from .common import T, rename
 
@@ -372,10 +372,32 @@ def semi_join_parts(sf_dir: str) -> rd.Dataset:
 
 def global_max(sf_dir: str) -> pd.DataFrame:
     """Global high-water mark (A3: LatestBlockNumber analog,
-    common/rpc.go:99-108)."""
+    common/rpc.go:99-108). One Arrow ``pc.max`` partial per batch, tiny
+    driver reduce over #blocks rows — Ray's native ``Max`` aggregate on
+    a date column round-trips numpy ``datetime64[D]`` and logs a
+    precision-conversion warning per worker; the partial keeps the value
+    as an Arrow timestamp end-to-end."""
     ds = T(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
-    out = ds.aggregate(Max("o_orderdate", alias_name="max_date"), Max("o_totalprice", alias_name="max_price"))
-    return pd.DataFrame([{"max_date": out["max_date"], "max_price": round(out["max_price"], 2)}])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "max_date": pa.array(
+                    [pc.max(t["o_orderdate"]).cast(pa.timestamp("us"))], pa.timestamp("us")
+                ),
+                "max_price": pa.array([pc.max(t["o_totalprice"]).as_py()], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # #blocks rows
+    return pd.DataFrame(
+        [
+            {
+                "max_date": parts["max_date"].max(),
+                "max_price": round(float(parts["max_price"].max()), 2),
+            }
+        ]
+    )
 
 
 def explode_tokens(sf_dir: str) -> rd.Dataset:
