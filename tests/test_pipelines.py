@@ -1800,3 +1800,29 @@ class TestPCAEmbeddings:
 
         df = pca_embeddings(SF, n_components=2).to_pandas()
         assert df["pc1"].var() >= df["pc2"].var()
+
+
+class TestValueDeciles:
+    def test_constant_value_degenerates_to_one_range(self, tmp_path):
+        """The documented skew bound: rows sharing one value never split
+        across ranges — with a CONSTANT value column every row lands in
+        ONE range task, and the output must still be the exact NTILE
+        (ordered by the event_id tie-break)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.windows import value_deciles
+
+        n = 1000
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table({"event_id": pa.array(range(n), pa.int64()),
+                      "value": pa.array([7.5] * n, pa.float64())}),
+            f"{d}/events.parquet",
+        )
+        got = value_deciles(d).to_pandas().sort_values("event_id").reset_index(drop=True)
+        want = duckdb.sql(
+            f"""SELECT event_id, ntile(10) OVER (ORDER BY value, event_id)::BIGINT AS decile
+                FROM read_parquet('{d}/events.parquet') ORDER BY event_id"""
+        ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
