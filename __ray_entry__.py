@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": textstats.ngram_counts,
         "token_postings": textstats.token_postings,
         "bigram_pmi": textstats.bigram_pmi,
+        # skip-gram co-occurrence heavy hitters (word2vec count table)
+        "cooccurrence_topk": textstats.cooccurrence_topk,
         "bm25_topk": textstats.bm25_topk,
         "zscore_by_lang": textstats.zscore_by_lang,
         # dedup family
@@ -615,6 +617,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT u.tok AS token, COUNT(*)::BIGINT AS n
             FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
             GROUP BY u.tok ORDER BY n DESC, token LIMIT 100
+        """,
+        # symmetric positional self-join == the pipeline's both-direction
+        # window expansion; |pos diff| in [1, window]
+        "cooccurrence_topk": r"""
+            WITH p AS (
+              SELECT doc_id, generate_subscripts(toks, 1)::BIGINT AS pos, unnest(toks) AS tok
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+                    FROM documents)
+            ),
+            pairs AS (
+              SELECT a.tok AS w1, b.tok AS w2, COUNT(*)::BIGINT AS n
+              FROM p a JOIN p b ON a.doc_id = b.doc_id
+               AND b.pos BETWEEN a.pos - 3 AND a.pos + 3 AND b.pos <> a.pos
+              GROUP BY a.tok, b.tok
+            )
+            SELECT w1, w2, n FROM pairs ORDER BY n DESC, w1, w2 LIMIT 100
         """,
         "top_tokens_per_lang": r"""
             WITH c AS (

@@ -235,6 +235,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "ngram_counts",
         "token_postings",
         "bigram_pmi",
+        "cooccurrence_topk",
         "bm25_topk",
         "zscore_by_lang",
         "compression_ratio",

@@ -628,6 +628,84 @@ def token_postings(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
     )
 
 
+def cooccurrence_topk(sf_dir: str, window: int = 3, k: int = 100) -> pd.DataFrame:
+    """Skip-gram co-occurrence heavy hitters: the top-``k`` ordered
+    (center, context) token pairs within ``window`` positions in the
+    same document — the count table a word2vec/GloVe-style embedding
+    pass accumulates. The window EXPANSION is vectorized in-batch
+    (for each offset d in 1..window, one shifted-array zip over the
+    flattened token stream with doc-boundary rows masked — the
+    ``hopping_window`` tiling discipline applied to token positions),
+    pre-aggregated per (w1, w2) before the shuffle (pairs are
+    vocab^2-but-Zipf-bounded; raw positions never ride the all-to-all),
+    and the global top-k uses the ``top_tokens_per_lang`` combiner
+    argument: counts are final after the groupby, so per-batch partial
+    top-k is sound. Ties break (n DESC, w1 ASC, w2 ASC) on both sides.
+    Both directions are counted ((a,b) at distance d and (b,a) at -d),
+    matching the oracle's symmetric positional self-join."""
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        toks_list = pc.split_pattern_regex(text, pattern=r"\s+")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = pc.list_flatten(toks_list)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        doc = doc[nonempty.to_numpy(zero_copy_only=False)]
+        n = len(flat)
+        parts = []
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            same_doc = doc[d:] == doc[:-d]
+            idx = np.flatnonzero(same_doc)
+            if not len(idx):
+                continue
+            w1 = flat.take(pa.array(idx, pa.int64()))
+            w2 = flat.take(pa.array(idx + d, pa.int64()))
+            # both directions: (center, context) at +d and -d
+            parts.append(pa.table({"w1": w1, "w2": w2}))
+            parts.append(pa.table({"w1": w2, "w2": w1}))
+        if not parts:
+            return pa.table({"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                             "p_n": pa.array([], pa.int64())})
+        g = pa.concat_tables(parts).group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return rename(g, {"count_all": "p_n"})
+
+    def _pair_topk(w1: np.ndarray, w2: np.ndarray, n: np.ndarray) -> pd.DataFrame:
+        order = np.lexsort((w2, w1, -n))[:k]
+        return pd.DataFrame({"w1": w1[order], "w2": w2[order], "n": n[order]})
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = _pair_topk(
+            t["w1"].to_numpy(zero_copy_only=False),
+            t["w2"].to_numpy(zero_copy_only=False),
+            t["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table(
+            {
+                "w1": pa.array(df["w1"], pa.string()),
+                "w2": pa.array(df["w2"], pa.string()),
+                "n": pa.array(df["n"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()  # <= k rows per post-groupby batch
+    )
+    out = _pair_topk(
+        counts["w1"].to_numpy(), counts["w2"].to_numpy(), counts["n"].to_numpy(dtype=np.int64)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def bigram_pmi(sf_dir: str, max_vocab_rows: int = 50_000_000) -> rd.Dataset:
     """Pointwise mutual information per adjacent-word bigram —
     ``ln( P(xy) / (P(x) P(y)) )`` — the collocation / phrase-mining

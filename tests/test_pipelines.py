@@ -43,6 +43,7 @@ SWEEP = [
     "ngram_counts",
     "token_postings",
     "bigram_pmi",
+    "cooccurrence_topk",
     "bm25_topk",
     "zscore_by_lang",
     "mixture_sample",
