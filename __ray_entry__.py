@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_epoch": corpus.shuffle_epoch,
         "mixture_sample": corpus.mixture_sample,
         "stratified_sample": corpus.stratified_sample,
+        # weight-proportional Poisson sampling (token-budget subsample;
+        # integer-exact threshold ring shared with the oracle)
+        "poisson_sample": corpus.poisson_sample,
         # downsample every language to the smallest one's count
         "rebalance_langs": corpus.rebalance_langs,
         # canonical lowercase/whitespace normalization kernel
@@ -877,6 +880,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE draw < CASE source WHEN 'src0' THEN 10000
                                      WHEN 'src1' THEN 2500
                                      ELSE 5000 END
+        """,
+        # weight-proportional Poisson sample: include iff the 32-bit draw
+        # clears the integer-exact threshold (k*n_chars*2^32 - 1) // W —
+        # the same rational compare corpus.poisson_sample evaluates in
+        # numpy uint64, so membership matches bit-for-bit (no float
+        # probability anywhere; w=0 rows excluded on both sides)
+        "poisson_sample": """
+            WITH tot AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS w FROM documents),
+            h AS (
+              SELECT doc_id, lang, n_chars,
+                     ((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                      % 4294967296) AS h32
+              FROM documents
+            ),
+            u AS (
+              SELECT doc_id, lang, n_chars,
+                     ((CAST(xor(h32, h32 // 65536) AS HUGEINT) * 2246822519)
+                      % 4294967296) AS draw
+              FROM h
+            )
+            SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
+            FROM u, tot
+            WHERE n_chars > 0
+              AND draw <= (100::HUGEINT * n_chars * 4294967296 - 1) // tot.w
         """,
         # deterministic stratified sample: exactly 20 docs per language
         # by ascending mixture-hash order (same integer ring as

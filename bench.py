@@ -244,6 +244,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "line_dedup",
         "mixture_sample",
         "stratified_sample",
+        "poisson_sample",
         "rebalance_langs",
         "normalize_text",
         "corpus_shards_manifest",

@@ -451,6 +451,50 @@ def hash_split(sf_dir: str, pcts: tuple[int, int] = (90, 95)) -> rd.Dataset:
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def poisson_sample(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Weight-proportional Poisson sample: include document *i* with
+    probability ``min(1, k * w_i / W)`` where ``w_i = n_chars`` and
+    ``W = sum(n_chars)`` — the token-budget subsampler every mixture
+    recipe needs (expected sample size ≤ k, long documents favored in
+    proportion to the training tokens they contribute). Membership is a
+    pure function of ``doc_id`` (the ``hash_split`` ring + the
+    ``mixture_sample`` xorshift remix), so any worker can recompute any
+    doc's fate locally: the op is one shuffle-free ``map_batches`` after
+    a single scalar aggregate for ``W`` (driver state = one int).
+
+    Exactness: the inclusion test ``draw/2^32 < k*w_i/W`` is evaluated
+    in INTEGERS on both sides — ``draw <= (k*w_i*2^32 - 1) // W`` — so
+    the DuckDB oracle (HUGEINT arithmetic, ``//`` integer division)
+    matches bit-for-bit with no float threshold anywhere. The ``min(1,·)``
+    branch needs no code: when ``k*w_i >= W`` the threshold is >= 2^32-1
+    and every draw passes. Guard: ``k * max(w_i) * 2^32`` must fit
+    uint64, i.e. ``k * max_chars < 2^32`` — at a larger token budget,
+    split k across sub-samples (documented escape, not silent wrap)."""
+    from .common import T
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    # one distributed Sum -> a scalar on the driver (never corpus-sized)
+    total_w = int(ds.sum("n_chars"))
+    m32 = np.uint64(1 << 32)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % m32
+        draw = ((h ^ (h >> np.uint64(16))) * np.uint64(2246822519)) % m32
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(w) and int(w.max()) * k >= (1 << 32):
+            raise ValueError(
+                f"poisson_sample: k={k} * max n_chars={int(w.max())} overflows the "
+                f"2^32 threshold ring; split the budget across sub-samples"
+            )
+        # w == 0 docs are excluded up front: p_i = 0, and the -1 in the
+        # exact-threshold form would underflow the uint64 ring
+        thresh = (np.uint64(k) * w * m32 - np.uint64(1)) // np.uint64(total_w)
+        return t.filter(pa.array((w > 0) & (draw <= thresh)))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def pack_sequences(sf_dir: str, budget: int = 4096, n_ranges: int | None = None) -> rd.Dataset:
     """Sequence packing — assign documents (ordered by doc_id) to
     fixed-budget bins by cumulative length: doc d goes to bin

@@ -48,6 +48,7 @@ SWEEP = [
     "zscore_by_lang",
     "mixture_sample",
     "stratified_sample",
+    "poisson_sample",
     "rebalance_langs",
     "normalize_text",
     "pack_sequences",
