@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only — pytest pins the interval vs exact vocab_topk and
         # planted Zipf batches force real trimming)
         "vocab_topk_sketch": sketches.vocab_topk_sketch,
+        # Count-Min point-frequency sketch (mergeable SUM partials;
+        # approximate by construction -> rows-only driver check)
+        "countmin_freq": sketches.countmin_freq,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,

@@ -208,6 +208,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "hll_users_per_type",
         "value_quantiles_sketch",
         "vocab_topk_sketch",
+        "countmin_freq",
         "pack_sequences",
         "interval_join_events",
         "rollup_revenue",

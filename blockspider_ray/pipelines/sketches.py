@@ -336,3 +336,92 @@ def vocab_topk_sketch(sf_dir: str, k: int = 100, m: int = 4096) -> pd.DataFrame:
     )
     out["err_bound"] = np.int64(bound)
     return out
+
+
+# Count-Min sketch (Cormode & Muthukrishnan 2005): d independent rows of
+# w counters; a token's estimate is the MIN over its d row cells, so the
+# estimate NEVER undercounts and overcounts by the colliding mass of the
+# lightest row (expected <= N/w per row). Four fixed odd multipliers
+# derive the d row indices from one 64-bit token hash (multiply-shift).
+_CM_MULT = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+
+
+def _cm_rows(h: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, n) row-cell indices for hashes ``h`` (w must be a power of two)."""
+    assert w & (w - 1) == 0, "countmin width must be a power of two"
+    shift = np.uint64(64 - int(np.log2(w)))
+    return np.stack(
+        [((h * np.uint64(_CM_MULT[r % len(_CM_MULT)] | 1)) >> shift).astype(np.int64) for r in range(d)]
+    )
+
+
+def countmin_freq(
+    sf_dir: str, d: int = 4, w: int = 8192, k: int = 50, n_merge: int = 64
+) -> pd.DataFrame:
+    """Count-Min token-frequency estimates for the corpus's exact top-k
+    vocabulary — the mergeable point-frequency sketch that answers
+    "how often does token X occur" without ever shuffling the token
+    universe: each batch contributes ONE fixed-size row (d x w int64
+    counters, ~256 KB at the defaults) regardless of its vocabulary, and
+    partials merge by elementwise SUM (associative, partition- and
+    order-insensitive, unlike the Misra-Gries summaries whose merge
+    trims). Merge is a two-level tree: batch partials land in
+    ``n_merge`` groupby buckets (bounded dispatch), bucket sums land on
+    the driver (n_merge rows — never one per batch, which at 100 TB is
+    10^6+ sketch rows on one heap).
+
+    Probe set = ``vocab_topk``'s exact top-k (a separate distributed
+    pass), so the returned frame pairs each heavy hitter with its
+    sketched count. CM guarantees est >= exact always; pytest pins that
+    plus the collision-mass ceiling on the fixture and on a planted
+    narrow-width table that forces collisions. Approximate by
+    construction -> no SQL oracle (rows-only driver check)."""
+    from ..functions.urls import hash64
+    from .textstats import _token_pairs, vocab_topk
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _token_pairs(t)["tok"]
+        sk = np.zeros((d, w), dtype=np.int64)
+        if len(toks):
+            h = hash64(toks.to_pylist())
+            rows = _cm_rows(h, d, w)
+            for r in range(d):
+                np.add.at(sk[r], rows[r], 1)
+        b = int(h[0] % np.uint64(n_merge)) if len(toks) else 0
+        return pa.table(
+            {
+                "b": pa.array([b], pa.int64()),
+                "sk": pa.array([sk.reshape(-1).tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(d * w, dtype=np.int64)
+        for s in g["sk"]:
+            acc += np.asarray(s, dtype=np.int64)
+        return pd.DataFrame({"b": [int(g["b"].iloc[0])], "sk": [acc]})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(merge, batch_format="pandas")  # <= n_merge groups
+        .to_pandas()
+    )
+    sketch = np.zeros(d * w, dtype=np.int64)
+    for s in parts["sk"]:
+        sketch += np.asarray(s, dtype=np.int64)
+    sketch = sketch.reshape(d, w)
+
+    probe = vocab_topk(sf_dir, k)  # exact heavy hitters (distributed)
+    h = hash64(probe["token"].tolist())
+    rows = _cm_rows(h, d, w)
+    est = sketch[np.arange(d)[:, None], rows].min(axis=0)
+    out = pd.DataFrame({"token": probe["token"], "est_n": est.astype(np.int64)})
+    return out.sort_values(["est_n", "token"], ascending=[False, True]).reset_index(drop=True)

@@ -1149,6 +1149,53 @@ class TestSketches:
         for name, n in planted.items():
             assert abs(est[name] - n) <= max(2, 0.05 * n), (name, est[name], n)
 
+    def test_countmin_exact_on_fixture(self):
+        """CM never undercounts; at w=8192 with the fixture's 31-token
+        vocabulary there is no collision mass, so the estimates are
+        EXACT — a deterministic equality pin, not a tolerance."""
+        from blockspider_ray.pipelines.sketches import countmin_freq
+        from blockspider_ray.pipelines.textstats import vocab_topk
+
+        est = countmin_freq(SF)
+        exact = vocab_topk(SF, 50)
+        j = est.merge(exact, on="token")
+        assert len(j) == len(exact) > 0
+        assert (j["est_n"] == j["n"]).all(), j[j["est_n"] != j["n"]]
+
+    def test_countmin_planted_collisions(self, tmp_path):
+        """Narrow width (w=64) against a 2000-token vocabulary forces
+        collisions: every estimate must still be >= exact (the CM
+        one-sided guarantee) and within the d-row min collision-mass
+        ceiling 8*N/w."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.sketches import countmin_freq
+        from blockspider_ray.pipelines.textstats import vocab_topk
+
+        rng = np.random.default_rng(7)
+        occ = np.repeat(np.arange(2000), np.arange(2000) + 1)  # token i occurs i+1 times
+        toks = np.array([f"t{i:04d}" for i in range(2000)], dtype=object)[occ]
+        rng.shuffle(toks)
+        docs = [" ".join(toks[i : i + 100]) for i in range(0, len(toks), 100)]
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        est = countmin_freq(d, w=64, k=50).set_index("token")["est_n"]
+        exact = vocab_topk(d, 50).set_index("token")["n"]
+        N = len(occ)
+        assert sorted(est.index) == sorted(exact.index)
+        over = est[exact.index] - exact
+        assert (over >= 0).all(), over[over < 0]
+        assert (over <= 8 * N / 64).all(), over.max()
+
     def test_value_quantiles_sketch_vs_duckdb(self, ddb):
         """DDSketch guarantee: every estimate within rel_err of the true
         quantile_disc value (2x slack for the rank-rounding seam)."""
