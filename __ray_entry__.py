@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min point-frequency sketch (mergeable SUM partials;
         # approximate by construction -> rows-only driver check)
         "countmin_freq": sketches.countmin_freq,
+        # distributed BPE merge-table training (iterative argmax — no SQL
+        # oracle; pytest pins the merge sequence vs a Sennrich reference)
+        "bpe_merges": textstats.bpe_merges,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,

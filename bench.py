@@ -237,6 +237,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "token_postings",
         "bigram_pmi",
         "cooccurrence_topk",
+        "bpe_merges",
         "bm25_topk",
         "zscore_by_lang",
         "compression_ratio",

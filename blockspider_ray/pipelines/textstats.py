@@ -1052,3 +1052,146 @@ def doc_len_histogram(sf_dir: str, bin_width: int = 200) -> pd.DataFrame:
     )
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["lang", "bin_lo"]).reset_index(drop=True)
+
+
+def bpe_merges(sf_dir: str, iters: int = 6) -> pd.DataFrame:
+    """Distributed BPE merge-table training (Sennrich et al. 2016) — the
+    tokenizer-training pass a corpus pipeline runs before packing: learn
+    the ``iters`` highest-count symbol-pair merges over the corpus.
+
+    Scale shape: the CORPUS is touched exactly once (the word-frequency
+    groupby — in-batch partial counts, the shuffle moves (token, count)
+    partials); every iteration then runs over the WORD-VOCAB table
+    (zipfian: orders of magnitude smaller than the corpus, but still
+    10^7-10^8 rows at 100 TB — kept a distributed Dataset, never
+    collected). Per iteration: (1) adjacent-pair counts weighted by word
+    frequency, combined in-batch via ``np.unique`` so the all-to-all
+    moves one (left, right, cnt) partial per distinct pair per batch;
+    (2) the argmax pair lands on the driver via sort+limit(1) — ONE row
+    of driver state per iteration (count desc, then (left, right) asc:
+    the deterministic tie-break the pytest reference shares); (3) the
+    merge is applied vectorized over the flattened symbol array (match
+    positions by shifted equality, leftmost-greedy overlap resolution by
+    keeping alternate positions inside consecutive-match runs — only
+    reachable when left == right), and the vocab re-materializes so the
+    next iteration gathers object-store blocks instead of replaying the
+    whole merge lineage.
+
+    Iterative + per-iteration argmax -> not SQL-expressible; pytest pins
+    the full merge sequence and counts against a pure-Python dict-based
+    Sennrich reference on the same corpus. Returns one row per merge:
+    (rank, left, right, cnt)."""
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        g = _token_pairs(t).group_by("tok").aggregate([([], "count_all")])
+        return rename(g, {"tok": "word", "count_all": "p_n"})
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        words = t["word"].to_pylist()
+        return pa.table(
+            {
+                "word": t["word"],
+                "n": t["n"],
+                "syms": pa.array([list(w) for w in words], pa.list_(pa.string())),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .map_batches(to_syms, batch_format="pyarrow")
+        .materialize()
+    )
+
+    _empty_pairs = pa.table(
+        {"left": pa.array([], pa.string()), "right": pa.array([], pa.string()), "p_cnt": pa.array([], pa.int64())}
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        syms = t["syms"].combine_chunks()
+        lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
+        if lens.sum() < 2:
+            return _empty_pairs
+        flat = np.asarray(pc.list_flatten(syms).to_pylist(), dtype=object)
+        wid = np.repeat(np.arange(len(lens)), lens)
+        wgt_all = np.repeat(t["n"].to_numpy(zero_copy_only=False).astype(np.int64), lens)
+        m = wid[:-1] == wid[1:]
+        if not m.any():
+            return _empty_pairs
+        a = flat[:-1][m].astype(str)
+        b = flat[1:][m].astype(str)
+        wgt = wgt_all[:-1][m]
+        key = np.char.add(np.char.add(a, "\x1f"), b)
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv, weights=wgt).astype(np.int64)
+        parts = np.char.partition(uk, "\x1f")
+        return pa.table(
+            {
+                "left": pa.array(parts[:, 0].tolist(), pa.string()),
+                "right": pa.array(parts[:, 2].tolist(), pa.string()),
+                "p_cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def apply_merge(left: str, right: str):
+        merged = left + right
+
+        def apply(t: pa.Table) -> pa.Table:
+            syms = t["syms"].combine_chunks()
+            lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = np.asarray(pc.list_flatten(syms).to_pylist(), dtype=object)
+            if len(flat) < 2:
+                return t
+            wid = np.repeat(np.arange(len(lens)), lens)
+            m = (flat[:-1] == left) & (flat[1:] == right) & (wid[:-1] == wid[1:])
+            p = np.flatnonzero(m)
+            if len(p) == 0:
+                return t
+            # leftmost-greedy non-overlap: consecutive match positions can
+            # only overlap when left == right ("aaaa"); keep alternate
+            # positions within each run of consecutive matches
+            new_run = np.empty(len(p), dtype=bool)
+            new_run[0] = True
+            np.not_equal(p[1:], p[:-1] + 1, out=new_run[1:])
+            run_starts = p[new_run]
+            rs = np.repeat(run_starts, np.diff(np.append(np.flatnonzero(new_run), len(p))))
+            keep = p[((p - rs) % 2) == 0]
+            flat2 = flat.copy()
+            flat2[keep] = merged
+            mask = np.ones(len(flat), dtype=bool)
+            mask[keep + 1] = False
+            new_lens = lens - np.bincount(wid[keep + 1], minlength=len(lens))
+            offsets = np.concatenate(([0], np.cumsum(new_lens)))
+            return pa.table(
+                {
+                    "word": t["word"],
+                    "n": t["n"],
+                    "syms": pa.ListArray.from_arrays(
+                        pa.array(offsets, pa.int32()), pa.array(flat2[mask].tolist(), pa.string())
+                    ),
+                }
+            )
+
+        return apply
+
+    out = []
+    for rank in range(iters):
+        best = (
+            vocab.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["left", "right"])
+            .aggregate(Sum("p_cnt", alias_name="cnt"))
+            .sort(["cnt", "left", "right"], descending=[True, False, False])
+            .limit(1)
+            .to_pandas()
+        )
+        if len(best) == 0 or int(best["cnt"].iloc[0]) < 1:
+            break
+        left, right, cnt = str(best["left"].iloc[0]), str(best["right"].iloc[0]), int(best["cnt"].iloc[0])
+        out.append({"rank": rank, "left": left, "right": right, "cnt": cnt})
+        vocab = vocab.map_batches(apply_merge(left, right), batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(out, columns=["rank", "left", "right", "cnt"]).astype(
+        {"rank": "int64", "cnt": "int64"}
+    )

@@ -1875,3 +1875,79 @@ class TestValueDeciles:
                 FROM read_parquet('{d}/events.parquet') ORDER BY event_id"""
         ).df().reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestBpeMerges:
+    """bpe_merges is iterative with a per-iteration argmax (no SQL
+    oracle): pin the full merge sequence + counts against a pure-Python
+    dict-based Sennrich reference with the identical tie-break
+    (count desc, then (left, right) asc), on the fixture corpus and on
+    a planted corpus that forces the left==right overlap path."""
+
+    @staticmethod
+    def _ref(texts, iters):
+        import re
+        from collections import Counter
+
+        wf = Counter()
+        for t in texts:
+            for w in re.split(r"\s+", t or ""):
+                if w:
+                    wf[w] += 1
+        vocab = {tuple(w): n for w, n in wf.items()}
+        merges = []
+        for rank in range(iters):
+            pairs = Counter()
+            for syms, n in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += n
+            if not pairs:
+                break
+            (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((rank, a, b, c))
+            newv = {}
+            for syms, n in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                newv[tuple(out)] = newv.get(tuple(out), 0) + n
+            vocab = newv
+        return pd.DataFrame(merges, columns=["rank", "left", "right", "cnt"]).astype(
+            {"rank": "int64", "cnt": "int64"}
+        )
+
+    def test_merge_sequence_matches_reference_on_fixture(self):
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.textstats import bpe_merges
+
+        got = bpe_merges(SF, iters=6)
+        texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"].to_pylist()
+        want = self._ref(texts, 6)
+        assert len(got) == 6
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_leftmost_greedy_overlap_path(self, tmp_path):
+        """'aaaa' must merge positions 0 and 2 (leftmost-greedy), never
+        1 — the run-scan alternate-keep branch only reachable when
+        left == right."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.textstats import bpe_merges
+
+        texts = ["aaaa aaaa aaa baab", "aaaaa caa aaaa", "aa aab baa aaaa aaaa"]
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(texts, pa.string())}),
+            f"{d}/documents.parquet",
+        )
+        got = bpe_merges(d, iters=4)
+        want = self._ref(texts, 4)
+        pd.testing.assert_frame_equal(got, want)
+        assert got["left"].iloc[0] == "a" and got["right"].iloc[0] == "a"
