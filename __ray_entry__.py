@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed BPE merge-table training (iterative argmax — no SQL
         # oracle; pytest pins the merge sequence vs a Sennrich reference)
         "bpe_merges": textstats.bpe_merges,
+        # on-engine model training: full-batch logistic regression with
+        # per-block direct-task gradient partials (no SQL oracle; pytest
+        # pins weights vs a driver-local numpy reference)
+        "quality_classifier": textstats.quality_classifier,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,

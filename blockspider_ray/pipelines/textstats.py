@@ -1195,3 +1195,100 @@ def bpe_merges(sf_dir: str, iters: int = 6) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["rank", "left", "right", "cnt"]).astype(
         {"rank": "int64", "cnt": "int64"}
     )
+
+
+_QC_FEATS = ["n_chars", "n_tokens", "mean_word_len", "alpha_ratio", "punct_ratio", "stop_ratio"]
+
+
+def _lazy_qc_block_task():
+    import ray
+
+    @ray.remote
+    def _qc_block(blk, w, mu, sd):
+        """Per-block moment/gradient partial over a materialized feature
+        block. ``w is None`` -> standardization moments (sum, sumsq, n);
+        else -> the logistic-regression gradient partial at weights
+        ``w`` given broadcast moments. Returns a (2d+1,)/(d+2,) float64
+        vector — fixed-size regardless of block rows."""
+        d = len(_QC_FEATS)
+        if isinstance(blk, pa.Table):
+            X = np.stack([blk[k].to_numpy(zero_copy_only=False) for k in _QC_FEATS], axis=1)
+            y = blk["y"].to_numpy(zero_copy_only=False)
+        else:
+            X = blk[_QC_FEATS].to_numpy(dtype=np.float64)
+            y = blk["y"].to_numpy(dtype=np.float64)
+        if w is None:
+            return np.concatenate([X.sum(0), (X * X).sum(0), [float(len(X))]])
+        Xs = (X - mu) / sd
+        z = Xs @ w[:d] + w[d]
+        p = 1.0 / (1.0 + np.exp(-z))
+        e = p - y
+        return np.concatenate([Xs.T @ e, [e.sum()], [float(len(X))]])
+
+    return _qc_block
+
+
+_qc_block_task = None
+
+
+def quality_classifier(sf_dir: str, iters: int = 30, lr: float = 0.5) -> pd.DataFrame:
+    """Train a quality/language filter ON the engine: full-batch
+    logistic regression (label: ``lang == 'en'``) over the
+    ``quality_features`` signals — the fasttext-style classifier pass a
+    curation pipeline runs to learn a keep/drop filter from a labeled
+    slice, expressed with the house iterative shape:
+
+    - features are computed ONCE (one streaming scan; the regex/char
+      kernels are the expensive part) and materialized as a compact
+      numeric Dataset — iterations never re-featurize text;
+    - each iteration maps ONE raw task per materialized block (the
+      direct-task tier the crawl engine and the FastSV/PageRank probes
+      use: iterating through a full executor launch pays ~1 s of
+      planning per pass at any scale) returning a FIXED-SIZE partial
+      (d+2 floats), summed on the driver — driver state is model-sized
+      (7 floats + nblocks partial vectors), never corpus-sized;
+    - weights ride the task args (7 floats/task; the object store holds
+      the feature blocks, which never move).
+
+    Iterative + nonlinear -> no SQL oracle; pytest pins the final
+    weights against a driver-local numpy implementation of the IDENTICAL
+    pipeline (same standardization, zeros init, lr, iteration count) and
+    the driver contract records rows-only. Returns (feature, weight)
+    rows — ``__bias__`` last."""
+    import ray
+
+    from ..functions import text as _tx
+
+    global _qc_block_task
+    if _qc_block_task is None:
+        _qc_block_task = _lazy_qc_block_task()
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        f = _tx.quality_features(t["text"].to_pylist())
+        cols: dict = {"doc_id": t["doc_id"]}
+        for k in _QC_FEATS:
+            cols[k] = pa.array(f[k].astype(np.float64), pa.float64())
+        cols["y"] = pa.array(
+            pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False).astype(np.float64),
+            pa.float64(),
+        )
+        return pa.table(cols)
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+    refs = [r for b in feats.iter_internal_ref_bundles() for r in b.block_refs]
+    d = len(_QC_FEATS)
+
+    m = np.sum(ray.get([_qc_block_task.remote(r, None, None, None) for r in refs]), axis=0)
+    n_total = m[-1]
+    mu = m[:d] / n_total
+    sd = np.sqrt(np.maximum(m[d : 2 * d] / n_total - mu * mu, 0.0))
+    sd[sd == 0.0] = 1.0
+
+    w = np.zeros(d + 1, dtype=np.float64)
+    for _ in range(iters):
+        g = np.sum(ray.get([_qc_block_task.remote(r, w, mu, sd) for r in refs]), axis=0)
+        w = w - lr * g[: d + 1] / n_total
+
+    return pd.DataFrame({"feature": _QC_FEATS + ["__bias__"], "weight": np.round(w, 9)})

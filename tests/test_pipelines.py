@@ -1951,3 +1951,42 @@ class TestBpeMerges:
         want = self._ref(texts, 4)
         pd.testing.assert_frame_equal(got, want)
         assert got["left"].iloc[0] == "a" and got["right"].iloc[0] == "a"
+
+
+class TestQualityClassifier:
+    """quality_classifier is iterative full-batch GD (no SQL oracle):
+    the final weights must equal a driver-local numpy run of the
+    IDENTICAL pipeline — same standardization (population sd), zeros
+    init, lr, iteration count — and the learned separator must beat the
+    majority-class base rate on its own training labels."""
+
+    def test_weights_match_local_reference(self):
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.functions import text as tx
+        from blockspider_ray.pipelines.textstats import _QC_FEATS, quality_classifier
+
+        got = quality_classifier(SF, iters=30, lr=0.5)
+        assert list(got["feature"]) == _QC_FEATS + ["__bias__"]
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["text", "lang"])
+        f = tx.quality_features(t["text"].to_pylist())
+        X = np.stack([f[k].astype(np.float64) for k in _QC_FEATS], axis=1)
+        y = (np.asarray(t["lang"].to_pylist(), dtype=object) == "en").astype(np.float64)
+        mu, sd = X.mean(0), X.std(0)
+        sd[sd == 0] = 1.0
+        Xs = (X - mu) / sd
+        n, d = X.shape
+        w = np.zeros(d + 1)
+        for _ in range(30):
+            z = Xs @ w[:d] + w[d]
+            p = 1.0 / (1.0 + np.exp(-z))
+            e = p - y
+            w = w - 0.5 * np.concatenate([Xs.T @ e, [e.sum()]]) / n
+        np.testing.assert_allclose(got["weight"].values, np.round(w, 9), rtol=1e-6, atol=1e-9)
+
+        # the separator must carry signal: beat always-predict-majority
+        z = Xs @ w[:d] + w[d]
+        acc = float(((z > 0) == (y > 0.5)).mean())
+        base = max(y.mean(), 1 - y.mean())
+        assert acc > base, (acc, base)
