@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weight-proportional Poisson sampling (token-budget subsample;
         # integer-exact threshold ring shared with the oracle)
         "poisson_sample": corpus.poisson_sample,
+        # DSIR importance resampling (hashed-bigram log-ratio model; no
+        # SQL oracle — pytest pins vs a driver-local reference)
+        "dsir_sample": corpus.dsir_sample,
         # downsample every language to the smallest one's count
         "rebalance_langs": corpus.rebalance_langs,
         # canonical lowercase/whitespace normalization kernel

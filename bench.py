@@ -248,6 +248,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "mixture_sample",
         "stratified_sample",
         "poisson_sample",
+        "dsir_sample",
         "rebalance_langs",
         "normalize_text",
         "corpus_shards_manifest",

@@ -760,3 +760,114 @@ def shuffle_epoch(sf_dir: str, seed: int = 1, n_ranges: int | None = None) -> rd
         )
 
     return tagged.groupby("range_id").map_groups(rank_range, batch_format="pandas")
+
+
+def _dsir_doc_bigram_hashes(t: pa.Table, m: int):
+    """Hashed word-bigram features per document: (flat bucket-index
+    array, flat doc-row array). Vectorized — tokens flatten once per
+    batch, bigram hashes combine the two shifted ``hash64`` streams."""
+    import pyarrow.compute as pc
+
+    from ..functions.urls import hash64
+
+    text = pc.fill_null(t["text"].combine_chunks(), "")
+    toks = pc.split_pattern_regex(text, pattern=r"\s+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    h = hash64(flat.to_pylist())[keep]
+    row = np.repeat(np.arange(len(lens)), lens)[keep]
+    if len(h) < 2:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    pair_ok = row[:-1] == row[1:]
+    hb = ((h[:-1] * np.uint64(0x9E3779B97F4A7C15)) ^ h[1:])[pair_ok]
+    return (hb % np.uint64(m)).astype(np.int64), row[:-1][pair_ok]
+
+
+def dsir_sample(sf_dir: str, k: int = 100, m: int = 4096, n_merge: int = 64) -> pd.DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log importance ratio of a TARGET hashed-n-gram unigram model
+    (here: the ``lang == 'en'`` slice — any labeled target slice works)
+    over the RAW corpus model, and keep the top-``k`` scorers — the
+    domain-upweighting selection pass between quality filtering and
+    mixture sampling.
+
+    Two corpus passes, both fixed-width: (1) hashed word-bigram counts
+    for target and raw land as two m-vector partials per batch, merged
+    through the bounded groupby tree (driver state = 2m ints); (2) the
+    smoothed log-ratio table broadcasts once (``ray.put``, m floats) and
+    each batch scores its docs vectorized (``np.add.at`` over the doc's
+    bucket hits), then the global top-k is a sort+limit over (doc_id,
+    score) rows only. Float log-ratios -> no SQL oracle; pytest pins
+    scores and the selected set against a driver-local reference.
+
+    Returns (doc_id, logratio) for the k selected docs, ties broken by
+    doc_id asc (deterministic), logratio rounded to 9 dp."""
+    from .common import T
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        idx, row = _dsir_doc_bigram_hashes(t, m)
+        is_t = (
+            pa.compute.equal(t["lang"], "en").to_numpy(zero_copy_only=False).astype(bool)
+        )
+        vt = np.zeros(m, dtype=np.int64)
+        vr = np.zeros(m, dtype=np.int64)
+        if len(idx):
+            np.add.at(vr, idx, 1)
+            tm = is_t[row]
+            np.add.at(vt, idx[tm], 1)
+        b = int(t["doc_id"][0].as_py()) % n_merge if len(t) else 0
+        return pa.table(
+            {
+                "b": pa.array([b], pa.int64()),
+                "vt": pa.array([vt.tolist()], pa.list_(pa.int64())),
+                "vr": pa.array([vr.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        at = np.zeros(m, dtype=np.int64)
+        ar = np.zeros(m, dtype=np.int64)
+        for vt, vr in zip(g["vt"], g["vr"]):
+            at += np.asarray(vt, dtype=np.int64)
+            ar += np.asarray(vr, dtype=np.int64)
+        return pd.DataFrame({"b": [int(g["b"].iloc[0])], "vt": [at], "vr": [ar]})
+
+    parts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(merge, batch_format="pandas")  # <= n_merge groups
+        .to_pandas()
+    )
+    ct = np.zeros(m, dtype=np.int64)
+    cr = np.zeros(m, dtype=np.int64)
+    for vt, vr in zip(parts["vt"], parts["vr"]):
+        ct += np.asarray(vt, dtype=np.int64)
+        cr += np.asarray(vr, dtype=np.int64)
+    # add-1 smoothed log probabilities; the ratio table is the model
+    logratio = np.log((ct + 1.0) / (ct.sum() + m)) - np.log((cr + 1.0) / (cr.sum() + m))
+    ref = ray.put(logratio)
+
+    def score(t: pa.Table) -> pa.Table:
+        lr = ray.get(ref)
+        idx, row = _dsir_doc_bigram_hashes(t, m)
+        s = np.zeros(len(t), dtype=np.float64)
+        if len(idx):
+            np.add.at(s, row, lr[idx])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "logratio": pa.array(np.round(s, 9), pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["logratio", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)

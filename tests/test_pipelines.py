@@ -1990,3 +1990,81 @@ class TestQualityClassifier:
         acc = float(((z > 0) == (y > 0.5)).mean())
         base = max(y.mean(), 1 - y.mean())
         assert acc > base, (acc, base)
+
+
+class TestDsirSample:
+    """dsir_sample's hashed-bigram importance model is float log-ratio
+    scoring (no SQL oracle): pin scores + the selected set against a
+    driver-local reference, and force the model to actually steer by
+    planting a target-only phrase."""
+
+    def test_matches_local_reference(self):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.functions.urls import hash64
+        from blockspider_ray.pipelines.corpus import dsir_sample
+
+        m = 4096
+        got = dsir_sample(SF, k=100, m=m)
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+        def bigrams(text):
+            toks = [w for w in re.split(r"\s+", text or "") if w]
+            if len(toks) < 2:
+                return np.empty(0, dtype=np.int64)
+            h = hash64(toks)
+            hb = (h[:-1] * np.uint64(0x9E3779B97F4A7C15)) ^ h[1:]
+            return (hb % np.uint64(m)).astype(np.int64)
+
+        bg = [bigrams(d) for d in t["text"].to_pylist()]
+        ct = np.zeros(m, np.int64)
+        cr = np.zeros(m, np.int64)
+        for b, lang in zip(bg, t["lang"].to_pylist()):
+            np.add.at(cr, b, 1)
+            if lang == "en":
+                np.add.at(ct, b, 1)
+        lr = np.log((ct + 1.0) / (ct.sum() + m)) - np.log((cr + 1.0) / (cr.sum() + m))
+        s = np.array([np.round(lr[b].sum(), 9) for b in bg])
+        ref = (
+            pd.DataFrame({"doc_id": t["doc_id"].to_numpy(), "logratio": s})
+            .sort_values(["logratio", "doc_id"], ascending=[False, True])
+            .head(100)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False, rtol=1e-9, atol=1e-9)
+
+    def test_planted_target_phrase_ranks_first(self, tmp_path):
+        """Docs repeating a bigram that only 'en' (target) docs contain
+        must outrank neutral docs — the model steers toward the target
+        distribution, not just toward length."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.corpus import dsir_sample
+
+        rows = []
+        for i in range(40):
+            rows.append((i, "en", "alpha beta " * 5))  # target slice: distinctive bigram
+        for i in range(40, 80):
+            rows.append((i, "de", "gamma delta " * 5))  # raw-only bigram
+        # candidates: two docs sharing the target bigram, two the raw one
+        rows += [(100, "de", "alpha beta alpha beta"), (101, "de", "alpha beta"),
+                 (102, "de", "gamma delta gamma delta"), (103, "de", "gamma delta")]
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "lang": pa.array([r[1] for r in rows], pa.string()),
+                    "text": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        got = dsir_sample(d, k=84).set_index("doc_id")["logratio"]
+        # target-bigram candidates outrank raw-bigram candidates pairwise
+        # (same lengths), and sit on opposite sides of neutral
+        assert got[100] > got[102] and got[101] > got[103]
+        assert got[100] > 0 > got[102]
