@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR importance resampling (hashed-bigram log-ratio model; no
         # SQL oracle — pytest pins vs a driver-local reference)
         "dsir_sample": corpus.dsir_sample,
+        # substring-dedup removal pass (cut corpus-repeated k-token spans)
+        "strip_repeated_spans": dedup.strip_repeated_spans,
         # downsample every language to the smallest one's count
         "rebalance_langs": corpus.rebalance_langs,
         # canonical lowercase/whitespace normalization kernel
@@ -1093,6 +1095,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, cum_before, (cum_before // 4096)::BIGINT AS bin_id
             FROM scan
+        """,
+        # removal pass of substring dedup: spans (with the same short-doc
+        # whole-text shingle convention as repeated_spans) repeated >= 2
+        # times corpus-wide cover tokens i..min(i+k-1, len); kept tokens
+        # rebuild the text in order (empty docs keep clean_text = '')
+        "strip_repeated_spans": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(1, CASE WHEN len(w) >= 5 THEN len(w) - 4
+                                                    WHEN len(w) > 0 THEN 1 ELSE 0 END)) AS i
+              FROM toks
+            ),
+            sp AS (SELECT doc_id, i, array_to_string(w[i : i + 4], ' ') AS s FROM pos),
+            rep AS (SELECT s FROM sp GROUP BY s HAVING COUNT(*) >= 2),
+            cov AS (
+              SELECT DISTINCT sp.doc_id,
+                     unnest(generate_series(sp.i, LEAST(sp.i + 4, len(t.w)))) AS j
+              FROM sp JOIN rep USING (s) JOIN toks t ON t.doc_id = sp.doc_id
+            ),
+            allpos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS j FROM toks),
+            kept AS (
+              SELECT a.doc_id, a.j, a.w[a.j] AS tok
+              FROM allpos a LEFT JOIN cov c ON c.doc_id = a.doc_id AND c.j = a.j
+              WHERE c.j IS NULL
+            ),
+            agg AS (
+              SELECT doc_id, array_to_string(list(tok ORDER BY j), ' ') AS clean_text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id::BIGINT AS doc_id,
+                   COALESCE(a.clean_text, '') AS clean_text,
+                   (len(t.w) - COALESCE(a.n_kept, 0))::BIGINT AS n_dropped
+            FROM toks t LEFT JOIN agg a USING (doc_id)
         """,
         "scrub_props": """
             SELECT event_id::BIGINT AS event_id,

@@ -258,6 +258,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "simhash_near_dups",
         "ngram_jaccard_pairs",
         "repeated_spans",
+        "strip_repeated_spans",
         "decontaminate",
         "asof_join_events",
         "knn_cosine",

@@ -1129,3 +1129,114 @@ def repeated_spans(sf_dir: str, k: int = 5, n_buckets: int | None = None) -> rd.
         .groupby("doc_bucket")
         .map_groups(doc_totals, batch_format="pandas")
     )
+
+
+def strip_repeated_spans(
+    sf_dir: str,
+    k: int = 5,
+    n_buckets: int | None = None,
+    max_broadcast_spans: int = 200_000_000,
+) -> rd.Dataset:
+    """The REMOVAL pass of substring dedup (Lee et al. 2022) —
+    ``repeated_spans`` measures which positions are corpus-repeated;
+    this op CUTS them: every token covered by at least one k-token span
+    that occurs >= 2 times corpus-wide (multiplicity convention shared
+    with ``repeated_spans``) is dropped, and the cleaned text is
+    re-emitted per document.
+
+    Scale shape — the corpus_prep two-pass pattern: pass 1 is the same
+    bucketed span shuffle as ``repeated_spans`` (fixed-width (bucket,
+    sh) rows, never text) whose per-bucket run-scan emits the DISTINCT
+    repeated span hashes; that key set is duplicate-bounded, lands
+    through ``bounded_driver_frame`` (cap + documented spill escape, the
+    ``loser_keys`` discipline — boilerplate-heavy corpora should raise
+    the cap or partition the strip by round range), and broadcasts once
+    (``ray.put`` of a sorted int64 array). Pass 2 re-reads the text,
+    recomputes each doc's span hashes locally, marks covered tokens with
+    a vectorized interval-overlay (diff-array + cumsum), and rebuilds
+    the text — so text never rides a shuffle and never lands on the
+    driver. Span identity is the house ``hash64`` of the span string
+    (same collision convention as ``repeated_spans``: the SQL oracle
+    groups by the span string itself).
+
+    Returns (doc_id, clean_text, n_dropped) for EVERY document (empty
+    docs keep ``clean_text = ''``)."""
+    from .common import bounded_driver_frame
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _empty = pa.table({"bucket": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())})
+
+    def span_rows(t: pa.Table) -> pa.Table:
+        parts = []
+        for x in t["text"].to_pylist():
+            s = tx.shingles(x, k=k)
+            if s:
+                parts.append(hash64(s).view(np.int64))  # positional: NOT uniqued
+        if not parts:
+            return _empty
+        sh = np.concatenate(parts)
+        return pa.table(
+            {
+                "bucket": pa.array(sh & np.int64(B - 1), pa.int64()),
+                "sh": pa.array(sh, pa.int64()),
+            }
+        )
+
+    _empty_rep = pd.DataFrame({"sh": pd.Series([], dtype="int64")})
+
+    def bucket_repeats(g: pd.DataFrame) -> pd.DataFrame:
+        sh = np.sort(g["sh"].to_numpy(dtype=np.int64))
+        new_run = np.concatenate(([True], sh[1:] != sh[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, len(sh)))
+        rep = sh[starts[run_len >= 2]]
+        return pd.DataFrame({"sh": rep}) if len(rep) else _empty_rep
+
+    rep_frame = bounded_driver_frame(
+        ds.map_batches(span_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_repeats, batch_format="pandas"),
+        "strip_repeated_spans repeated-span keys (duplicate-bounded broadcast)",
+        max_rows=max_broadcast_spans,
+    )
+    rep_sorted = np.sort(rep_frame["sh"].to_numpy(dtype=np.int64))
+    rep_ref = ray.put(rep_sorted)
+
+    def strip(t: pa.Table) -> pa.Table:
+        rep = ray.get(rep_ref)
+        out_text, out_drop = [], []
+        for x in t["text"].to_pylist():
+            toks = tx._RE_TOKEN.findall(x or "")
+            n = len(toks)
+            if n == 0:
+                out_text.append("")
+                out_drop.append(0)
+                continue
+            hv = hash64(tx.shingles(x, k=k)).view(np.int64)
+            if len(rep):
+                pos = np.minimum(np.searchsorted(rep, hv), len(rep) - 1)
+                starts = np.flatnonzero(rep[pos] == hv)
+            else:
+                starts = np.empty(0, dtype=np.int64)
+            if len(starts) == 0:
+                out_text.append(" ".join(toks))
+                out_drop.append(0)
+                continue
+            d = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(d, starts, 1)
+            np.add.at(d, np.minimum(starts + k, n), -1)
+            covered = np.cumsum(d[:n]) > 0
+            out_text.append(" ".join(np.asarray(toks, dtype=object)[~covered].tolist()))
+            out_drop.append(int(covered.sum()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_dropped": pa.array(out_drop, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow")

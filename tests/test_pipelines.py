@@ -77,6 +77,7 @@ SWEEP = [
     "cumulative_spend",
     "doc_len_histogram",
     "repeated_spans",
+    "strip_repeated_spans",
     "rollup_revenue",
     "cube_revenue",
     "topk_events_per_user",
@@ -2068,3 +2069,64 @@ class TestDsirSample:
         # (same lengths), and sit on opposite sides of neutral
         assert got[100] > got[102] and got[101] > got[103]
         assert got[100] > 0 > got[102]
+
+
+class TestStripRepeatedSpans:
+    def test_planted_boilerplate_cut_unique_kept(self, tmp_path):
+        """A 6-token boilerplate footer shared by many docs must vanish
+        from every doc while each doc's unique prose survives; a doc
+        with no repeated spans passes through verbatim."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.dedup import strip_repeated_spans
+
+        boiler = "subscribe to our newsletter for daily updates"
+        uniq = [f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g" for i in range(6)]
+        texts = [f"{u} {boiler}" for u in uniq[:5]] + [uniq[5]]
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        out = (
+            strip_repeated_spans(d)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        n_boiler = len(boiler.split())
+        for i in range(5):
+            row = out.iloc[i]
+            assert row["clean_text"] == uniq[i], row["clean_text"]
+            assert row["n_dropped"] == n_boiler
+        assert out.iloc[5]["clean_text"] == uniq[5] and out.iloc[5]["n_dropped"] == 0
+
+    def test_driver_cap_guard_engages(self, tmp_path):
+        """The repeated-span key set must flow through
+        bounded_driver_frame: a tiny planted cap raises with the spill
+        escape spelled out instead of collecting."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from blockspider_ray.pipelines.dedup import strip_repeated_spans
+
+        texts = ["copy pasta boiler plate line here today"] * 12
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        with _pytest.raises(RuntimeError, match="driver-collection cap"):
+            strip_repeated_spans(d, max_broadcast_spans=1).to_pandas()
