@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed BPE merge-table training (iterative argmax — no SQL
         # oracle; pytest pins the merge sequence vs a Sennrich reference)
         "bpe_merges": textstats.bpe_merges,
+        "bpe_encode": textstats.bpe_encode,
         # on-engine model training: full-batch logistic regression with
         # per-block direct-task gradient partials (no SQL oracle; pytest
         # pins weights vs a driver-local numpy reference)

@@ -238,6 +238,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "bigram_pmi",
         "cooccurrence_topk",
         "bpe_merges",
+        "bpe_encode",
         "quality_classifier",
         "bm25_topk",
         "zscore_by_lang",

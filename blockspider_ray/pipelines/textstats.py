@@ -1054,6 +1054,34 @@ def doc_len_histogram(sf_dir: str, bin_width: int = 200) -> pd.DataFrame:
     return out.sort_values(["lang", "bin_lo"]).reset_index(drop=True)
 
 
+def _bpe_merge_flat(flat: np.ndarray, lens: np.ndarray, left: str, right: str):
+    """Apply one BPE merge over a flattened symbol array with segment
+    lengths ``lens`` (a segment = one word): match (left, right) at
+    adjacent positions within a segment, resolve overlapping matches
+    leftmost-greedy (consecutive matches only arise when left == right;
+    keep alternate positions within each run), replace the kept
+    positions with the merged symbol and delete their right neighbors.
+    Returns (new_flat, new_lens, changed)."""
+    if len(flat) < 2:
+        return flat, lens, False
+    wid = np.repeat(np.arange(len(lens)), lens)
+    m = (flat[:-1] == left) & (flat[1:] == right) & (wid[:-1] == wid[1:])
+    p = np.flatnonzero(m)
+    if len(p) == 0:
+        return flat, lens, False
+    new_run = np.empty(len(p), dtype=bool)
+    new_run[0] = True
+    np.not_equal(p[1:], p[:-1] + 1, out=new_run[1:])
+    rs = np.repeat(p[new_run], np.diff(np.append(np.flatnonzero(new_run), len(p))))
+    keep = p[((p - rs) % 2) == 0]
+    flat2 = flat.copy()
+    flat2[keep] = left + right
+    mask = np.ones(len(flat), dtype=bool)
+    mask[keep + 1] = False
+    new_lens = lens - np.bincount(wid[keep + 1], minlength=len(lens))
+    return flat2[mask], new_lens, True
+
+
 def bpe_merges(sf_dir: str, iters: int = 6) -> pd.DataFrame:
     """Distributed BPE merge-table training (Sennrich et al. 2016) — the
     tokenizer-training pass a corpus pipeline runs before packing: learn
@@ -1136,40 +1164,20 @@ def bpe_merges(sf_dir: str, iters: int = 6) -> pd.DataFrame:
         )
 
     def apply_merge(left: str, right: str):
-        merged = left + right
-
         def apply(t: pa.Table) -> pa.Table:
             syms = t["syms"].combine_chunks()
             lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
             flat = np.asarray(pc.list_flatten(syms).to_pylist(), dtype=object)
-            if len(flat) < 2:
+            flat2, new_lens, changed = _bpe_merge_flat(flat, lens, left, right)
+            if not changed:
                 return t
-            wid = np.repeat(np.arange(len(lens)), lens)
-            m = (flat[:-1] == left) & (flat[1:] == right) & (wid[:-1] == wid[1:])
-            p = np.flatnonzero(m)
-            if len(p) == 0:
-                return t
-            # leftmost-greedy non-overlap: consecutive match positions can
-            # only overlap when left == right ("aaaa"); keep alternate
-            # positions within each run of consecutive matches
-            new_run = np.empty(len(p), dtype=bool)
-            new_run[0] = True
-            np.not_equal(p[1:], p[:-1] + 1, out=new_run[1:])
-            run_starts = p[new_run]
-            rs = np.repeat(run_starts, np.diff(np.append(np.flatnonzero(new_run), len(p))))
-            keep = p[((p - rs) % 2) == 0]
-            flat2 = flat.copy()
-            flat2[keep] = merged
-            mask = np.ones(len(flat), dtype=bool)
-            mask[keep + 1] = False
-            new_lens = lens - np.bincount(wid[keep + 1], minlength=len(lens))
             offsets = np.concatenate(([0], np.cumsum(new_lens)))
             return pa.table(
                 {
                     "word": t["word"],
                     "n": t["n"],
                     "syms": pa.ListArray.from_arrays(
-                        pa.array(offsets, pa.int32()), pa.array(flat2[mask].tolist(), pa.string())
+                        pa.array(offsets, pa.int32()), pa.array(flat2.tolist(), pa.string())
                     ),
                 }
             )
@@ -1292,3 +1300,57 @@ def quality_classifier(sf_dir: str, iters: int = 30, lr: float = 0.5) -> pd.Data
         w = w - lr * g[: d + 1] / n_total
 
     return pd.DataFrame({"feature": _QC_FEATS + ["__bias__"], "weight": np.round(w, 9)})
+
+
+def bpe_encode(sf_dir: str, iters: int = 6) -> rd.Dataset:
+    """Apply the learned BPE merge table to the WHOLE corpus and return
+    per-document BPE token counts — the encode half of the tokenizer
+    story (``bpe_merges`` trains; this measures what the trained
+    tokenizer does to every document, the count that drives packing /
+    budget decisions). The merge table (``iters`` rows) broadcasts by
+    closure; encoding is one shuffle-free ``map_batches``: each batch
+    flattens every word of every doc into ONE symbol array and applies
+    the ranked merges as ``iters`` vectorized passes over it (never a
+    per-word Python merge loop).
+
+    Pinned in pytest against a pure-Python encoder using the same merge
+    list (itself pinned to the Sennrich reference). Returns (doc_id,
+    n_chars_sym, n_bpe): symbol count before merges (= non-space chars
+    of tokenized words) and after."""
+    merges = bpe_merges(sf_dir, iters=iters)
+    pairs = list(zip(merges["left"].tolist(), merges["right"].tolist()))
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        # flatten: every word of every doc -> char symbols; track word->doc
+        word_doc, words = [], []
+        for i, x in enumerate(texts):
+            toks = tx._RE_TOKEN.findall(x or "")
+            words.extend(toks)
+            word_doc.extend([i] * len(toks))
+        if not words:
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_chars_sym": pa.array(np.zeros(len(texts), np.int64)),
+                    "n_bpe": pa.array(np.zeros(len(texts), np.int64)),
+                }
+            )
+        lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=len(words))
+        flat = np.asarray([c for w in words for c in w], dtype=object)
+        n_sym0 = np.bincount(np.asarray(word_doc), weights=lens, minlength=len(texts)).astype(np.int64)
+        for left, right in pairs:
+            flat, lens, _ = _bpe_merge_flat(flat, lens, left, right)
+        n_bpe = np.bincount(np.asarray(word_doc), weights=lens, minlength=len(texts)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_sym": pa.array(n_sym0, pa.int64()),
+                "n_bpe": pa.array(n_bpe, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+

@@ -2130,3 +2130,48 @@ class TestStripRepeatedSpans:
         )
         with _pytest.raises(RuntimeError, match="driver-collection cap"):
             strip_repeated_spans(d, max_broadcast_spans=1).to_pandas()
+
+
+class TestBpeEncode:
+    def test_counts_match_pure_python_encoder(self):
+        """Corpus-wide encode with the learned merge table must equal a
+        per-word pure-Python greedy encoder applying the same merges in
+        rank order (the merge list itself is reference-pinned in
+        TestBpeMerges)."""
+        import re
+
+        from blockspider_ray.pipelines.textstats import bpe_encode, bpe_merges
+
+        got = bpe_encode(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        merges = bpe_merges(SF, iters=6)
+        pairs = list(zip(merges["left"], merges["right"]))
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+        def enc(text):
+            total0 = total = 0
+            for w in re.findall(r"\S+", text or ""):
+                syms = list(w)
+                total0 += len(syms)
+                for a, b in pairs:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                total += len(syms)
+            return total0, total
+
+        ref = pd.DataFrame(
+            [(d, *enc(x)) for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())],
+            columns=["doc_id", "n_chars_sym", "n_bpe"],
+        )
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        # merges actually compress: strictly fewer symbols than chars
+        assert (got["n_bpe"] < got["n_chars_sym"]).all()
