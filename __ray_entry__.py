@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle; pytest pins the merge sequence vs a Sennrich reference)
         "bpe_merges": textstats.bpe_merges,
         "bpe_encode": textstats.bpe_encode,
+        "oov_rate": textstats.oov_rate,
         # on-engine model training: full-batch logistic regression with
         # per-block direct-task gradient partials (no SQL oracle; pytest
         # pins weights vs a driver-local numpy reference)
@@ -1134,6 +1135,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.clean_text, '') AS clean_text,
                    (len(t.w) - COALESCE(a.n_kept, 0))::BIGINT AS n_dropped
             FROM toks t LEFT JOIN agg a USING (doc_id)
+        """,
+        # OOV rate vs the corpus's own top-10 vocabulary (tie-break
+        # (count desc, token asc) on both sides; zero-token docs excluded)
+        "oov_rate": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+              FROM documents
+            ),
+            vocab AS (
+              SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+              ORDER BY n DESC, tok LIMIT 10
+            ),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+              FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+                   n_oov::BIGINT AS n_oov,
+                   round_even(n_oov / n_tokens, 4) AS oov_rate
+            FROM per
         """,
         "scrub_props": """
             SELECT event_id::BIGINT AS event_id,

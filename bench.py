@@ -235,6 +235,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "unigram_logprob",
         "ngram_counts",
         "token_postings",
+        "oov_rate",
         "bigram_pmi",
         "cooccurrence_topk",
         "bpe_merges",

@@ -1354,3 +1354,40 @@ def bpe_encode(sf_dir: str, iters: int = 6) -> rd.Dataset:
 
     return ds.map_batches(encode, batch_format="pyarrow")
 
+
+
+def oov_rate(sf_dir: str, vocab_k: int = 10) -> rd.Dataset:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_k`` vocabulary — the coverage check run when fixing a
+    tokenizer/vocab budget: the vocab is a distributed exact top-k
+    (deterministic (count desc, token asc) tie-break, same as
+    ``vocab_topk``), broadcast ONCE as a sorted string array, and the
+    per-doc scoring is one shuffle-free vectorized ``map_batches``
+    (``np.isin`` membership + bincount per doc). Docs with zero tokens
+    are excluded on both sides (the rate is undefined). SQL-oracled:
+    the oracle rebuilds the same vocab with the same tie-break."""
+    vocab = np.sort(vocab_topk(sf_dir, vocab_k)["token"].to_numpy(dtype=object))
+    import ray
+
+    vref = ray.put(vocab)
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        pairs = _token_pairs(t)
+        doc = pairs["doc_id"].to_numpy(zero_copy_only=False)
+        tok = np.asarray(pairs["tok"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        n_tok = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        oov = ~np.isin(tok, v)
+        n_oov = np.bincount(inv, weights=oov.astype(np.float64), minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+                "oov_rate": pa.array(np.round(n_oov / n_tok, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

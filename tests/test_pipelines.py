@@ -35,6 +35,7 @@ SWEEP = [
     "repetition_stats",
     "vocab_topk",
     "token_doc_freq",
+    "oov_rate",
     "tfidf_topk",
     "top_tokens_per_lang",
     "nearest_centroid_labels",
