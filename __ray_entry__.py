@@ -179,6 +179,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": windows.user_event_gaps,
         # per-key running total (SUM OVER PARTITION BY ... ORDER BY ...)
         "cumulative_spend": windows.cumulative_spend,
+        # ROWS-frame trailing window (SUM OVER ... ROWS 2 PRECEDING)
+        "rolling_spend_cents": windows.rolling_spend_cents,
+        # per-user LEAD event-type bigram (Markov transition counts)
+        "event_transitions": windows.event_transitions,
+        # weekly revenue with LAG(prev week) alongside (WoW growth)
+        "weekly_revenue_wow": windows.weekly_revenue_wow,
+        # exact PERCENT_RANK per type — broadcast-CDF, zero shuffles
+        "value_percent_rank": windows.value_percent_rank,
         # exact per-group quantile clipping -> robust mean
         "winsorized_value_stats": windows.winsorized_value_stats,
         # integer-exact half-life-decayed value sum (recency weighting)
@@ -578,6 +586,46 @@ def oracle_sql() -> dict[str, str]:
                        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::BIGINT
                        AS cum_spend_cents
             FROM orders
+        """,
+        # ROWS-frame trailing sum: same integer-cents fixed point as
+        # cumulative_spend; window = 2 PRECEDING + CURRENT (k=3 rows)
+        "rolling_spend_cents": """
+            SELECT o_orderkey, o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT
+                       AS roll_spend_cents
+            FROM orders
+        """,
+        # per-user LEAD bigram; event_id breaks ts ties the same way the
+        # pipeline's lexsort does
+        "event_transitions": """
+            WITH x AS (
+                SELECT event_type,
+                       lead(event_type) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                FROM events)
+            SELECT event_type AS from_type, nxt AS to_type, COUNT(*)::BIGINT AS n
+            FROM x WHERE nxt IS NOT NULL
+            GROUP BY event_type, nxt
+        """,
+        # weekly totals + LAG; first week's prev is the -1 sentinel (not
+        # NULL) so both sides hash identically
+        "weekly_revenue_wow": """
+            WITH w AS (
+                SELECT date_trunc('week', o_orderdate) AS week,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_cents
+                FROM orders GROUP BY date_trunc('week', o_orderdate))
+            SELECT week, rev_cents,
+                   COALESCE(lag(rev_cents) OVER (ORDER BY week), -1)::BIGINT AS prev_cents
+            FROM w
+        """,
+        # PERCENT_RANK: both sides compute below/(n-1) in doubles from
+        # identical integers, so the division is bit-identical
+        "value_percent_rank": """
+            SELECT event_id, event_type,
+                   percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
+            FROM events
         """,
         "enrich_props": r"""
             SELECT event_type,

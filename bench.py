@@ -219,6 +219,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "left_join_customer_names",
         "corr_quantity_price",
         "cumulative_spend",
+        "rolling_spend_cents",
+        "event_transitions",
+        "weekly_revenue_wow",
+        "value_percent_rank",
         "winsorized_value_stats",
         "time_decayed_spend",
         "funnel_conversions",

@@ -738,3 +738,263 @@ def winsorized_value_stats(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95) 
         }
     )
     return res.sort_values("event_type").reset_index(drop=True)
+
+
+def event_transitions(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
+    """Markov transition counts over each user's ordered event stream —
+    ``LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` pair-counted into a global (from_type, to_type, n)
+    table, the behavioural bigram model a sequence-aware ranking /
+    abuse pipeline trains on (streaming-order analog of the reference's
+    per-partition strictly-ordered log, crawler/blocks.go:50-60).
+
+    Shape: the house bucketed run-scan (``sessionize``) — shuffle on
+    ``hash(user) % B`` (never the raw key), one numpy lexsort of
+    (user, ts, event_id) per bucket, the successor is ``arr[1:]`` with
+    user-boundary positions masked, and each bucket emits PARTIAL
+    (from, to, count) rows (at most |types|^2 per bucket, via np.unique
+    on fused integer codes), so the final groupby moves a tiny
+    fixed-cardinality table no matter how many events flowed."""
+    import numpy as np
+
+    from .common import n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    ds = T(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.cast(pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), B - 1), pa.int64())
+        return pa.table(
+            {
+                "bucket": b,
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_type": t["event_type"],
+            }
+        )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        # dictionary-encode types once per bucket; pairs become one
+        # fused int64 code so counting is a single np.unique
+        codes, uniques = pd.factorize(g["event_type"].to_numpy()[order], sort=True)
+        same_user = uid_s[1:] == uid_s[:-1]
+        frm = codes[:-1][same_user]
+        to = codes[1:][same_user]
+        if len(frm) == 0:
+            return pd.DataFrame({"from_type": [], "to_type": [], "p_n": []}).astype(
+                {"from_type": "object", "to_type": "object", "p_n": "int64"}
+            )
+        fused, counts = np.unique(frm.astype(np.int64) * len(uniques) + to, return_counts=True)
+        return pd.DataFrame(
+            {
+                "from_type": uniques[fused // len(uniques)],
+                "to_type": uniques[fused % len(uniques)],
+                "p_n": counts.astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(transitions, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def rolling_spend_cents(sf_dir: str, window: int = 3, n_buckets: int | None = None) -> rd.Dataset:
+    """Row-based rolling window — ``SUM(cents) OVER (PARTITION BY
+    o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING
+    AND CURRENT ROW)`` — the trailing-k-purchases feature; complements
+    ``cumulative_spend`` (unbounded window) and ``hopping_window``
+    (time-based) with the ROWS-frame family Ray Data lacks natively.
+
+    Same house bucketed run-scan + segmented cumsum as
+    ``cumulative_spend``; the k-row trailing sum is ``cum[i] -
+    cum[back]`` where ``back = max(i - k, run_start) - 1``, fully
+    vectorized (one np.maximum + one gather). Integer cents (half-away,
+    matching DuckDB ROUND) keep the sums hash-exact under any
+    accumulation order. Output stays a distributed Dataset."""
+    import numpy as np
+
+    from .common import n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        b = pc.cast(pc.bit_wise_and(pc.cast(t["o_custkey"], pa.int64()), B - 1), pa.int64())
+        return pa.table(
+            {
+                "bucket": b,
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "cents": cents,
+            }
+        )
+
+    def trailing(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["o_custkey"].to_numpy(dtype=np.int64)
+        ok = g["o_orderkey"].to_numpy(dtype=np.int64)
+        dt = g["o_orderdate"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ok, dt, ck))
+        ck_s, ok_s, cents_s = ck[order], ok[order], cents[order]
+        cum = np.cumsum(cents_s)
+        new_key = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+        starts = np.flatnonzero(new_key)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(cum))))
+        i = np.arange(len(cum), dtype=np.int64)
+        back = np.maximum(i - window, run_start - 1) + 1  # first row INSIDE the frame
+        # windowed sum = cum[i] - cum[back - 1]; back == 0 means frame
+        # starts at the table head (no prior prefix to subtract)
+        prior = np.where(back > 0, cum[np.maximum(back - 1, 0)], 0)
+        return pd.DataFrame(
+            {
+                "o_orderkey": ok_s,
+                "o_custkey": ck_s,
+                "roll_spend_cents": cum - prior,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(trailing, batch_format="pandas")
+    )
+
+
+def weekly_revenue_wow(sf_dir: str) -> pd.DataFrame:
+    """Week-over-week revenue: weekly cents totals with each week's
+    predecessor alongside (``LAG(rev) OVER (ORDER BY week)``) — the
+    growth/trend table a monitoring pipeline derives from the windowed
+    aggregate (T4 metrics-flush analog, crawler/logger.go:40-55).
+
+    The heavy part is distributed (in-batch per-week cents partials →
+    one small groupby: the shuffle moves one row per (week, batch));
+    the LAG runs on the driver over the ~|weeks|-row result — a
+    fixed-cardinality frame regardless of input scale, the documented
+    small-result exception to the no-driver-loop rule. First week's
+    prev_cents is the -1 sentinel (not NULL) so both sides hash
+    identically. The shuffle key is int64 epoch-us, not the timestamp
+    itself: midnight-aligned timestamp keys trip Ray's sort-boundary
+    sampling into a numpy 'D'-precision round-trip (the global_max
+    precedent) — the tiny result frame converts back at the driver."""
+    ds = T(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        week_us = pc.cast(pc.floor_temporal(t["o_orderdate"], unit="week"), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"week_us": week_us, "cents": cents})
+            .group_by("week_us")
+            .aggregate([("cents", "sum")])
+        )
+        return rename(g, {"cents_sum": "p_cents"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("week_us")
+        .aggregate(Sum("p_cents", alias_name="rev_cents"))
+        .to_pandas()
+    )
+    out = out.sort_values("week_us").reset_index(drop=True)
+    out["week"] = pd.to_datetime(out["week_us"], unit="us").astype("datetime64[us]")
+    out["rev_cents"] = out["rev_cents"].astype("int64")
+    out["prev_cents"] = out["rev_cents"].shift(1, fill_value=-1).astype("int64")
+    return out[["week", "rev_cents", "prev_cents"]]
+
+
+def value_percent_rank(sf_dir: str, max_distribution_rows: int = 2_000_000) -> rd.Dataset:
+    """Exact ``PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY
+    value)`` with ZERO shuffles — the rank-normalized-score feature
+    (calibration across event types) as the broadcast-CDF member of the
+    window family: where ``value_deciles`` range-partitions to attach
+    exact ranks, percent_rank only needs *per-row* strict-below counts,
+    which a compressed distribution answers without moving any event.
+
+    Pass 1 lands the COMPRESSED (type, value) distribution on the
+    driver (one row per distinct 2-decimal value per type —
+    domain-bounded, cap-guarded by ``bounded_driver_frame``); per type
+    the cumsum gives mass strictly below every distinct value. Pass 2
+    broadcasts those arrays once (``ray.put``) and each batch computes
+    ``below = searchsorted(vals, v, 'left')`` -> ``pr = below/(n-1)``
+    vectorized per type present in the batch. Ties share a rank by
+    construction; single-row partitions get 0 (SQL convention). One
+    row per event, stays a distributed Dataset."""
+    import numpy as np
+
+    from .common import bounded_driver_frame
+
+    ds = T(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["event_type", "value"])
+            .group_by(["event_type", "value"])
+            .aggregate([([], "count_all")])
+        )
+        return rename(g, {"count_all": "p_n"})
+
+    dist = bounded_driver_frame(
+        ds.map_batches(dist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "value"])
+        .aggregate(Sum("p_n", alias_name="n")),
+        "value_percent_rank per-type distinct-value distribution",
+        max_rows=max_distribution_rows,
+    ).sort_values(["event_type", "value"])
+
+    cdf: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for et, g in dist.groupby("event_type", sort=False):
+        vals = g["value"].to_numpy(dtype=np.float64)
+        counts = g["n"].to_numpy(dtype=np.int64)
+        below = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        cdf[str(et)] = (vals, below, int(counts.sum()))
+
+    import ray as _ray
+
+    cref = _ray.put(cdf)
+
+    def rank(t: pa.Table) -> pa.Table:
+        table = _ray.get(cref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        pr = np.zeros(len(v), dtype=np.float64)
+        codes, uniques = pd.factorize(et)
+        for j, u in enumerate(uniques):
+            vals, below, n = table[str(u)]
+            m = codes == j
+            if n > 1:
+                pr[m] = below[np.searchsorted(vals, v[m], side="left")] / (n - 1)
+        return pa.table(
+            {"event_id": t["event_id"], "event_type": t["event_type"], "pr": pa.array(pr)}
+        )
+
+    return ds.map_batches(rank, batch_format="pyarrow")

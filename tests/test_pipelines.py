@@ -76,6 +76,10 @@ SWEEP = [
     "left_join_customer_names",
     "corr_quantity_price",
     "cumulative_spend",
+    "rolling_spend_cents",
+    "event_transitions",
+    "weekly_revenue_wow",
+    "value_percent_rank",
     "doc_len_histogram",
     "repeated_spans",
     "strip_repeated_spans",
@@ -1620,6 +1624,78 @@ class TestCumulativeSpend:
             )
 
         pd.testing.assert_frame_equal(collect(4), collect(64))
+
+
+class TestRollingSpend:
+    def test_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.windows import rolling_spend_cents
+
+        with pytest.raises(AssertionError, match="power of two"):
+            rolling_spend_cents(SF, n_buckets=12)
+
+    def test_bucket_count_invariant(self):
+        from blockspider_ray.pipelines.windows import rolling_spend_cents
+
+        def collect(b):
+            return (
+                rolling_spend_cents(SF, n_buckets=b)
+                .to_pandas()
+                .sort_values(["o_custkey", "o_orderkey"])
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(collect(4), collect(64))
+
+    def test_window_one_is_identity(self):
+        # k=1 trailing sum == each order's own cents (frame = CURRENT ROW)
+        from blockspider_ray.pipelines.windows import rolling_spend_cents
+
+        got = rolling_spend_cents(SF, window=1).to_pandas()
+        want = duckdb.sql(
+            f"""SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                FROM read_parquet('{SF}/orders.parquet')"""
+        ).df()
+        m = got.merge(want, on="o_orderkey")
+        assert len(m) == len(got)
+        assert (m["roll_spend_cents"] == m["cents"]).all()
+
+
+class TestEventTransitions:
+    def test_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.windows import event_transitions
+
+        with pytest.raises(AssertionError, match="power of two"):
+            event_transitions(SF, n_buckets=12)
+
+    def test_total_pairs_conservation(self):
+        # sum of transition counts == n_events - n_distinct_users (each
+        # user contributes len(run)-1 successor pairs)
+        from blockspider_ray.pipelines.windows import event_transitions
+
+        got = event_transitions(SF)
+        n, u = duckdb.sql(
+            f"SELECT COUNT(*), COUNT(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()
+        assert got["n"].sum() == n - u
+
+    def test_bucket_count_invariant(self):
+        from blockspider_ray.pipelines.windows import event_transitions
+
+        a = event_transitions(SF, n_buckets=4)
+        b = event_transitions(SF, n_buckets=64)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestWeeklyRevenueWow:
+    def test_prev_is_shifted_rev(self):
+        from blockspider_ray.pipelines.windows import weekly_revenue_wow
+
+        out = weekly_revenue_wow(SF)
+        assert out["prev_cents"].iloc[0] == -1
+        assert (out["prev_cents"].iloc[1:].to_numpy() == out["rev_cents"].iloc[:-1].to_numpy()).all()
+        # weeks are Monday-aligned and strictly increasing
+        assert out["week"].is_monotonic_increasing
+        assert (out["week"].dt.dayofweek == 0).all()
 
 
 class TestSaltedJoin:
