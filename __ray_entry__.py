@@ -351,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph algorithm over the crawl host graph (no SQL
         # oracle: power iteration; pytest pins it to a dense reference)
         "pagerank_hosts": graph.pagerank_hosts,
+        # exact global triangle count of the host graph (degree-oriented
+        # wedge closure); pytest-pinned vs trace(A^3)/6 — no SQL oracle
+        "host_triangles": graph.host_triangles,
         # the crawl engine itself (deterministic tiny fixture; the oracle
         # equivalence is enforced in pytest, rows-only here)
         "crawl_log": lambda sf_dir: _crawl_tiny()[0],

@@ -288,6 +288,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "scrub_props",
         "hash_split",
         "pagerank_hosts",
+        "host_triangles",
         "corpus_prep",
     ]
     qs = em.queries()

@@ -289,3 +289,166 @@ def pagerank_hosts(sf_dir: str, k: int = 8) -> pd.DataFrame:
     out = pagerank(host_graph(pages_dir), k=k).to_pandas()
     out["r"] = out["r"].round(12)
     return out.sort_values("host").reset_index(drop=True)
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    n_buckets: int = 16,
+    max_node_table_rows: int = 50_000_000,
+) -> pd.DataFrame:
+    """Exact global triangle count over an (src, dst, *) edge Dataset —
+    the clustering/community measurement of the crawled web (triangles
+    per host neighborhood are the standard link-spam / community-density
+    signal next to PageRank and connected components).
+
+    Algorithm: degree-ordered edge orientation + wedge closure — the
+    MapReduce-classic that bounds the wedge count by O(m^1.5) no matter
+    how skewed the degree distribution (a mega-hub generates wedges only
+    at its few HIGHER-degree peers, never at itself):
+
+      1. canonicalize: hash64(host) ids, self-loops dropped, one
+         distinct undirected edge per pair (groupby dedup);
+      2. node table (node -> degree) via in-batch unique partials; it
+         lands on the driver cap-guarded (one int per node — at
+         web-host cardinality this is the same node-bounded broadcast
+         pagerank's dangling table uses) and is broadcast ONCE with
+         dense rank ids + orientation keys ``deg * 2^32 + rank``;
+      3. orient each edge low-(deg,rank) -> high, fused int64 key
+         ``a_rank * 2^32 + b_rank`` (ranks < 2^31: exact, no modular
+         collision);
+      4. wedges: bucket oriented edges by ``a_rank & (B-1)`` (a center's
+         out-edges co-locate), one vectorized self-merge per bucket
+         emits (x, y) neighbor pairs in orientation order;
+      5. closure: wedge keys and edge keys co-bucketed on the fused
+         key's low bits; one ``np.isin`` per bucket counts closed
+         wedges. Each triangle is counted exactly once (its apex is
+         its lowest-(deg,rank) vertex).
+
+    Returns a one-row frame ``{n_triangles}``. Partitioning assumption:
+    per-bucket wedge sets fit a task (holds by the O(m^1.5) bound when
+    B ~ cluster CPUs; raise ``n_buckets`` for very dense graphs)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .common import bounded_driver_frame
+
+    assert n_buckets & (n_buckets - 1) == 0, (
+        f"n_buckets must be a power of two, got {n_buckets}"
+    )
+    B = n_buckets
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = hash64(t["src"].combine_chunks().to_numpy(zero_copy_only=False))
+        v = hash64(t["dst"].combine_chunks().to_numpy(zero_copy_only=False))
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo = np.minimum(u, v).view(np.int64)
+        hi = np.maximum(u, v).view(np.int64)
+        return pa.table({"lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64())})
+
+    dedup = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["lo", "hi"])
+        .materialize()
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t["lo"].to_numpy(zero_copy_only=False),
+                t["hi"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, counts = np.unique(both, return_counts=True)
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()), "p_d": pa.array(counts, pa.int64())}
+        )
+
+    deg = bounded_driver_frame(
+        dedup.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("p_d", alias_name="d")),
+        "triangle_count node/degree table (node-bounded)",
+        max_rows=max_node_table_rows,
+    ).sort_values("node")
+    nodes_sorted = deg["node"].to_numpy(dtype=np.int64)
+    degs = deg["d"].to_numpy(dtype=np.int64)
+    okey = degs * np.int64(1 << 32) + np.arange(len(degs), dtype=np.int64)
+
+    import ray as _ray
+
+    nref = _ray.put((nodes_sorted, okey))
+
+    def orient(t: pa.Table) -> pa.Table:
+        ns, ok = _ray.get(nref)
+        ru = np.searchsorted(ns, t["lo"].to_numpy(zero_copy_only=False))
+        rv = np.searchsorted(ns, t["hi"].to_numpy(zero_copy_only=False))
+        swap = ok[ru] > ok[rv]
+        a = np.where(swap, rv, ru).astype(np.int64)
+        b = np.where(swap, ru, rv).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(a & (B - 1), pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "okb": pa.array(ok[b], pa.int64()),
+            }
+        )
+
+    oriented = dedup.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["a", "b", "okb"]].merge(g[["a", "b", "okb"]], on="a")
+        m = m[m["okb_x"] < m["okb_y"]]
+        wk = m["b_x"].to_numpy(dtype=np.int64) * np.int64(1 << 32) + m["b_y"].to_numpy(
+            dtype=np.int64
+        )
+        return pd.DataFrame({"key": wk, "is_edge": np.zeros(len(wk), dtype=np.int64)})
+
+    wedge_rows = oriented.groupby("bucket").map_groups(wedges, batch_format="pandas")
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        ek = t["a"].to_numpy(zero_copy_only=False) * np.int64(1 << 32) + t[
+            "b"
+        ].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(ek, pa.int64()),
+                "is_edge": pa.array(np.ones(len(ek), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    edge_rows = oriented.map_batches(edge_keys, batch_format="pyarrow")
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["key"], B - 1), pa.int64())
+        return pa.table({"cbucket": b, "key": t["key"], "is_edge": t["is_edge"]})
+
+    def closed(g: pd.DataFrame) -> pd.DataFrame:
+        is_e = g["is_edge"].to_numpy(dtype=np.int64) == 1
+        keys = g["key"].to_numpy(dtype=np.int64)
+        n = int(np.isin(keys[~is_e], keys[is_e]).sum())
+        return pd.DataFrame({"p_tri": [n]})
+
+    parts = (
+        wedge_rows.union(edge_rows)
+        .map_batches(rebucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(closed, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({"n_triangles": [int(parts["p_tri"].sum())]})
+
+
+def host_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle count of the synthetic web's host graph (the same store
+    the crawl queries walk; ``sf_dir`` unused, like pagerank_hosts).
+    Verified in pytest against a dense numpy reference (trace(A^3)/6)
+    plus planted path/K5/bowtie fixtures — no SQL oracle (graph
+    closure over the page store; the driver records rows-only)."""
+    from blockspider_ray import gen
+
+    pages_dir, _ = gen.ensure_fixture("tiny")
+    return triangle_count(host_graph(pages_dir))

@@ -1547,6 +1547,56 @@ class TestPagerank:
         assert n > 3  # the tiny web is a real multi-host graph
 
 
+class TestTriangleCount:
+    @staticmethod
+    def _tri(pairs, **kw):
+        import ray.data as rd
+
+        from blockspider_ray.pipelines.graph import triangle_count
+
+        df = pd.DataFrame(pairs, columns=["src", "dst"])
+        df["w"] = 1.0
+        return int(triangle_count(rd.from_pandas(df), **kw)["n_triangles"][0])
+
+    def test_planted_graphs(self):
+        path = [(f"h{i}", f"h{i+1}") for i in range(10)]
+        assert self._tri(path) == 0
+        k5 = [(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)]
+        assert self._tri(k5) == 10
+        # bowtie (2 triangles at a shared apex) + a reverse-duplicate
+        # edge and a self-loop, which canonicalization must absorb
+        bow = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e"),
+               ("e", "a"), ("b", "a"), ("a", "a")]
+        assert self._tri(bow) == 2
+
+    def test_rejects_non_power_of_two(self):
+        with pytest.raises(AssertionError, match="power of two"):
+            self._tri([("a", "b")], n_buckets=12)
+
+    def test_bucket_count_invariant(self):
+        k6 = [(f"n{i}", f"n{j}") for i in range(6) for j in range(i + 1, 6)]
+        assert self._tri(k6, n_buckets=4) == self._tri(k6, n_buckets=64) == 20
+
+    def test_host_graph_matches_dense_reference(self):
+        """Degree-oriented wedge closure must equal trace(A^3)/6 on the
+        tiny fixture's (simple, undirected) host graph."""
+        from blockspider_ray import gen
+        from blockspider_ray.pipelines.graph import host_graph, triangle_count
+
+        pages_dir, _ = gen.ensure_fixture("tiny")
+        e = host_graph(pages_dir).to_pandas()
+        hosts = sorted(set(e["src"]) | set(e["dst"]))
+        idx = {h: i for i, h in enumerate(hosts)}
+        A = np.zeros((len(hosts), len(hosts)), dtype=np.int64)
+        for s_, d_ in zip(e["src"], e["dst"]):
+            if s_ != d_:
+                A[idx[s_], idx[d_]] = 1
+                A[idx[d_], idx[s_]] = 1
+        want = int(np.trace(A @ A @ A) // 6)
+        got = int(triangle_count(host_graph(pages_dir))["n_triangles"][0])
+        assert got == want and got > 0
+
+
 class TestRepeatedSpans:
     def test_planted_span_multiplicity(self, tmp_path):
         """Hand-computed positional 5-gram multiplicities: a cyclic
