@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (binary payload columns; decode stubbed, plumbing real)
         "media_features": multimodal.media_features,
         "video_frame_samples": multimodal.video_frame_samples,
+        # windowed audio features (rms + zero-crossings per frame window)
+        "audio_windows": multimodal.audio_windows,
         # distributed prefix scan (window function): sequence packing
         "pack_sequences": corpus.pack_sequences,
         # flagship: crawl output -> dedup -> quality/lang -> partitioned corpus

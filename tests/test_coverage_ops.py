@@ -209,8 +209,15 @@ class TestMultimodal:
 
         df = media_features("ignored").to_pandas()
         assert len(df) == 200
-        assert set(df.columns) == {"media_id", "kind", "mean_intensity", "std_intensity", "aspect"}
-        assert df["mean_intensity"].between(0, 255).all()
+        assert set(df.columns) == {
+            "media_id", "kind", "mean_intensity", "std_intensity", "aspect", "duration_s",
+        }
+        assert df["kind"].value_counts().to_dict() == {"image": 100, "video": 50, "audio": 50}
+        vis = df["kind"] != "audio"
+        assert df.loc[vis, "mean_intensity"].between(0, 255).all()
+        # audio features are on the normalized [-1, 1] scale with real durations
+        assert df.loc[~vis, "mean_intensity"].abs().lt(0.1).all()
+        assert df.loc[~vis, "duration_s"].gt(0).all()
 
     def test_frame_sampling(self):
         from blockspider_ray.pipelines.multimodal import video_frame_samples
@@ -218,6 +225,32 @@ class TestMultimodal:
         df = video_frame_samples("ignored")
         assert (df["frame"] % 2 == 0).all()
         assert df["media_id"].nunique() == 50  # every 4th of 200 is video
+
+    def test_audio_windows_match_direct_recompute(self):
+        """Per-window rms/zero-crossings must equal a direct numpy
+        recompute from the payload bytes for every audio clip."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import struct as _struct
+
+        from blockspider_ray.pipelines.multimodal import audio_windows, ensure_media_fixture
+
+        got = audio_windows("ignored", win=512)
+        assert got["media_id"].nunique() == 50
+        media = pq.read_table(ensure_media_fixture()).to_pandas()
+        audio = media[media["kind"] == "audio"]
+        for _, row in audio.head(5).iterrows():
+            p = row["payload"]
+            sr, ns = _struct.unpack("<II", p[4:12])
+            pcm = np.frombuffer(p[12 : 12 + 2 * ns], dtype="<i2")
+            k = ns // 512
+            x = (pcm[: k * 512].astype(np.float64) / 32768.0).reshape(k, 512)
+            want_rms = np.round(np.sqrt((x * x).mean(axis=1)), 6)
+            want_zc = (np.diff(np.signbit(x), axis=1) != 0).sum(axis=1)
+            g = got[got["media_id"] == row["media_id"]].sort_values("window")
+            assert len(g) == k
+            assert np.array_equal(g["rms"].to_numpy(), want_rms)
+            assert np.array_equal(g["zero_crossings"].to_numpy(), want_zc)
 
     def test_unknown_payload_raises(self):
         from blockspider_ray.pipelines.multimodal import MediaDecoder
