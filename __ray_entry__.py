@@ -341,6 +341,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weight-proportional Poisson sampling (token-budget subsample;
         # integer-exact threshold ring shared with the oracle)
         "poisson_sample": corpus.poisson_sample,
+        # exact fixed-size deterministic sample (bottom-k hash keys)
+        "bottomk_sample": corpus.bottomk_sample,
+        # incremental-recrawl set diff (added/removed/changed vs snapshot B)
+        "snapshot_diff": corpus.snapshot_diff,
         # DSIR importance resampling (hashed-bigram log-ratio model; no
         # SQL oracle — pytest pins vs a driver-local reference)
         "dsir_sample": corpus.dsir_sample,
@@ -974,6 +978,37 @@ def oracle_sql() -> dict[str, str]:
             FROM u, tot
             WHERE n_chars > 0
               AND draw <= (100::HUGEINT * n_chars * 4294967296 - 1) // tot.w
+        """,
+        # exact fixed-size sample: the k smallest multiplicative-hash
+        # keys (hash_split's ring), doc_id tie-break — LIMIT under a
+        # strict total order is deterministic on both sides
+        "bottomk_sample": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   ((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                    % 4294967296)::BIGINT AS h
+            FROM documents
+            ORDER BY h, doc_id LIMIT 200
+        """,
+        # incremental-recrawl diff: snapshot B derived in-query (drop
+        # %7, rewrite %11, add fresh ids for %13); the pipeline compares
+        # 64-bit content fingerprints, the oracle compares text exactly
+        "snapshot_diff": """
+            WITH mx AS (SELECT MAX(doc_id) + 1 AS base FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]' ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + mx.base AS doc_id,
+                     'new snapshot doc ' || (doc_id + mx.base) AS text
+              FROM documents, mx WHERE doc_id % 13 = 0
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id)::BIGINT AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
         """,
         # deterministic stratified sample: exactly 20 docs per language
         # by ascending mixture-hash order (same integer ring as

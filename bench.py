@@ -254,6 +254,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "mixture_sample",
         "stratified_sample",
         "poisson_sample",
+        "bottomk_sample",
+        "snapshot_diff",
         "dsir_sample",
         "rebalance_langs",
         "normalize_text",

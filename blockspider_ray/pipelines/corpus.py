@@ -871,3 +871,143 @@ def dsir_sample(sf_dir: str, k: int = 100, m: int = 4096, n_merge: int = 64) -> 
         .to_pandas()
     )
     return out.reset_index(drop=True)
+
+
+def bottomk_sample(sf_dir: str, k: int = 200, max_partial_rows: int = 5_000_000) -> pd.DataFrame:
+    """Exact fixed-size uniform sample: the k documents with the
+    smallest deterministic hash keys (``hash_split``'s multiplicative
+    ring), tie-broken by doc_id — the distributed-reservoir equivalent
+    (bottom-k sketch) that gives a *reproducible, order-independent*
+    exactly-k sample where ``poisson_sample`` gives expected-size and
+    ``mixture_sample`` gives rate-based. Any two runs — any cluster
+    shape, any block order — pick the same k documents.
+
+    Shape: per-batch partial bottom-k (one ``np.argpartition`` per
+    batch, ≤ k rows survive per batch) so the driver-landing frame is
+    bounded by k x n_blocks (cap-guarded), never the corpus. The final
+    exact top-k over partials runs on the driver — k-sized by
+    definition."""
+    from .common import T, bounded_driver_frame
+
+    ds = T(sf_dir, "documents", columns=["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)).astype(np.int64)
+        if len(h) > k:
+            keep = np.argpartition(h, k)[:k]
+            ids, h = ids[keep], h[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }
+        )
+
+    parts = bounded_driver_frame(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bottomk_sample per-block partials (k x n_blocks)",
+        max_rows=max_partial_rows,
+    )
+    out = parts.sort_values(["h", "doc_id"], kind="stable").head(k).reset_index(drop=True)
+    return out[["doc_id", "h"]]
+
+
+def snapshot_diff(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
+    """Incremental-crawl set diff: compare two corpus snapshots and emit
+    every document whose status changed — ``added`` (only in B),
+    ``removed`` (only in A), ``changed`` (both, content differs) — the
+    batch analog of the engine's retraction/reorg semantics (SET1/O2:
+    crawler/blocks.go:131-189 walks back exactly this delta) and the
+    recrawl-delta step an incremental training-data pipeline runs
+    before reprocessing only what moved.
+
+    Snapshot B is derived deterministically from the documents table
+    (drop doc_id % 7 == 0, rewrite text of % 11 == 0, add fresh ids for
+    % 13 == 0) so both sides — this pipeline and the SQL oracle —
+    compute over identical inputs with no external data.
+
+    Scale shape: text never rides the shuffle — each side fingerprints
+    in-batch (64-bit content hash) and only (bucket, doc_id, src, fp)
+    rows move; the per-bucket resolve is one lexsort + run-scan.
+    Unchanged docs (the overwhelming majority of a recrawl) are dropped
+    inside the bucket task, so output is delta-sized. 64-bit fp
+    equality stands in for text equality (collision odds 2^-64 per
+    pair; the oracle compares text exactly)."""
+    from ..functions.urls import hash64
+    from .common import T, n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    docs = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rows(t: pa.Table, src: int, transform: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        if transform:
+            keep = ids % 7 != 0
+            ids, txt = ids[keep], txt[keep]
+            mod = ids % 11 == 0
+            if mod.any():
+                txt = txt.copy()
+                txt[mod] = np.char.add(txt[mod].astype("U"), " [v2]")
+        fp = hash64(txt).view(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ids & (B - 1), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "src": pa.array(np.full(len(ids), src, dtype=np.int64), pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
+            }
+        )
+
+    def added_rows(t: pa.Table, base: int) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 13 == 0
+        ids = ids[keep] + base
+        txt = np.asarray(["new snapshot doc %d" % i for i in ids], dtype=object)
+        fp = hash64(txt).view(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ids & (B - 1), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "src": pa.array(np.ones(len(ids), dtype=np.int64), pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
+            }
+        )
+
+    # base for fresh ids: one scalar aggregate (max doc_id + 1)
+    base = int(docs.select_columns(["doc_id"]).max("doc_id")) + 1
+
+    a = docs.map_batches(lambda t: rows(t, 0, False), batch_format="pyarrow")
+    b = docs.map_batches(lambda t: rows(t, 1, True), batch_format="pyarrow")
+    new = docs.map_batches(lambda t: added_rows(t, base), batch_format="pyarrow")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        src = g["src"].to_numpy(dtype=np.int64)
+        fp = g["fp"].to_numpy(dtype=np.int64)
+        order = np.lexsort((src, ids))
+        ids, src, fp = ids[order], src[order], fp[order]
+        first = np.concatenate(([True], ids[1:] != ids[:-1]))
+        # run length is 1 (one snapshot only) or 2 (both, A then B)
+        starts = np.flatnonzero(first)
+        lengths = np.diff(np.append(starts, len(ids)))
+        solo = starts[lengths == 1]
+        both = starts[lengths == 2]
+        changed = both[fp[both] != fp[both + 1]]
+        out_ids = np.concatenate([ids[solo], ids[changed]])
+        status = np.concatenate(
+            [
+                np.where(src[solo] == 0, "removed", "added"),
+                np.full(len(changed), "changed", dtype=object),
+            ]
+        )
+        return pd.DataFrame({"doc_id": out_ids, "status": status})
+
+    return (
+        a.union(b)
+        .union(new)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )

@@ -50,6 +50,8 @@ SWEEP = [
     "mixture_sample",
     "stratified_sample",
     "poisson_sample",
+    "bottomk_sample",
+    "snapshot_diff",
     "rebalance_langs",
     "normalize_text",
     "pack_sequences",
@@ -1734,6 +1736,56 @@ class TestEventTransitions:
         a = event_transitions(SF, n_buckets=4)
         b = event_transitions(SF, n_buckets=64)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSnapshotDiff:
+    def test_rejects_non_power_of_two(self):
+        from blockspider_ray.pipelines.corpus import snapshot_diff
+
+        with pytest.raises(AssertionError, match="power of two"):
+            snapshot_diff(SF, n_buckets=12)
+
+    def test_bucket_count_invariant(self):
+        from blockspider_ray.pipelines.corpus import snapshot_diff
+
+        def collect(b):
+            return (
+                snapshot_diff(SF, n_buckets=b)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(collect(4), collect(64))
+
+    def test_statuses_partition_the_delta(self):
+        from blockspider_ray.pipelines.corpus import snapshot_diff
+
+        out = snapshot_diff(SF).to_pandas()
+        n_docs, mx = duckdb.sql(
+            f"SELECT COUNT(*), MAX(doc_id) FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchone()
+        by = out.groupby("status")["doc_id"].agg(["count", "min", "max"])
+        # every added id is a fresh id beyond the original range
+        assert by.loc["added", "min"] > mx
+        # removed = %7 == 0 ids; changed = %11 == 0 among the kept
+        assert (out.loc[out["status"] == "removed", "doc_id"] % 7 == 0).all()
+        ch = out.loc[out["status"] == "changed", "doc_id"]
+        assert (ch % 11 == 0).all() and (ch % 7 != 0).all()
+        assert out["doc_id"].is_unique
+
+
+class TestBottomkSample:
+    def test_exact_size_and_determinism(self):
+        from blockspider_ray.pipelines.corpus import bottomk_sample
+
+        a = bottomk_sample(SF, k=37)
+        b = bottomk_sample(SF, k=37)
+        assert len(a) == 37
+        pd.testing.assert_frame_equal(a, b)
+        # growing k extends, never reshuffles, the sample (prefix property)
+        c = bottomk_sample(SF, k=60)
+        pd.testing.assert_frame_equal(c.head(37), a)
 
 
 class TestWeeklyRevenueWow:
