@@ -24,6 +24,21 @@ _CRAWL_CACHE: dict[str, Any] = {}
 # pipelines/dedup.py ngram_jaccard_pairs). minhash_lsh_pairs, being
 # probabilistic (16x4 banding), is deliberately NOT held to this exact
 # oracle: pytest asserts pairs ⊆ exact-pairs + planted-pair recall.
+# token-phrase search ("the fast"): positions over the filtered token
+# list (explode_tokens numbering); one anchor row per adjacent match
+_PHRASE_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(toks, 1)::BIGINT AS pos, unnest(toks) AS token
+      FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+            FROM documents)
+    ),
+    m0 AS (SELECT doc_id, pos AS anchor FROM toks WHERE token = 'the'),
+    m1 AS (SELECT doc_id, pos - 1 AS anchor FROM toks WHERE token = 'fast')
+    SELECT doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_hits
+    FROM m0 JOIN m1 USING (doc_id, anchor)
+    GROUP BY doc_id
+"""
+
 _NGRAM_JACCARD_SQL = r"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
@@ -226,6 +241,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": textstats.unigram_logprob,
         "ngram_counts": textstats.ngram_counts,
         "token_postings": textstats.token_postings,
+        # token-phrase search: direct scan (zero-shuffle, in-batch
+        # anchor intersection) and the persisted-postings-index path
+        # (opens only the query tokens' bucket= partitions)
+        "phrase_search": textstats.phrase_search,
+        "phrase_search_indexed": textstats.phrase_search_indexed,
         "bigram_pmi": textstats.bigram_pmi,
         # skip-gram co-occurrence heavy hitters (word2vec count table)
         "cooccurrence_topk": textstats.cooccurrence_topk,
@@ -806,6 +826,12 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
             FROM pairs GROUP BY token
         """,
+        # token-phrase search ("the fast"): anchor join over the same
+        # filtered-positions tokenization as explode_tokens; overlapping
+        # matches count once per anchor on both sides. The indexed path
+        # returns the identical result (pinned), so it shares the oracle
+        "phrase_search": _PHRASE_SQL,
+        "phrase_search_indexed": _PHRASE_SQL,
         # PMI: the division tree ln((n/Nb) / ((cx/Nu)*(cy/Nu))) mirrors
         # the pipeline's numpy expression operation-for-operation (same
         # float64 intermediates, same libm log), rounded to 4 on both

@@ -239,6 +239,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "unigram_logprob",
         "ngram_counts",
         "token_postings",
+        "phrase_search",
+        "phrase_search_indexed",
         "oov_rate",
         "bigram_pmi",
         "cooccurrence_topk",
@@ -313,6 +315,17 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     shutil.rmtree(_pqidx, ignore_errors=True)
     ivfpq_build_index(sf_dir, _pqidx)
     qs["knn_ivfpq_indexed"] = lambda sf, _f=qs["knn_ivfpq_indexed"]: _f(sf, index_dir=_pqidx)
+
+    # phrase_search_indexed likewise times only the query half: the
+    # postings index is built once outside the timed window.
+    from blockspider_ray.pipelines.textstats import postings_build_index
+
+    _pidx = "/tmp/bsr_bench_postings_index"
+    shutil.rmtree(_pidx, ignore_errors=True)
+    postings_build_index(sf_dir, _pidx)
+    qs["phrase_search_indexed"] = lambda sf, _f=qs["phrase_search_indexed"]: _f(
+        sf, index_dir=_pidx
+    )
 
     out: dict[str, float] = {}
     for name in names:

@@ -1391,3 +1391,205 @@ def oov_rate(sf_dir: str, vocab_k: int = 10) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _positional_tokens(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_id, pos, tok) arrays for a documents batch — same \\s+ split
+    + empty-drop as ``_token_pairs``, with 1-based positions over the
+    FILTERED sequence (matching the explode_tokens oracle's
+    generate_subscripts-after-list_filter numbering)."""
+    pairs = _token_pairs(t)
+    doc = pairs["doc_id"].to_numpy(zero_copy_only=False)
+    tok = pairs["tok"].to_numpy(zero_copy_only=False)
+    if len(doc) == 0:
+        return doc, np.empty(0, dtype=np.int64), tok
+    first = np.concatenate(([True], doc[1:] != doc[:-1]))
+    starts = np.flatnonzero(first)
+    offsets = np.repeat(starts, np.diff(np.append(starts, len(doc))))
+    pos = np.arange(len(doc), dtype=np.int64) - offsets + 1
+    return doc, pos, tok
+
+
+def phrase_search(sf_dir: str, phrase: str = "the fast") -> pd.DataFrame:
+    """Token-phrase search by direct corpus scan: every document
+    containing the query tokens ADJACENT in order, with the match count
+    — the grep/contamination-lookup primitive. Entirely in-batch (a
+    document is whole within one batch, so anchor intersection never
+    crosses batches): ZERO shuffles, and only matching docs leave the
+    task — output is hit-sized. The indexed sibling
+    (``phrase_search_indexed``) serves the repeated-query regime."""
+    toks = [w for w in phrase.split() if w]
+    assert toks, "empty phrase"
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        doc, pos, tok = _positional_tokens(t)
+        hits_doc: list[np.ndarray] = []
+        hits_anchor: list[np.ndarray] = []
+        for i, w in enumerate(toks):
+            m = tok == w
+            hits_doc.append(doc[m])
+            hits_anchor.append(pos[m] - i)
+        # count rows per (doc, anchor): == len(toks) iff every i matched
+        d = np.concatenate(hits_doc)
+        a = np.concatenate(hits_anchor)
+        if len(d) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+            )
+        key = d * np.int64(1 << 32) + a  # anchor >= 1-len(toks) > -2^31: exact fuse
+        uk, counts = np.unique(key, return_counts=True)
+        full = uk[counts == len(toks)] >> 32
+        docs, n = np.unique(full, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "n_hits": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    if out.empty:  # zero hits: Ray's to_pandas drops the column names
+        out = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64), "n_hits": pd.Series([], dtype=np.int64)}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def postings_build_index(sf_dir: str, index_dir: str, n_buckets: int = 32) -> str:
+    """Build the PERSISTED positional postings index: one distributed
+    tokenize pass, written as token-hash-bucketed parquet
+    (``index_dir/bucket=N/part-*.parquet`` rows (token, doc_id, pos))
+    plus a tiny meta file carrying the bucket count. The build-once
+    half of the repeated-query regime (the text twin of
+    ``ivf_build_index``): at web-corpus scale the tokenize pass runs
+    exactly once, the hive layout is resumable, and every later phrase
+    query opens ONLY its query tokens' ``bucket=`` directories — scan
+    fraction ~ k/B of the index, enforced at the path level."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.urls import hash64
+
+    assert n_buckets & (n_buckets - 1) == 0, (
+        f"n_buckets must be a power of two, got {n_buckets}"
+    )
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        doc, pos, tok = _positional_tokens(t)
+        b = (hash64(tok) & np.uint64(n_buckets - 1)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "token": pa.array(tok, pa.string()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    ds.map_batches(rows, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    pq.write_table(
+        pa.table({"n_buckets": pa.array([n_buckets], pa.int64())}),
+        os.path.join(index_dir, "meta.parquet"),
+    )
+    return index_dir
+
+
+def phrase_search_indexed(
+    sf_dir: str, phrase: str = "the fast", index_dir: str | None = None
+) -> pd.DataFrame:
+    """Token-phrase search over the PERSISTED postings index: open only
+    the query tokens' ``bucket=`` partitions (path-level pruning — the
+    corpus text is never read), filter to the query tokens, and resolve
+    adjacency with the house bucketed run-scan: one all-to-all of
+    (doc, anchor) int pairs, df-bounded by the query tokens, then a
+    per-bucket lexsort + run-length pass counts full-phrase anchors.
+    Result equals ``phrase_search``'s corpus scan exactly (pinned).
+    With ``index_dir=None`` a default under /tmp is built on first use
+    and reused (the build-once contract)."""
+    import os
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    from ..functions.urls import hash64
+    from .common import n_shuffle_buckets
+
+    toks = [w for w in phrase.split() if w]
+    assert toks, "empty phrase"
+    if index_dir is None:
+        index_dir = os.path.join(
+            "/tmp", "bsr_postings_index", os.path.basename(os.path.normpath(sf_dir))
+        )
+    if not os.path.exists(os.path.join(index_dir, "meta.parquet")):
+        postings_build_index(sf_dir, index_dir)
+    nb = int(pq.read_table(os.path.join(index_dir, "meta.parquet"))["n_buckets"][0].as_py())
+    need = sorted({int(h & np.uint64(nb - 1)) for h in hash64(toks)})
+    # a query token may hash to a bucket no corpus token landed in (its
+    # directory then doesn't exist) — and a token absent from the corpus
+    # means zero matches anyway, so missing dirs just contribute nothing
+    dirs = [os.path.join(index_dir, f"bucket={b}") for b in need]
+    paths = [
+        os.path.join(d, f)
+        for d in dirs
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64), "n_hits": pd.Series([], dtype=np.int64)}
+        )
+    idx = rd.read_parquet(paths, columns=["token", "doc_id", "pos"])
+
+    B = n_shuffle_buckets()
+    tok_to_i = {w: i for i, w in enumerate(toks)}  # last wins; handled below
+    k = len(toks)
+
+    def anchors(t: pa.Table) -> pa.Table:
+        m = _pc.is_in(t["token"], value_set=pa.array(list(tok_to_i), pa.string()))
+        t = t.filter(m)
+        tok = t["token"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        # a token appearing at several phrase offsets emits one row per
+        # offset (e.g. "the ... the"): loop over offsets, not rows
+        ds_, as_ = [], []
+        for i, w in enumerate(toks):
+            mm = tok == w
+            ds_.append(doc[mm])
+            as_.append(pos[mm] - i)
+        d = np.concatenate(ds_)
+        a = np.concatenate(as_)
+        return pa.table(
+            {
+                "bucket": pa.array(d & (B - 1), pa.int64()),
+                "doc_id": pa.array(d, pa.int64()),
+                "anchor": pa.array(a, pa.int64()),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        a = g["anchor"].to_numpy(dtype=np.int64)
+        key = d * np.int64(1 << 32) + a
+        uk, counts = np.unique(key, return_counts=True)
+        full = uk[counts == k] >> 32
+        docs, n = np.unique(full, return_counts=True)
+        return pd.DataFrame({"doc_id": docs, "n_hits": n.astype(np.int64)})
+
+    out = (
+        idx.map_batches(anchors, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # zero hits: Ray's to_pandas drops the column names
+        out = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64), "n_hits": pd.Series([], dtype=np.int64)}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)

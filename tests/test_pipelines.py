@@ -43,6 +43,8 @@ SWEEP = [
     "unigram_logprob",
     "ngram_counts",
     "token_postings",
+    "phrase_search",
+    "phrase_search_indexed",
     "bigram_pmi",
     "cooccurrence_topk",
     "bm25_topk",
@@ -2354,3 +2356,94 @@ class TestBpeEncode:
         pd.testing.assert_frame_equal(got, ref, check_dtype=False)
         # merges actually compress: strictly fewer symbols than chars
         assert (got["n_bpe"] < got["n_chars_sym"]).all()
+
+
+class TestPhraseSearch:
+    """Planted-corpus semantics for the phrase-search pair: anchor
+    counting (incl. overlapping matches and repeated query tokens),
+    direct-scan == indexed equality, and the path-level pruning
+    contract (every non-query bucket directory deleted, result
+    unchanged — the indexed path provably never opens them)."""
+
+    DOCS = {
+        0: "x a a a y",            # "a a": overlapping anchors 2 and 3
+        1: "a b a b a",            # "a b a": anchors 1 and 3
+        2: "b b b",                # no 'a' at all
+        3: "the fast a a the",     # mixes the default phrase + "a a"
+        4: "a",                    # partial only
+        5: "",                     # empty doc
+    }
+
+    def _write(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmp_path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(self.DOCS), pa.int64()),
+                    "text": pa.array(list(self.DOCS.values()), pa.string()),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        return str(tmp_path)
+
+    @staticmethod
+    def _brute(docs, phrase):
+        toks = phrase.split()
+        out = {}
+        for d, text in docs.items():
+            w = text.split()
+            n = sum(
+                1
+                for i in range(len(w) - len(toks) + 1)
+                if w[i : i + len(toks)] == toks
+            )
+            if n:
+                out[d] = n
+        return pd.DataFrame(
+            {"doc_id": list(out), "n_hits": list(out.values())}, dtype=np.int64
+        ).sort_values("doc_id").reset_index(drop=True)
+
+    @pytest.mark.parametrize("phrase", ["a a", "a b a", "the fast", "a", "zz yy"])
+    def test_scan_matches_bruteforce(self, tmp_path, phrase):
+        from blockspider_ray.pipelines.textstats import phrase_search
+
+        got = phrase_search(self._write(tmp_path), phrase)
+        ref = self._brute(self.DOCS, phrase)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), ref, check_dtype=False
+        )
+
+    @pytest.mark.parametrize("phrase", ["a a", "a b a", "the fast", "zz yy"])
+    def test_indexed_equals_scan_with_pruned_buckets(self, tmp_path, phrase):
+        import shutil
+
+        from blockspider_ray.functions.urls import hash64
+        from blockspider_ray.pipelines.textstats import (
+            phrase_search,
+            phrase_search_indexed,
+            postings_build_index,
+        )
+
+        d = self._write(tmp_path / "data")
+        idx = str(tmp_path / "idx")
+        postings_build_index(d, idx, n_buckets=8)
+        # delete every bucket the query tokens do NOT hash to: if the
+        # indexed path opened anything outside its pruned set, it would
+        # now fail or change output
+        need = {int(h & np.uint64(7)) for h in hash64(phrase.split())}
+        import os
+
+        for b in range(8):
+            if b not in need:
+                shutil.rmtree(os.path.join(idx, f"bucket={b}"), ignore_errors=True)
+        got = phrase_search_indexed(d, phrase, index_dir=idx)
+        ref = phrase_search(d, phrase)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            ref.reset_index(drop=True),
+            check_dtype=False,
+        )
