@@ -67,6 +67,34 @@ _NGRAM_JACCARD_SQL = r"""
     WHERE ROUND(c / (sa.n + sb.n - c), 4) >= 0.5
 """
 
+# tf_cosine_pairs: exact all-pairs lexical cosine over sparse tf
+# vectors. Every quantity entering the score (dot, n2_a, n2_b) is an
+# int64 sum, so cosine is ONE float expression of three exact integers
+# on BOTH sides — bit-identical regardless of summation order. The
+# df-band [2, 256] cut and the full-vector norms mirror
+# pipelines/dedup.tf_cosine_pairs exactly; threshold 0.05 (see the
+# pipeline docstring: the synthetic corpus has no planted lexical
+# near-dups, the planted-dup pytest pins the 0.6+ regime).
+_TF_COSINE_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, token),
+    n2 AS (SELECT doc_id, SUM(tf * tf)::BIGINT AS n2 FROM tf GROUP BY doc_id),
+    kept AS (SELECT token FROM tf GROUP BY token HAVING COUNT(*) BETWEEN 2 AND 256),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf)::BIGINT AS dot
+      FROM tf a JOIN tf b USING (token) JOIN kept USING (token)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+           ROUND(dot / sqrt((na.n2 * nb.n2)::DOUBLE), 4) AS cosine
+    FROM pairs JOIN n2 na ON na.doc_id = doc_a JOIN n2 nb ON nb.doc_id = doc_b
+    WHERE dot / sqrt((na.n2 * nb.n2)::DOUBLE) >= 0.05
+"""
+
 # same tokenization/shingling CTEs as the n-gram oracle; eval set =
 # the deterministic doc_id % 50 == 0 slice (pipelines/dedup.decontaminate)
 _DECONTAM_SQL = r"""
@@ -257,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_near_dups": dedup.simhash_near_dups,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # exact sparse-tf lexical cosine all-pairs (integer dot/norm partials)
+        "tf_cosine_pairs": dedup.tf_cosine_pairs,
         # substring-level duplication profile (positional k-gram
         # multiplicity — the Lee et al. 2022 span-dedup measurement)
         "repeated_spans": dedup.repeated_spans,
@@ -1119,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         # change; pytest pins it instead as pairs ⊆ exact-pairs (the
         # verify stage recomputes true Jaccard) + planted-dup recall.
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "tf_cosine_pairs": _TF_COSINE_SQL,
         # cluster resolution over the EXACT (ngram) pair list: recursive
         # min-reachable-id closure == connected components. The Ray side
         # runs the distributed hash-to-min loop (pipelines/clusters.py);

@@ -267,6 +267,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "minhash_lsh_pairs",
         "simhash_near_dups",
         "ngram_jaccard_pairs",
+        "tf_cosine_pairs",
         "repeated_spans",
         "strip_repeated_spans",
         "decontaminate",

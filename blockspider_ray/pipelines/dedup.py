@@ -531,6 +531,207 @@ def ngram_jaccard_pairs(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def tf_cosine_pairs(
+    sf_dir: str,
+    threshold: float = 0.05,
+    df_ceiling: int = 256,
+    n_buckets: int | None = None,
+    max_driver_rows: int = _MAX_DRIVER_ROWS,
+) -> pd.DataFrame:
+    """EXACT all-pairs lexical cosine over sparse term-frequency vectors
+    via the distributed inverted index — the bag-of-words sibling of
+    ``ngram_jaccard_pairs`` (set overlap) and the lexical counterpart of
+    ``embedding_near_dup_pairs`` (dense cosine). One tokenize pass
+    (identical ``\\s+`` split to ``explode_tokens``) builds
+    ``(token_hash, doc_id, tf, n2)`` rows — docs are batch-whole, so
+    per-doc term counts AND the full-vector norm² ``n2 = Σ tf²`` are
+    final in-batch, no shuffle. Then:
+
+      -> groupby(token).Count: document frequency; keep 2 <= df <= ceiling
+      -> bucketed pair emission per token run: (doc_a, doc_b,
+         dot_part = tf_a·tf_b, n2_a, n2_b)
+      -> groupby(pair): dot = Σ dot_parts (int64 — order-independent)
+      -> cosine = dot / sqrt(n2_a·n2_b), filter >= threshold.
+
+    Every quantity entering the final expression (dot, n2_a, n2_b) is an
+    int64 sum, so the score is ONE float expression of three exact
+    integers — bit-identical to the SQL oracle regardless of summation
+    order (the reason this is tf-cosine, not tf-idf: idf weights would
+    put order-dependent float sums on the reduce path).
+
+    ``df_ceiling`` is the same prefix-filtering cut as
+    ``ngram_jaccard_pairs`` (a token in d docs emits O(d²) pair rows):
+    tokens with df > ceiling contribute to norms but not to dots, so the
+    reported cosine is a conservative lower bound — a stopword can never
+    create a pair, only dilute one. The oracle applies the identical cut.
+    Both shuffles move fixed-width int rows, never text.
+
+    The default ``threshold`` is LOW because the synthetic corpus has no
+    planted lexical near-dups (its mid-df-band cosines top out ~0.08, so
+    0.05 keeps the oracle gate non-trivial); real dedup runs pass
+    0.6-0.8 — the planted-duplicate pytest pins that regime."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .textstats import _token_pairs
+
+    B = n_buckets or n_shuffle_buckets()
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _empty_rows = pa.table(
+        {
+            "tk": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "n2": pa.array([], pa.int64()),
+        }
+    )
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        pairs = _token_pairs(t)
+        doc = pairs["doc_id"].to_numpy(zero_copy_only=False)
+        if len(doc) == 0:
+            return _empty_rows
+        tk = hash64(pairs["tok"].to_numpy(zero_copy_only=False)).view(np.int64)
+        # run-scan the (doc, token-hash) lexsort: run length = tf
+        order = np.lexsort((tk, doc))
+        d_s, k_s = doc[order], tk[order]
+        new = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])))
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(d_s))).astype(np.int64)
+        d_u, k_u = d_s[starts], k_s[starts]
+        # full-vector norm² per doc (ALL tokens, before any df cut)
+        tf2 = tf * tf
+        doc_new = np.concatenate(([True], d_u[1:] != d_u[:-1]))
+        doc_starts = np.flatnonzero(doc_new)
+        seg = np.cumsum(doc_new) - 1
+        n2_per_doc = np.bincount(seg, weights=tf2).astype(np.int64)
+        n2 = n2_per_doc[seg]
+        return pa.table(
+            {
+                "tk": pa.array(k_u, pa.int64()),
+                "doc_id": pa.array(d_u, pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+                "n2": pa.array(n2, pa.int64()),
+            }
+        )
+
+    _empty_pairs = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "dot_part": pd.Series([], dtype="int64"),
+            "n2_a": pd.Series([], dtype="int64"),
+            "n2_b": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Pair emission for every token run inside ONE hash bucket (the
+        groupby key is ``tk % B`` — B groups amortize Ray's per-group
+        dispatch; the inner loop is a numpy run-scan over the lexsorted
+        block, each run bounded by df_ceiling)."""
+        if len(g) < 2:
+            return _empty_pairs
+        tk_all = g["tk"].to_numpy(dtype=np.int64)
+        ids_all = g["doc_id"].to_numpy(dtype=np.int64)
+        tf_all = g["tf"].to_numpy(dtype=np.int64)
+        n2_all = g["n2"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids_all, tk_all))
+        k_s, i_s, f_s, n_s = tk_all[order], ids_all[order], tf_all[order], n2_all[order]
+        bounds = np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1], [True])))
+        outs = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            m = int(b1 - b0)
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            outs.append(
+                (
+                    i_s[b0:b1][ii],
+                    i_s[b0:b1][jj],
+                    f_s[b0:b1][ii] * f_s[b0:b1][jj],
+                    n_s[b0:b1][ii],
+                    n_s[b0:b1][jj],
+                )
+            )
+        if not outs:
+            return _empty_pairs
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate([o[0] for o in outs]),
+                "doc_b": np.concatenate([o[1] for o in outs]),
+                "dot_part": np.concatenate([o[2] for o in outs]),
+                "n2_a": np.concatenate([o[3] for o in outs]),
+                "n2_b": np.concatenate([o[4] for o in outs]),
+            }
+        )
+
+    # Pass 1 — document frequency over ONE materialized tokenize (the
+    # df pass and the pair pass share the dataset; tokenizing text is
+    # the dominant per-doc cost). df >= 2: singletons can't pair.
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    keep = bounded_driver_frame(
+        tf_ds.groupby("tk")
+        .aggregate(Count(alias_name="df"))
+        .filter(expr=f"df >= 2 and df <= {int(df_ceiling)}"),
+        "tf_cosine_pairs kept-token frame",
+        max_driver_rows,
+    )
+    keep_keys = np.sort(keep["tk"].to_numpy(dtype=np.int64))
+    keep_ref = ray.put(keep_keys)
+
+    def only_kept(t: pa.Table) -> pa.Table:
+        keep_ = ray.get(keep_ref)
+        if len(keep_) == 0:
+            t = t.slice(0, 0)
+            kk = np.array([], dtype=np.int64)
+        else:
+            kk = t["tk"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(keep_, kk), len(keep_) - 1)
+            sel = keep_[pos] == kk
+            t = t.filter(pa.array(sel))
+            kk = kk[sel]
+        return t.append_column("tb", pa.array((kk % B).astype(np.int64), pa.int64()))
+
+    agg = (
+        tf_ds.map_batches(only_kept, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(co_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Sum("dot_part", alias_name="dot"),
+            Max("n2_a", alias_name="na"),
+            Max("n2_b", alias_name="nb"),
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        dot = t["dot"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = dot / np.sqrt(na * nb)  # one float expr of three exact ints
+        keep = c >= threshold
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].filter(pa.array(keep)),
+                "doc_b": t["doc_b"].filter(pa.array(keep)),
+                "cosine": pa.array(np.round(c[keep], 4), pa.float64()),
+            }
+        )
+
+    out = agg.map_batches(score, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    out = out.astype({"doc_a": "int64", "doc_b": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 _SIM_CHUNK = 2048  # pairwise tile edge: 2048^2 uint64 xor = 32 MiB peak
 
 

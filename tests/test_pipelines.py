@@ -64,6 +64,7 @@ SWEEP = [
     "exact_dedup_incremental",
     "first_per_key",
     "ngram_jaccard_pairs",
+    "tf_cosine_pairs",
     "near_dup_clusters",
     "decontaminate",
     "asof_join_events",
@@ -2447,3 +2448,83 @@ class TestPhraseSearch:
             ref.reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestTfCosinePairs:
+    """Planted-corpus semantics for the sparse-tf cosine miner: a
+    near-verbatim duplicate scores ~1 and is found at a real (0.6)
+    threshold, unrelated docs are not paired, scores equal a
+    driver-local numpy reference built from the same df-band rule, and
+    n_buckets cannot change the result."""
+
+    def _write(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        docs = {
+            0: base + "iota",
+            1: base + "kappa",                       # near-dup of 0
+            2: "lorem ipsum dolor sit amet " * 10,   # unrelated pair base
+            3: "lorem ipsum dolor sit amet " * 10 + "extra tokens here",
+            4: "completely different words nothing shared whatsoever",
+            5: "",                                   # empty doc: no rows
+        }
+        tmp_path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        return str(tmp_path), docs
+
+    @staticmethod
+    def _reference(docs, threshold, df_ceiling=256):
+        from collections import Counter
+
+        tf = {d: Counter(t.split()) for d, t in docs.items()}
+        df = Counter(tok for c in tf.values() for tok in c)
+        kept = {t for t, d in df.items() if 2 <= d <= df_ceiling}
+        n2 = {d: sum(v * v for v in c.values()) for d, c in tf.items()}
+        rows = []
+        ids = sorted(docs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                dot = sum(tf[a][t] * tf[b][t] for t in kept if t in tf[a] and t in tf[b])
+                if dot == 0 or n2[a] == 0 or n2[b] == 0:
+                    continue
+                c = dot / np.sqrt(float(n2[a] * n2[b]))
+                if c >= threshold:
+                    rows.append((a, b, np.round(c, 4)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "cosine"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
+        )
+
+    @pytest.mark.parametrize("threshold", [0.6, 0.05])
+    def test_planted_matches_reference(self, tmp_path, threshold):
+        from blockspider_ray.pipelines.dedup import tf_cosine_pairs
+
+        d, docs = self._write(tmp_path)
+        got = tf_cosine_pairs(d, threshold=threshold)
+        ref = self._reference(docs, threshold)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            ref.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+            check_dtype=False,
+        )
+        if threshold == 0.6:
+            # the planted near-dups pair up; the unrelated doc pairs with no one
+            assert set(map(tuple, got[["doc_a", "doc_b"]].values)) == {(0, 1), (2, 3)}
+            assert (got["cosine"] > 0.9).all()
+
+    def test_bucket_count_invariance(self, tmp_path):
+        from blockspider_ray.pipelines.dedup import tf_cosine_pairs
+
+        d, _ = self._write(tmp_path)
+        a = tf_cosine_pairs(d, threshold=0.05, n_buckets=2)
+        b = tf_cosine_pairs(d, threshold=0.05, n_buckets=64)
+        pd.testing.assert_frame_equal(a, b)
