@@ -570,7 +570,7 @@ def tf_cosine_pairs(
     planted lexical near-dups (its mid-df-band cosines top out ~0.08, so
     0.05 keeps the oracle gate non-trivial); real dedup runs pass
     0.6-0.8 — the planted-duplicate pytest pins that regime."""
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Count
 
     from .textstats import _token_pairs
 
@@ -617,6 +617,7 @@ def tf_cosine_pairs(
 
     _empty_pairs = pd.DataFrame(
         {
+            "pb": pd.Series([], dtype="int64"),
             "doc_a": pd.Series([], dtype="int64"),
             "doc_b": pd.Series([], dtype="int64"),
             "dot_part": pd.Series([], dtype="int64"),
@@ -625,11 +626,30 @@ def tf_cosine_pairs(
         }
     )
 
+    def _pair_combine(
+        a: np.ndarray, b: np.ndarray, dot: np.ndarray, na: np.ndarray, nb: np.ndarray
+    ) -> tuple[np.ndarray, ...]:
+        """Sum dot partials per (a, b) run — lexsort + reduceat, safe
+        for arbitrary int64 ids (no key fusing)."""
+        order = np.lexsort((b, a))
+        a, b, dot, na, nb = a[order], b[order], dot[order], na[order], nb[order]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        starts = np.flatnonzero(new)
+        return (
+            a[starts],
+            b[starts],
+            np.add.reduceat(dot, starts),
+            na[starts],
+            nb[starts],
+        )
+
     def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """Pair emission for every token run inside ONE hash bucket (the
         groupby key is ``tk % B`` — B groups amortize Ray's per-group
         dispatch; the inner loop is a numpy run-scan over the lexsorted
-        block, each run bounded by df_ceiling)."""
+        block, each run bounded by df_ceiling). Emits per-(pair, bucket)
+        PARTIAL dot products already combined within the bucket, keyed
+        by the pair hash ``pb`` for the resolve shuffle."""
         if len(g) < 2:
             return _empty_pairs
         tk_all = g["tk"].to_numpy(dtype=np.int64)
@@ -656,14 +676,21 @@ def tf_cosine_pairs(
             )
         if not outs:
             return _empty_pairs
+        a, b, dot, na, nb = _pair_combine(
+            np.concatenate([o[0] for o in outs]),
+            np.concatenate([o[1] for o in outs]),
+            np.concatenate([o[2] for o in outs]),
+            np.concatenate([o[3] for o in outs]),
+            np.concatenate([o[4] for o in outs]),
+        )
+        # integer pair mix (fibonacci-hash the fused key): uniform over
+        # B buckets without string hashing; uint64 wraparound is the mix
+        pb = (
+            (a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.view(np.uint64))
+            % np.uint64(B)
+        ).astype(np.int64)
         return pd.DataFrame(
-            {
-                "doc_a": np.concatenate([o[0] for o in outs]),
-                "doc_b": np.concatenate([o[1] for o in outs]),
-                "dot_part": np.concatenate([o[2] for o in outs]),
-                "n2_a": np.concatenate([o[3] for o in outs]),
-                "n2_b": np.concatenate([o[4] for o in outs]),
-            }
+            {"pb": pb, "doc_a": a, "doc_b": b, "dot_part": dot, "n2_a": na, "n2_b": nb}
         )
 
     # Pass 1 — document frequency over ONE materialized tokenize (the
@@ -693,33 +720,49 @@ def tf_cosine_pairs(
             kk = kk[sel]
         return t.append_column("tb", pa.array((kk % B).astype(np.int64), pa.int64()))
 
-    agg = (
-        tf_ds.map_batches(only_kept, batch_format="pyarrow")
-        .groupby("tb")
-        .map_groups(co_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Sum("dot_part", alias_name="dot"),
-            Max("n2_a", alias_name="na"),
-            Max("n2_b", alias_name="nb"),
-        )
+    _empty_scored = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
     )
 
-    def score(t: pa.Table) -> pa.Table:
-        dot = t["dot"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c = dot / np.sqrt(na * nb)  # one float expr of three exact ints
-        keep = c >= threshold
-        return pa.table(
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        """Final per-pair reduce inside ONE pair-hash bucket (the house
+        bucketed run-scan — Ray's native multi-key Sum/Max aggregate
+        pays ~1 ms/group at this group count, a measured 60 s on 31k
+        pairs at sf0.1; this resolve is one lexsort + reduceat): sum the
+        per-token-bucket dot partials, score, filter."""
+        a, b, dot, na, nb = _pair_combine(
+            g["doc_a"].to_numpy(dtype=np.int64),
+            g["doc_b"].to_numpy(dtype=np.int64),
+            g["dot_part"].to_numpy(dtype=np.int64),
+            g["n2_a"].to_numpy(dtype=np.int64),
+            g["n2_b"].to_numpy(dtype=np.int64),
+        )
+        c = dot.astype(np.float64) / np.sqrt(
+            na.astype(np.float64) * nb.astype(np.float64)
+        )  # one float expr of three exact ints
+        keep_m = c >= threshold
+        if not keep_m.any():
+            return _empty_scored
+        return pd.DataFrame(
             {
-                "doc_a": t["doc_a"].filter(pa.array(keep)),
-                "doc_b": t["doc_b"].filter(pa.array(keep)),
-                "cosine": pa.array(np.round(c[keep], 4), pa.float64()),
+                "doc_a": a[keep_m],
+                "doc_b": b[keep_m],
+                "cosine": np.round(c[keep_m], 4),
             }
         )
 
-    out = agg.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = (
+        tf_ds.map_batches(only_kept, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(co_pairs, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
     if out.empty:
         out = pd.DataFrame(
             {
