@@ -67,6 +67,45 @@ _NGRAM_JACCARD_SQL = r"""
     WHERE ROUND(c / (sa.n + sb.n - c), 4) >= 0.5
 """
 
+# edit_distance_pairs: Levenshtein verification of the ngram miner's
+# candidates at jaccard_floor 0.3 (same CTE chain as
+# _NGRAM_JACCARD_SQL). dist and both lengths are exact ints; sim is one
+# float expression of them — order-independent parity.
+_EDIT_DIST_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, CASE WHEN len(w) >= 5 THEN len(w) - 4
+                                            WHEN len(w) > 0 THEN 1 ELSE 0 END)) AS i
+      FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 4], ' ') AS s FROM pos),
+    kept AS (
+      SELECT sh.doc_id, sh.s FROM sh
+      JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 256) df USING (s)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cand AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(c / (sa.n + sb.n - c), 4) >= 0.3
+    )
+    SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+           levenshtein(da.text, db.text)::BIGINT AS dist,
+           ROUND(1.0 - levenshtein(da.text, db.text) /
+                 GREATEST(length(da.text), length(db.text)), 4) AS sim
+    FROM cand JOIN documents da ON da.doc_id = doc_a
+              JOIN documents db ON db.doc_id = doc_b
+"""
+
 # tf_cosine_pairs: exact all-pairs lexical cosine over sparse tf
 # vectors. Every quantity entering the score (dot, n2_a, n2_b) is an
 # int64 sum, so cosine is ONE float expression of three exact integers
@@ -287,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # exact sparse-tf lexical cosine all-pairs (integer dot/norm partials)
         "tf_cosine_pairs": dedup.tf_cosine_pairs,
+        # Levenshtein verification of mined candidates (char-exact arbiter)
+        "edit_distance_pairs": dedup.edit_distance_pairs,
         # substring-level duplication profile (positional k-gram
         # multiplicity — the Lee et al. 2022 span-dedup measurement)
         "repeated_spans": dedup.repeated_spans,
@@ -1150,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         # verify stage recomputes true Jaccard) + planted-dup recall.
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "tf_cosine_pairs": _TF_COSINE_SQL,
+        "edit_distance_pairs": _EDIT_DIST_SQL,
         # cluster resolution over the EXACT (ngram) pair list: recursive
         # min-reachable-id closure == connected components. The Ray side
         # runs the distributed hash-to-min loop (pipelines/clusters.py);

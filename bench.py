@@ -268,6 +268,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "simhash_near_dups",
         "ngram_jaccard_pairs",
         "tf_cosine_pairs",
+        "edit_distance_pairs",
         "repeated_spans",
         "strip_repeated_spans",
         "decontaminate",

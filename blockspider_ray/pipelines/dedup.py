@@ -775,6 +775,161 @@ def tf_cosine_pairs(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Exact Levenshtein distance (unit insert/delete/substitute), DP
+    vectorized across each row: python loops only over the SHORTER
+    string's characters, the row update is numpy. The sequential
+    ``cur[j] = min(t[j], cur[j-1]+1)`` dependence is solved by the
+    prefix-min identity ``cur[j]-j = min over i<=j of (t[i]-i)`` —
+    one ``np.minimum.accumulate`` per row. Strings are compared as
+    utf-32 code points, matching the SQL ``levenshtein``'s per-character
+    semantics on any input, not just ASCII."""
+    if a == b:
+        return 0
+    x = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    y = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    if len(x) < len(y):
+        x, y = y, x  # iterate over the longer, vectorize over the shorter
+    if len(y) == 0:
+        return len(x)
+    m = len(y)
+    prev = np.arange(m + 1, dtype=np.int64)
+    rng = np.arange(1, m + 1, dtype=np.int64)
+    idx = np.arange(m + 1, dtype=np.int64)
+    for i, cx in enumerate(x, 1):
+        t = np.minimum(prev[1:] + 1, prev[:-1] + (y != cx))
+        v = np.minimum.accumulate(np.concatenate(([np.int64(i)], t - rng)))
+        prev = v + idx
+    return int(prev[-1])
+
+
+def edit_distance_pairs(
+    sf_dir: str,
+    jaccard_floor: float = 0.3,
+    n_buckets: int | None = None,
+    max_driver_rows: int = _MAX_DRIVER_ROWS,
+) -> pd.DataFrame:
+    """Edit-distance VERIFICATION of mined near-dup candidates — the
+    character-exact final arbiter a fuzzy-dedup pipeline runs on the
+    (small) candidate set its token-level miners produce. Candidates
+    come from ``ngram_jaccard_pairs`` at a permissive ``jaccard_floor``;
+    each surviving pair gets the exact Levenshtein distance plus the
+    normalized similarity ``sim = 1 - dist / max(len_a, len_b)``.
+
+    Distance and both lengths are exact integers, so ``sim`` is ONE
+    float expression of three ints — bit-identical to the SQL oracle.
+
+    Shape: the candidate frame is duplicate-bounded (driver-side, the
+    ngram miner's contract). Texts are then routed by pair: one
+    documents pass emits (pair_id % B, pair_id, side, text) rows for
+    participating docs ONLY — the single place in this module where
+    text rides a shuffle, and deliberately so: the moved bytes are
+    candidate-bounded (2 docs per mined pair), not corpus-bounded,
+    and co-locating both texts of a pair is the verify step's
+    irreducible cost. Each bucket task then runs the DP per pair.
+    O(len_a*len_b) per pair is acceptable BECAUSE candidates are mined,
+    never all-pairs; a banded DP would cut the constant further."""
+    B = n_buckets or n_shuffle_buckets()
+    cand = ngram_jaccard_pairs(
+        sf_dir,
+        threshold=jaccard_floor,
+        n_buckets=n_buckets,
+        max_driver_rows=max_driver_rows,
+    )
+    _empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "dist": pd.Series([], dtype="int64"),
+            "sim": pd.Series([], dtype="float64"),
+        }
+    )
+    if cand.empty:
+        return _empty
+    pair_a = cand["doc_a"].to_numpy(dtype=np.int64)
+    pair_b = cand["doc_b"].to_numpy(dtype=np.int64)
+    n_pairs = len(pair_a)
+    # membership index doc -> [(pair_id, side)], broadcast once (pair-
+    # bounded: 2 rows per candidate pair)
+    docs_all = np.concatenate([pair_a, pair_b])
+    pid_all = np.concatenate([np.arange(n_pairs), np.arange(n_pairs)]).astype(np.int64)
+    side_all = np.concatenate(
+        [np.zeros(n_pairs, dtype=np.int64), np.ones(n_pairs, dtype=np.int64)]
+    )
+    order = np.argsort(docs_all, kind="stable")
+    member_ref = ray.put(
+        (docs_all[order], pid_all[order], side_all[order], pair_a, pair_b)
+    )
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _empty_routed = pa.table(
+        {
+            "gb": pa.array([], pa.int64()),
+            "pid": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+
+    def route(t: pa.Table) -> pa.Table:
+        d_sorted, pid_s, side_s, _, _ = ray.get(member_ref)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(d_sorted, doc, side="left")
+        hi = np.searchsorted(d_sorted, doc, side="right")
+        cnt = hi - lo
+        sel = np.flatnonzero(cnt)
+        if len(sel) == 0:
+            return _empty_routed
+        reps = cnt[sel]
+        total = int(reps.sum())
+        offs = np.repeat(np.cumsum(reps) - reps, reps)
+        pos = np.arange(total, dtype=np.int64) - offs + np.repeat(lo[sel], reps)
+        pids = pid_s[pos]
+        return pa.table(
+            {
+                "gb": pa.array(pids % B, pa.int64()),
+                "pid": pa.array(pids, pa.int64()),
+                "side": pa.array(side_s[pos], pa.int64()),
+                "text": t["text"].take(pa.array(np.repeat(sel, reps))),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, pa_ids, pb_ids = ray.get(member_ref)
+        pid = g["pid"].to_numpy(dtype=np.int64)
+        side = g["side"].to_numpy(dtype=np.int64)
+        texts = g["text"].to_numpy(dtype=object)
+        order_ = np.lexsort((side, pid))
+        pid, side, texts = pid[order_], side[order_], texts[order_]
+        rows = []
+        for i in range(0, len(pid), 2):
+            # both sides of a pair land in this bucket by construction
+            p = int(pid[i])
+            ta, tb = str(texts[i]), str(texts[i + 1])
+            dist = _levenshtein(ta, tb)
+            la, lb = len(ta), len(tb)
+            mx = max(la, lb)
+            sim = 1.0 - dist / mx if mx else 1.0
+            rows.append((int(pa_ids[p]), int(pb_ids[p]), dist, np.round(sim, 4)))
+        if not rows:
+            return _empty
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "dist", "sim"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "dist": "int64", "sim": "float64"}
+        )
+
+    out = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return _empty
+    out = out.astype({"doc_a": "int64", "doc_b": "int64", "dist": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 _SIM_CHUNK = 2048  # pairwise tile edge: 2048^2 uint64 xor = 32 MiB peak
 
 

@@ -65,6 +65,7 @@ SWEEP = [
     "first_per_key",
     "ngram_jaccard_pairs",
     "tf_cosine_pairs",
+    "edit_distance_pairs",
     "near_dup_clusters",
     "decontaminate",
     "asof_join_events",
@@ -2528,3 +2529,57 @@ class TestTfCosinePairs:
         a = tf_cosine_pairs(d, threshold=0.05, n_buckets=2)
         b = tf_cosine_pairs(d, threshold=0.05, n_buckets=64)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestEditDistancePairs:
+    def test_kernel_fuzz_vs_pure_python(self):
+        import random
+
+        from blockspider_ray.pipelines.dedup import _levenshtein
+
+        def ref(a, b):
+            dp = list(range(len(b) + 1))
+            for i in range(1, len(a) + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, len(b) + 1):
+                    cur = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                    prev, dp[j] = dp[j], cur
+            return dp[-1]
+
+        rnd = random.Random(7)
+        for _ in range(200):
+            a = "".join(rnd.choices("abcd", k=rnd.randint(0, 15)))
+            b = "".join(rnd.choices("abcd", k=rnd.randint(0, 15)))
+            assert _levenshtein(a, b) == ref(a, b)
+        assert _levenshtein("kitten", "sitting") == 3
+        assert _levenshtein("", "") == 0
+        assert _levenshtein("héllo", "hello") == 1  # per-codepoint, not per-byte
+
+    def test_planted_pipeline(self, tmp_path):
+        """Near-identical planted docs: the miner pairs them, the verify
+        stage reports the exact character distance of the planted edit."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.dedup import edit_distance_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+        docs = {
+            0: base + "tail one",
+            1: base + "tail two",  # 5 char edits from doc 0 ("one" -> "two" is 3; see below)
+            2: "unrelated words entirely different from everything else here now",
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        out = edit_distance_pairs(str(tmp_path))
+        assert list(map(tuple, out[["doc_a", "doc_b"]].values)) == [(0, 1)]
+        # "one" vs "two": o->t, n->w, e->o = 3 substitutions
+        assert out["dist"].iloc[0] == 3
+        assert out["sim"].iloc[0] > 0.98
