@@ -378,6 +378,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": textstats.quality_classifier,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
+        # diversity-aware top-k: MMR re-rank of the brute shortlist
+        # (greedy/iterative — no SQL oracle; pytest pins lam=1 == brute
+        # top-k, a planted reference-MMR equality, and determinism)
+        "knn_mmr": similarity.knn_mmr,
         "knn_lsh": similarity.knn_lsh,
         # IVF-flat ANN (approximate recall, exact per-candidate sims —
         # no SQL oracle; pytest pins recall + sim exactness vs knn_cosine)

@@ -274,6 +274,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "decontaminate",
         "asof_join_events",
         "knn_cosine",
+        "knn_mmr",
         "knn_lsh",
         "knn_ivf",
         "knn_ivf_indexed",

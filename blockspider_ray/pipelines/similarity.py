@@ -89,6 +89,130 @@ def knn_cosine(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
 
 
+def knn_mmr(
+    sf_dir: str, k: int = K, lam: float = 0.7, shortlist: int = 4 * K
+) -> pd.DataFrame:
+    """Diversity-aware top-k: Maximal Marginal Relevance (Carbonell &
+    Goldstein, SIGIR'98) re-rank — greedily pick the candidate
+    maximizing ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)``, so
+    a shortlist crowded with near-duplicates yields a varied result set
+    (the retrieval-side complement of the near-dup miners).
+
+    Scale shape: stage 1 is the distributed brute-force combiner at a
+    WIDER k (per-batch partial top-``shortlist``, only shortlist rows
+    per (query, batch) reach the reduce); stage 2 gathers the shortlist
+    vectors with ONE candidate-bounded filtered pass and runs the
+    inherently-sequential greedy loop driver-side over Q×shortlist
+    items — query-bounded state, never corpus-sized. The greedy argmax
+    is itself vectorized (one running max-sim array per query,
+    updated with one matvec per pick). Ties break by the canonical
+    (sim desc, vec_id asc) candidate order — fully deterministic.
+    ``lam=1`` degenerates to exact brute-force top-k (pinned in
+    pytest)."""
+    assert 0.0 <= lam <= 1.0 and k <= shortlist
+    qids, qm = _query_matrix(sf_dir)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    ref = ray.put((qids, qn))
+
+    _empty = pa.table(
+        {
+            "qid": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, qn_ = ray.get(ref)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mask = vids >= N_QUERIES
+        if not mask.any():
+            return _empty
+        m = _emb_matrix(t)[mask]
+        vids = vids[mask]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qn_ @ mn.T
+        kk = min(shortlist, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_v.extend(vids[idx].tolist())
+            out_s.extend(sims[qi][idx].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(shortlist)
+
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    short = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()  # Q x shortlist rows
+    )
+    if short.empty:
+        return pd.DataFrame(
+            {
+                "qid": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+
+    # ONE candidate-bounded vector gather for the pairwise-sim terms
+    cand_ids = np.unique(short["vec_id"].to_numpy(dtype=np.int64))
+    cand_ref = ray.put(cand_ids)
+
+    def only_cands(t: pa.Table) -> pa.Table:
+        ids_ = ray.get(cand_ref)
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ids_, v), len(ids_) - 1)
+        return t.filter(pa.array(ids_[pos] == v))
+
+    cand = ds.map_batches(only_cands, batch_format="pyarrow").to_pandas()
+    cmat = np.stack([np.asarray(v, dtype=np.float64) for v in cand["embedding"]])
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    cvid = cand["vec_id"].to_numpy(dtype=np.int64)
+    row_of = {int(v): i for i, v in enumerate(cvid)}
+
+    rows = []
+    for qid, g in short.groupby("qid", sort=True):
+        v = g["vec_id"].to_numpy(dtype=np.int64)
+        s = g["sim"].to_numpy(dtype=np.float64)
+        # canonical candidate order for deterministic ties
+        o = np.lexsort((v, -s))
+        v, s = v[o], s[o]
+        vecs = cmat[[row_of[int(x)] for x in v]]
+        chosen: list[int] = []
+        max_red = np.full(len(v), -np.inf)  # max sim to any selected item
+        taken = np.zeros(len(v), dtype=bool)
+        for rank in range(min(k, len(v))):
+            score = lam * s - (0.0 if not chosen else (1.0 - lam) * max_red)
+            score = np.where(taken, -np.inf, score)
+            # argmax with vec_id-asc tie-break: scan in (score desc,
+            # vec_id asc) order — v is already sim-desc/vec_id-asc, so
+            # a stable argmax over the canonical order suffices
+            best = int(np.argmax(score))
+            taken[best] = True
+            chosen.append(best)
+            red = vecs @ vecs[best]
+            max_red = np.maximum(max_red, red)
+            rows.append((int(qid), rank, int(v[best]), float(s[best])))
+    out = pd.DataFrame(rows, columns=["qid", "rank", "vec_id", "sim"]).astype(
+        {"qid": "int64", "rank": "int64", "vec_id": "int64", "sim": "float64"}
+    )
+    out["sim"] = out["sim"].round(3)
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
 def knn_lsh(sf_dir: str, n_tables: int = 32, n_planes: int = 5) -> pd.DataFrame:
     """Multi-table LSH ANN: L independent random-hyperplane tables of P
     planes each; a vector is a candidate for a query iff it lands in the

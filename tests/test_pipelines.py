@@ -2583,3 +2583,81 @@ class TestEditDistancePairs:
         # "one" vs "two": o->t, n->w, e->o = 3 substitutions
         assert out["dist"].iloc[0] == 3
         assert out["sim"].iloc[0] > 0.98
+
+
+class TestKnnMMR:
+    def test_lambda_one_is_brute_topk(self):
+        from blockspider_ray.pipelines.similarity import knn_cosine, knn_mmr
+
+        mmr = knn_mmr(SF, lam=1.0)
+        brute = knn_cosine(SF)
+        for qid, g in mmr.groupby("qid"):
+            assert set(g["vec_id"]) == set(brute[brute["qid"] == qid]["vec_id"])
+            # ranks follow sim descending when diversity is off
+            assert (g.sort_values("rank")["sim"].diff().dropna() <= 1e-12).all()
+
+    def test_planted_matches_reference_mmr(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.similarity import knn_mmr
+
+        vecs = {
+            0: [1.0, 0.0, 0.0, 0.0],   # queries: 0, 1, 2
+            1: [0.0, 1.0, 0.0, 0.0],
+            2: [0.0, 0.0, 1.0, 0.0],
+            3: [1.0, 0.0, 0.0, 0.0],   # exact dup of q0's direction
+            4: [0.999, 0.04, 0.0, 0.0],  # near-dup of 3
+            5: [0.7, 0.7, 0.0, 0.0],
+            6: [0.0, 0.9, 0.4, 0.0],
+            7: [0.1, 0.1, 0.9, 0.0],
+            8: [0.0, 0.0, 0.0, 1.0],
+            9: [0.5, 0.0, 0.5, 0.7],
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(list(vecs), pa.int64()),
+                    "embedding": pa.array(list(vecs.values()), pa.list_(pa.float32())),
+                }
+            ),
+            f"{tmp_path}/embeddings.parquet",
+        )
+
+        # lam=0.3: diversity dominates (at 0.5 with q0 == candidate 3's
+        # direction every score degenerates to 0 — sim_q(d) == sim(d, 3))
+        lam, k = 0.3, 3
+        got = knn_mmr(str(tmp_path), k=k, lam=lam, shortlist=7)
+
+        # driver-local reference MMR over the same candidates
+        q = np.stack([np.asarray(vecs[i], dtype=np.float32).astype(np.float64) for i in (0, 1, 2)])
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        cids = np.arange(3, 10)
+        c = np.stack([np.asarray(vecs[i], dtype=np.float32).astype(np.float64) for i in cids])
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        for qi in range(3):
+            s = q[qi] @ c.T
+            order = np.lexsort((cids, -s))
+            v_, s_, c_ = cids[order], s[order], c[order]
+            chosen, max_red = [], np.full(len(v_), -np.inf)
+            taken = np.zeros(len(v_), dtype=bool)
+            for rank in range(k):
+                score = lam * s_ - (0.0 if not chosen else (1.0 - lam) * max_red)
+                score = np.where(taken, -np.inf, score)
+                best = int(np.argmax(score))
+                taken[best] = True
+                chosen.append(best)
+                max_red = np.maximum(max_red, c_ @ c_[best])
+                row = got[(got["qid"] == qi) & (got["rank"] == rank)].iloc[0]
+                assert row["vec_id"] == v_[best], (qi, rank, row["vec_id"], v_[best])
+        # the diversity property that motivates the operator: q0's rank-1
+        # pick is NOT the near-dup of its rank-0 pick
+        q0 = got[got["qid"] == 0].sort_values("rank")["vec_id"].tolist()
+        assert q0[0] == 3 and q0[1] != 4
+
+    def test_deterministic(self):
+        from blockspider_ray.pipelines.similarity import knn_mmr
+
+        a = knn_mmr(SF)
+        b = knn_mmr(SF)
+        pd.testing.assert_frame_equal(a, b)
