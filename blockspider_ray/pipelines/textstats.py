@@ -1499,6 +1499,86 @@ def postings_build_index(sf_dir: str, index_dir: str, n_buckets: int = 32) -> st
     return index_dir
 
 
+def postings_update_index(new_dir: str, index_dir: str, shard_tag: str) -> bool:
+    """Incrementally ingest a NEW document shard into an existing
+    postings index — the daily-crawl operational path (the phrase-index
+    twin of ``dedup_index_build``'s ``update_index``): tokenize ONLY the
+    new shard, append its rows into the SAME ``bucket=`` hive layout
+    (Ray's writer names files uniquely, so appends never clobber), and
+    record ``shard_tag`` in an atomically-replaced manifest sidecar.
+    A re-run with an already-ingested tag is a no-op (returns False) —
+    idempotence at the shard level, so a failed orchestration can
+    simply re-submit. The corpus already in the index is NEVER re-read:
+    ingest cost is proportional to the new shard alone."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.urls import hash64
+
+    meta_path = os.path.join(index_dir, "meta.parquet")
+    assert os.path.exists(meta_path), f"no postings index at {index_dir}"
+    nb = int(pq.read_table(meta_path)["n_buckets"][0].as_py())
+    manifest_path = os.path.join(index_dir, "shards.parquet")
+    done: list[str] = (
+        pq.read_table(manifest_path)["shard_tag"].to_pylist()
+        if os.path.exists(manifest_path)
+        else []
+    )
+    if shard_tag in done:
+        return False
+
+    ds = T(new_dir, "documents", columns=["doc_id", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        doc, pos, tok = _positional_tokens(t)
+        b = (hash64(tok) & np.uint64(nb - 1)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "token": pa.array(tok, pa.string()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    # crash-safe ingest (the write_corpus_shards discipline): stage the
+    # shard's postings in a sidecar dir, sweep any tag-prefixed files a
+    # previous crashed attempt left in the live buckets, then rename the
+    # staged files in (metadata-only moves) and record the manifest LAST
+    # via tmp+replace — a crash at any point leaves a state the re-run
+    # repairs, so ingest is exactly-once per tag.
+    import shutil
+
+    staging = os.path.join(index_dir, f".staging-{shard_tag}")
+    shutil.rmtree(staging, ignore_errors=True)
+    ds.map_batches(rows, batch_format="pyarrow").write_parquet(
+        staging, partition_cols=["bucket"]
+    )
+    prefix = f"shard-{shard_tag}-"
+    for b in range(nb):
+        live = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(live):
+            for f in os.listdir(live):
+                if f.startswith(prefix):
+                    os.remove(os.path.join(live, f))
+    for bdir in sorted(os.listdir(staging)):
+        if not bdir.startswith("bucket="):
+            continue
+        live = os.path.join(index_dir, bdir)
+        os.makedirs(live, exist_ok=True)
+        src = os.path.join(staging, bdir)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            os.replace(os.path.join(src, f), os.path.join(live, f"{prefix}{i}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+    tmp = manifest_path + ".tmp"
+    pq.write_table(
+        pa.table({"shard_tag": pa.array(done + [shard_tag], pa.string())}), tmp
+    )
+    os.replace(tmp, manifest_path)
+    return True
+
+
 def phrase_search_indexed(
     sf_dir: str, phrase: str = "the fast", index_dir: str | None = None
 ) -> pd.DataFrame:

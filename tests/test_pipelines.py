@@ -2661,3 +2661,97 @@ class TestKnnMMR:
         a = knn_mmr(SF)
         b = knn_mmr(SF)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestPostingsUpdateIndex:
+    """Incremental phrase-index ingest: base + shard update equals a
+    full rebuild over the merged corpus; re-runs with the same tag are
+    no-ops; a crashed partial ingest is swept and repaired."""
+
+    DOCS_A = {0: "the fast dog", 1: "a slow cat", 2: "the fast the fast"}
+    DOCS_B = {10: "the fast train", 11: "nothing relevant", 12: "fast the fast the"}
+
+    @staticmethod
+    def _write_docs(path, docs):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                }
+            ),
+            f"{path}/documents.parquet",
+        )
+        return str(path)
+
+    def test_update_equals_rebuild(self, tmp_path):
+        from blockspider_ray.pipelines.textstats import (
+            phrase_search,
+            phrase_search_indexed,
+            postings_build_index,
+            postings_update_index,
+        )
+
+        da = self._write_docs(tmp_path / "a", self.DOCS_A)
+        self._write_docs(tmp_path / "b", self.DOCS_B)
+        merged = self._write_docs(tmp_path / "m", {**self.DOCS_A, **self.DOCS_B})
+        idx = str(tmp_path / "idx")
+        postings_build_index(da, idx, n_buckets=8)
+
+        assert postings_update_index(str(tmp_path / "b"), idx, "day2") is True
+        got = phrase_search_indexed(merged, "the fast", index_dir=idx)
+        ref = phrase_search(merged, "the fast")
+        pd.testing.assert_frame_equal(got, ref)
+
+        # idempotence: same tag again is a no-op, results unchanged
+        assert postings_update_index(str(tmp_path / "b"), idx, "day2") is False
+        pd.testing.assert_frame_equal(
+            phrase_search_indexed(merged, "the fast", index_dir=idx), ref
+        )
+
+    def test_crashed_partial_ingest_is_repaired(self, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.textstats import (
+            phrase_search,
+            phrase_search_indexed,
+            postings_build_index,
+            postings_update_index,
+        )
+
+        da = self._write_docs(tmp_path / "a", self.DOCS_A)
+        self._write_docs(tmp_path / "b", self.DOCS_B)
+        merged = self._write_docs(tmp_path / "m", {**self.DOCS_A, **self.DOCS_B})
+        idx = str(tmp_path / "idx")
+        postings_build_index(da, idx, n_buckets=8)
+
+        # simulate a crash: tag-prefixed junk from a partial ingest
+        # landed in live buckets but the manifest was never written —
+        # a FULL phantom match for doc 999 ("the"@1 in bucket 5,
+        # "fast"@2 in bucket 0, the query tokens' buckets at nb=8), so
+        # if the sweep failed, doc 999 would be served as a hit
+        for bucket, token, pos in ((5, "the", 1), (0, "fast", 2)):
+            junk_dir = os.path.join(idx, f"bucket={bucket}")
+            os.makedirs(junk_dir, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "token": pa.array([token], pa.string()),
+                        "doc_id": pa.array([999], pa.int64()),
+                        "pos": pa.array([pos], pa.int64()),
+                    }
+                ),
+                os.path.join(junk_dir, "shard-day2-junk.parquet"),
+            )
+        assert postings_update_index(str(tmp_path / "b"), idx, "day2") is True
+        got = phrase_search_indexed(merged, "the fast", index_dir=idx)
+        ref = phrase_search(merged, "the fast")
+        assert 999 not in set(got["doc_id"])  # the phantom was swept
+        pd.testing.assert_frame_equal(got, ref)
