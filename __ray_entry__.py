@@ -452,6 +452,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph algorithm over the crawl host graph (no SQL
         # oracle: power iteration; pytest pins it to a dense reference)
         "pagerank_hosts": graph.pagerank_hosts,
+        # HITS hubs/authorities (iterative — no SQL oracle; pytest pins
+        # dense-reference equality and a planted star graph)
+        "hits_hosts": graph.hits_hosts,
         # exact global triangle count of the host graph (degree-oriented
         # wedge closure); pytest-pinned vs trace(A^3)/6 — no SQL oracle
         "host_triangles": graph.host_triangles,

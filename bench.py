@@ -295,6 +295,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "scrub_props",
         "hash_split",
         "pagerank_hosts",
+        "hits_hosts",
         "host_triangles",
         "corpus_prep",
     ]

@@ -291,6 +291,185 @@ def pagerank_hosts(sf_dir: str, k: int = 8) -> pd.DataFrame:
     return out.sort_values("host").reset_index(drop=True)
 
 
+def hits(
+    edges: rd.Dataset, k: int = 4, n_buckets: int = 16
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """HITS hubs & authorities (Kleinberg, JACM'99) over an
+    (src, dst, w) edge Dataset — the link-analysis complement of
+    PageRank (a host can be a great directory without being a great
+    destination; HITS separates the two roles the single PageRank
+    score conflates). Returns ``(auth, hub)`` Datasets of (host, s).
+
+    Same iterative architecture as :func:`pagerank` — per HALF-step,
+    exactly two bucketed all-to-alls over fixed-width (key, float)
+    rows and ONE executor launch ending in a fixed-count repartition +
+    materialize (the power-method barrier):
+
+      auth update: hub scores co-located with edges by hash(src) ->
+        per-dst partials -> apply vs the node table -> L2-normalize
+      hub update: auth scores co-located with edges by hash(dst) ->
+        per-src partials -> apply -> L2-normalize
+
+    The L2 norm is probed off the just-materialized score table's
+    blocks (each row carries s²; ``sum_col_over_blocks`` is zero-cpu
+    raw tasks, no second launch) and applied as a LAZY scalar divide
+    that fuses into the next half-step's launch. Weighted adjacency:
+    ``w`` is the link multiplicity, matching ``host_graph``."""
+    from ray.data.aggregate import Count
+
+    edges = edges.materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        hosts = np.unique(
+            np.concatenate(
+                [
+                    t["src"].to_numpy(zero_copy_only=False),
+                    t["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"host": pa.array(hosts, pa.string())})
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["host"])
+        .repartition(n_buckets)
+        .materialize()
+    )
+    n = nodes.count()
+    empty = nodes.map_batches(
+        lambda t: pa.table(
+            {"host": t["host"], "s": pa.array(np.zeros(t.num_rows), pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
+    if n == 0:
+        return empty, empty
+
+    def init_scores(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"],
+                "s": pa.array(np.full(t.num_rows, 1.0 / np.sqrt(n)), pa.float64()),
+            }
+        )
+
+    hub = nodes.map_batches(init_scores, batch_format="pyarrow")
+    auth = None
+
+    def half_step(scores: rd.Dataset, key_col: str, other_col: str) -> rd.Dataset:
+        """One HITS half-step: sum ``w * s(key_col endpoint)`` into every
+        ``other_col`` endpoint, then L2-normalize. scores: (host, s)."""
+
+        def tag_score(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": _bucket_col(t["host"], n_buckets),
+                    "key": t["host"],
+                    "other": pa.nulls(t.num_rows, pa.string()),
+                    "val": t["s"],
+                    "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def tag_edge(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": _bucket_col(t[key_col], n_buckets),
+                    "key": t[key_col],
+                    "other": t[other_col],
+                    "val": t["w"],
+                    "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def contribute(g: pd.DataFrame) -> pd.DataFrame:
+            s = g[g["side"] == 0][["key", "val"]].rename(columns={"val": "s"})
+            e = g[g["side"] == 1][["key", "other", "val"]]
+            m = e.merge(s, on="key", how="inner")
+            parts = pd.DataFrame({"node": m["other"], "part": m["val"] * m["s"]})
+            return parts.groupby("node", as_index=False)["part"].sum()
+
+        def tag_part(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": _bucket_col(t["node"], n_buckets),
+                    "key": t["node"],
+                    "val": t["part"],
+                    "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def tag_node(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": _bucket_col(t["host"], n_buckets),
+                    "key": t["host"],
+                    "val": pa.array(np.zeros(t.num_rows), pa.float64()),
+                    "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def apply_s(g: pd.DataFrame) -> pd.DataFrame:
+            nodes_g = g[g["side"] == 0][["key"]]
+            sums = g[g["side"] == 1].groupby("key", as_index=False)["val"].sum()
+            m = nodes_g.merge(sums, on="key", how="left").fillna({"val": 0.0})
+            return pd.DataFrame(
+                {"host": m["key"], "s": m["val"], "s2": m["val"] * m["val"]}
+            )
+
+        raw = (
+            scores.map_batches(tag_score, batch_format="pyarrow")
+            .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(contribute, batch_format="pandas")
+            .map_batches(tag_part, batch_format="pyarrow")
+            .union(nodes.map_batches(tag_node, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(apply_s, batch_format="pandas")
+            .repartition(n_buckets)
+            .materialize()
+        )
+        nrm = float(np.sqrt(sum_col_over_blocks(raw, "s2"))) or 1.0
+
+        def div(t: pa.Table, nrm=nrm) -> pa.Table:
+            return pa.table(
+                {
+                    "host": t["host"],
+                    "s": pa.array(
+                        t["s"].to_numpy(zero_copy_only=False) / nrm, pa.float64()
+                    ),
+                }
+            )
+
+        return raw.map_batches(div, batch_format="pyarrow")  # lazy scalar divide
+
+    for _ in range(k):
+        auth = half_step(hub, "src", "dst")
+        hub = half_step(auth, "dst", "src")
+
+    return auth, hub
+
+
+def hits_hosts(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """HITS over the deterministic tiny fixture's host graph (``sf_dir``
+    unused, like ``pagerank_hosts``). Returns (host, auth, hub) — the
+    node-bounded final merge lands driver-side; at corpus scale keep the
+    two Datasets from :func:`hits` apart instead."""
+    from blockspider_ray import gen
+
+    pages_dir, _ = gen.ensure_fixture("tiny")
+    auth, hub = hits(host_graph(pages_dir), k=k)
+    a = auth.to_pandas().rename(columns={"s": "auth"})
+    h = hub.to_pandas().rename(columns={"s": "hub"})
+    out = a.merge(h, on="host", how="outer").fillna(0.0)
+    out["auth"] = out["auth"].round(12)
+    out["hub"] = out["hub"].round(12)
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def triangle_count(
     edges: rd.Dataset,
     n_buckets: int = 16,

@@ -2755,3 +2755,56 @@ class TestPostingsUpdateIndex:
         ref = phrase_search(merged, "the fast")
         assert 999 not in set(got["doc_id"])  # the phantom was swept
         pd.testing.assert_frame_equal(got, ref)
+
+
+class TestHits:
+    def test_matches_dense_reference(self):
+        """Distributed HITS must equal the dense numpy iteration with
+        identical weighted updates + L2 normalization per half-step."""
+        from blockspider_ray import gen
+        from blockspider_ray.pipelines.graph import hits, host_graph
+
+        pages_dir, _ = gen.ensure_fixture("tiny")
+        edges_df = host_graph(pages_dir).to_pandas()
+        auth_ds, hub_ds = hits(host_graph(pages_dir), k=4)
+        ga = auth_ds.to_pandas().sort_values("host").reset_index(drop=True)
+        gh = hub_ds.to_pandas().sort_values("host").reset_index(drop=True)
+
+        hosts = sorted(set(edges_df["src"]) | set(edges_df["dst"]))
+        idx = {h: i for i, h in enumerate(hosts)}
+        n = len(hosts)
+        W = np.zeros((n, n))
+        for s_, d_, w_ in edges_df.itertuples(index=False):
+            W[idx[s_], idx[d_]] += w_
+        h = np.full(n, 1.0 / np.sqrt(n))
+        for _ in range(4):
+            a = W.T @ h
+            a /= np.linalg.norm(a) or 1.0
+            h = W @ a
+            h /= np.linalg.norm(h) or 1.0
+
+        assert ga["host"].tolist() == hosts and gh["host"].tolist() == hosts
+        assert np.allclose(ga["s"].to_numpy(), a, atol=1e-9)
+        assert np.allclose(gh["s"].to_numpy(), h, atol=1e-9)
+        assert n > 3
+
+    def test_planted_star(self):
+        """A directory page linking to m sinks: the center is the sole
+        hub (hub=1), the sinks share authority equally, and roles do not
+        leak (center auth = 0, sink hubs = 0)."""
+        import ray.data as rd
+
+        from blockspider_ray.pipelines.graph import hits
+
+        m = 5
+        edges = rd.from_items(
+            [{"src": "center", "dst": f"sink{i}", "w": 1.0} for i in range(m)]
+        )
+        auth, hub = hits(edges, k=3, n_buckets=4)
+        a = auth.to_pandas().set_index("host")["s"]
+        h = hub.to_pandas().set_index("host")["s"]
+        assert abs(h["center"] - 1.0) < 1e-12
+        for i in range(m):
+            assert abs(a[f"sink{i}"] - 1.0 / np.sqrt(m)) < 1e-12
+            assert abs(h[f"sink{i}"]) < 1e-12
+        assert abs(a["center"]) < 1e-12
