@@ -106,6 +106,26 @@ _EDIT_DIST_SQL = r"""
               JOIN documents db ON db.doc_id = doc_b
 """
 
+# weighted_sample_aes: Efraimidis-Spirakis weighted bottom-k. The ring
+# is the house HUGEINT-safe form; u = (h32+1)/2^32 is exact, ln is the
+# same libm call both sides (bigram_pmi precedent), the divide by an
+# exact int weight is one IEEE op — so selection AND score match
+# bit-for-bit.
+_AES_SAMPLE_SQL = r"""
+    WITH s AS (
+      SELECT doc_id, GREATEST(n_chars, 1)::BIGINT AS w,
+             (((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+               % 4294967296)::DOUBLE + 1.0) / 4294967296.0 AS u
+      FROM documents
+    ),
+    top AS (
+      SELECT doc_id, w, -ln(u) / w AS score
+      FROM s ORDER BY -ln(u) / w, doc_id LIMIT 100
+    )
+    SELECT doc_id::BIGINT AS doc_id, w, ROUND(score, 6) AS score
+    FROM top ORDER BY doc_id
+"""
+
 # tf_cosine_pairs: exact all-pairs lexical cosine over sparse tf
 # vectors. Every quantity entering the score (dot, n2_a, n2_b) is an
 # int64 sum, so cosine is ONE float expression of three exact integers
@@ -438,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poisson_sample": corpus.poisson_sample,
         # exact fixed-size deterministic sample (bottom-k hash keys)
         "bottomk_sample": corpus.bottomk_sample,
+        # weighted WITHOUT replacement (A-ES bottom-k on -ln(u)/w)
+        "weighted_sample_aes": corpus.weighted_sample_aes,
         # incremental-recrawl set diff (added/removed/changed vs snapshot B)
         "snapshot_diff": corpus.snapshot_diff,
         # DSIR importance resampling (hashed-bigram log-ratio model; no
@@ -1093,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY h, doc_id LIMIT 200
         """,
+        "weighted_sample_aes": _AES_SAMPLE_SQL,
         # incremental-recrawl diff: snapshot B derived in-query (drop
         # %7, rewrite %11, add fresh ids for %13); the pipeline compares
         # 64-bit content fingerprints, the oracle compares text exactly

@@ -257,6 +257,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "stratified_sample",
         "poisson_sample",
         "bottomk_sample",
+        "weighted_sample_aes",
         "snapshot_diff",
         "dsir_sample",
         "rebalance_langs",

@@ -913,6 +913,65 @@ def bottomk_sample(sf_dir: str, k: int = 200, max_partial_rows: int = 5_000_000)
     return out[["doc_id", "h"]]
 
 
+def weighted_sample_aes(
+    sf_dir: str, k: int = 100, max_partial_rows: int = 5_000_000
+) -> pd.DataFrame:
+    """Exact weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): keep the k documents with the smallest
+    ``score = -ln(u) / w`` — equivalent to top-k by ``u^(1/w)``, which
+    draws each subset with probability proportional to sequential
+    weighted draws without replacement. Completes the sampling family:
+    ``poisson_sample`` is weight-proportional WITH replacement /
+    expected-size, ``bottomk_sample`` is uniform without, this is
+    weighted without. Weight = ``max(n_chars, 1)`` (char-proportional,
+    the byte-budget sampling a corpus-assembly pass wants).
+
+    ``u`` comes from the deterministic multiplicative ring on doc_id
+    (same generator as ``hash_split``/``bottomk_sample``), so any two
+    runs — any cluster shape, any block order — select the identical k
+    documents, and the SQL oracle reproduces the float score
+    bit-for-bit: ``u = (ring(id)+1)/2^32`` is exact, ``ln`` is the same
+    libm call on both sides (the ``bigram_pmi`` precedent), and the
+    divide by an exact integer weight is a single IEEE op.
+
+    Shape: per-batch partial bottom-k (one argpartition, ≤ k rows
+    survive per batch), k x n_blocks driver frame (cap-guarded), exact
+    head-k with doc_id tie-break on the driver."""
+    from .common import T, bounded_driver_frame
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = np.maximum(t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 1.0) / float(1 << 32)  # (0, 1], exact
+        score = -np.log(u) / w
+        if len(score) > k:
+            keep = np.argpartition(score, k)[:k]
+            ids, w, score = ids[keep], w[keep], score[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+    parts = bounded_driver_frame(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "weighted_sample_aes per-block partials (k x n_blocks)",
+        max_rows=max_partial_rows,
+    )
+    out = (
+        parts.sort_values(["score", "doc_id"], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["score"] = out["score"].round(6)
+    return out[["doc_id", "w", "score"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def snapshot_diff(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
     """Incremental-crawl set diff: compare two corpus snapshots and emit
     every document whose status changed — ``added`` (only in B),

@@ -66,6 +66,7 @@ SWEEP = [
     "ngram_jaccard_pairs",
     "tf_cosine_pairs",
     "edit_distance_pairs",
+    "weighted_sample_aes",
     "near_dup_clusters",
     "decontaminate",
     "asof_join_events",
@@ -2808,3 +2809,40 @@ class TestHits:
             assert abs(a[f"sink{i}"] - 1.0 / np.sqrt(m)) < 1e-12
             assert abs(h[f"sink{i}"]) < 1e-12
         assert abs(a["center"]) < 1e-12
+
+
+class TestWeightedSampleAES:
+    def test_prefix_property_and_determinism(self):
+        from blockspider_ray.pipelines.corpus import weighted_sample_aes
+
+        a = weighted_sample_aes(SF, k=40)
+        b = weighted_sample_aes(SF, k=80)
+        assert set(a["doc_id"]) <= set(b["doc_id"])  # bottom-k prefix
+        assert len(a) == 40 and len(b) == 80
+        assert b["doc_id"].is_unique  # without replacement
+        pd.testing.assert_frame_equal(a, weighted_sample_aes(SF, k=40))
+
+    def test_planted_heavy_weight_always_selected(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.corpus import weighted_sample_aes
+
+        n = 50
+        ids = list(range(n))
+        chars = [100] * n
+        chars[17] = 10**12  # one doc carries a million-fold weight
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(["x"] * n, pa.string()),
+                    "n_chars": pa.array(chars, pa.int64()),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        out = weighted_sample_aes(str(tmp_path), k=3)
+        assert 17 in set(out["doc_id"])
+        # its score is the smallest of the whole corpus by ~10 orders
+        assert out.set_index("doc_id").loc[17, "score"] <= out["score"].min() + 1e-12
