@@ -366,6 +366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same op forced through the distributed FastSV loop (Dataset
         # input — the spilled-pairs scale path); same SQL oracle
         "near_dup_clusters_dist": clusters.near_dup_clusters_dist,
+        # the composition: fuzzy-dedup-filtered corpus (clusters -> keep
+        # canonicals + unpaired docs; loser set broadcast, anti-join per batch)
+        "fuzzy_dedup_corpus": corpus.fuzzy_dedup_corpus,
         "decontaminate": dedup.decontaminate,
         # temporal join (custom operator: bucketed merge_asof)
         "asof_join_events": relational.asof_join_events,
@@ -1262,6 +1265,22 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(u, MIN(lbl))::BIGINT AS cluster_id,
                    (u <= MIN(lbl))::BIGINT AS is_canonical
             FROM walk GROUP BY u
+        """,
+        "fuzzy_dedup_corpus": rf"""
+            WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            walk(u, lbl) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+            ),
+            losers AS (SELECT u FROM walk GROUP BY u HAVING u > MIN(lbl))
+            SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars
+            FROM documents WHERE doc_id NOT IN (SELECT u FROM losers)
         """,
         "asof_join_events": _ASOF_SQL,
         "interval_join_events": """

@@ -291,6 +291,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         # loop (Dataset input) timed separately
         "near_dup_clusters",
         "near_dup_clusters_dist",
+        "fuzzy_dedup_corpus",
         # iterative + flagship pipelines (VERDICT r3 item 4: track the
         # per-iteration executor cost and the corpus-prep dedup pass)
         "scrub_props",

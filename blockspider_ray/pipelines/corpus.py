@@ -1070,3 +1070,39 @@ def snapshot_diff(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def fuzzy_dedup_corpus(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
+    """Fuzzy-dedup corpus filtering — the composition the near-dup
+    family exists for: mine verified pairs (exact ngram Jaccard),
+    resolve them to clusters (distributed FastSV,
+    ``clusters.near_dup_clusters``), and KEEP only cluster canonicals
+    plus every unpaired document. Where ``corpus_prep`` drops exact
+    duplicates, this drops fuzzy ones; output stays a Dataset of
+    (doc_id, n_chars) survivor rows.
+
+    Scale shape: the loser set is duplicate-bounded (one id per
+    non-canonical member — the same bound every miner frame in this
+    family lives under) and is broadcast ONCE via ``ray.put``; the
+    corpus pass is a shuffle-free searchsorted anti-join per batch,
+    so the full documents table never rides an all-to-all."""
+    import ray
+
+    from .clusters import near_dup_clusters
+    from .common import T
+
+    cc = near_dup_clusters(sf_dir, n_buckets=n_buckets)
+    lose = np.sort(cc.loc[cc["is_canonical"] == 0, "doc_id"].to_numpy(dtype=np.int64))
+    lose_ref = ray.put(lose)
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def survivors(t: pa.Table) -> pa.Table:
+        lose_ = ray.get(lose_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(lose_) == 0:
+            return t
+        pos = np.minimum(np.searchsorted(lose_, ids), len(lose_) - 1)
+        return t.filter(pa.array(lose_[pos] != ids))
+
+    return ds.map_batches(survivors, batch_format="pyarrow")

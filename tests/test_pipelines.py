@@ -67,6 +67,7 @@ SWEEP = [
     "tf_cosine_pairs",
     "edit_distance_pairs",
     "weighted_sample_aes",
+    "fuzzy_dedup_corpus",
     "near_dup_clusters",
     "decontaminate",
     "asof_join_events",
@@ -2846,3 +2847,35 @@ class TestWeightedSampleAES:
         assert 17 in set(out["doc_id"])
         # its score is the smallest of the whole corpus by ~10 orders
         assert out.set_index("doc_id").loc[17, "score"] <= out["score"].min() + 1e-12
+
+
+class TestFuzzyDedupCorpus:
+    def test_planted_clusters_keep_one_canonical(self, tmp_path):
+        """A transitive chain A~B, B~C (no A~C pair) must still collapse
+        to one kept doc; unpaired docs all survive."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.corpus import fuzzy_dedup_corpus
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+        docs = {
+            0: base + "one two three four",
+            1: base + "one two three five",   # ~0
+            2: base + "one two six five",     # ~1 (and transitively 0)
+            7: "totally unrelated words live here in this other document",
+            9: "another unpaired document with its own vocabulary set",
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                    "n_chars": pa.array([len(t) for t in docs.values()], pa.int64()),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        out = fuzzy_dedup_corpus(str(tmp_path)).to_pandas()
+        kept = sorted(out["doc_id"])
+        assert kept == [0, 7, 9]  # cluster {0,1,2} -> canonical 0 only
