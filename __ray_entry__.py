@@ -106,6 +106,31 @@ _EDIT_DIST_SQL = r"""
               JOIN documents db ON db.doc_id = doc_b
 """
 
+# bigram_logprob: MLE bigram LM trained on the scored corpus (no OOV,
+# no smoothing). lp = ln(c2) - ln(cx) mirrors the pipeline's split
+# attach; ROUND 4 is the unigram_logprob float-tolerance precedent
+# (summation order differs between engines, agreement ~1e-12).
+_BIGRAM_LP_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+      FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+            FROM documents)
+    ),
+    bg AS (
+      SELECT a.doc_id, a.tok AS x, b.tok AS y
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c2 AS (SELECT x, y, COUNT(*)::BIGINT AS c2 FROM bg GROUP BY x, y),
+    cx AS (SELECT x, SUM(c2)::BIGINT AS cx FROM c2 GROUP BY x),
+    scored AS (
+      SELECT bg.doc_id, ln(c2.c2::DOUBLE) - ln(cx.cx::DOUBLE) AS lp
+      FROM bg JOIN c2 USING (x, y) JOIN cx USING (x)
+    )
+    SELECT doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           ROUND(SUM(lp) / COUNT(*), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
 # weighted_sample_aes: Efraimidis-Spirakis weighted bottom-k. The ring
 # is the house HUGEINT-safe form; u = (h32+1)/2^32 is exact, ln is the
 # same libm call both sides (bigram_pmi precedent), the divide by an
@@ -326,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": textstats.doc_len_quantiles,
         "doc_len_histogram": textstats.doc_len_histogram,
         "unigram_logprob": textstats.unigram_logprob,
+        # bigram-LM perplexity rung (distributed c2 lookup join — the
+        # count table is position-bounded, never broadcast)
+        "bigram_logprob": textstats.bigram_logprob,
         "ngram_counts": textstats.ngram_counts,
         "token_postings": textstats.token_postings,
         # token-phrase search: direct scan (zero-shuffle, in-batch
@@ -905,6 +933,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs JOIN cnt USING (tok) CROSS JOIN tot
             GROUP BY doc_id
         """,
+        "bigram_logprob": _BIGRAM_LP_SQL,
         # top-100 word bigrams; n-grams never cross documents
         "ngram_counts": r"""
             WITH toks AS (

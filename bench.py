@@ -237,6 +237,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "doc_len_quantiles",
         "doc_len_histogram",
         "unigram_logprob",
+        "bigram_logprob",
         "ngram_counts",
         "token_postings",
         "phrase_search",

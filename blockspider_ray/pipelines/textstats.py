@@ -1673,3 +1673,227 @@ def phrase_search_indexed(
             {"doc_id": pd.Series([], dtype=np.int64), "n_hits": pd.Series([], dtype=np.int64)}
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def bigram_logprob(
+    sf_dir: str,
+    n_buckets: int | None = None,
+    max_vocab_rows: int = 50_000_000,
+) -> pd.DataFrame:
+    """Per-document mean BIGRAM log-probability under the corpus's own
+    MLE bigram LM — the next rung of the CCNet-style perplexity ladder
+    above ``unigram_logprob`` (fluent word ORDER scores high; shuffled
+    or templated word salad scores low even when its unigrams are
+    common). ``p(y|x) = c2(x,y) / cx(x)`` with ``cx(x) = Σ_y c2(x,y)``
+    (the within-document continuation count), trained on the scored
+    corpus itself, so every scored bigram exists in training — no
+    smoothing, no OOV.
+
+    Scale shape — this is the family's distributed LOOKUP-JOIN scorer
+    (every other scorer broadcasts its model; a web corpus's distinct-
+    bigram table is position-bounded, NOT vocab-bounded, so it must
+    stay a Dataset):
+
+      pass 1: in-batch (bigram-hash, count) partials -> groupby = the
+        c2 count table, kept distributed; the cx table IS vocab-bounded
+        (one row per context token) -> ``bounded_driver_frame`` ->
+        broadcast, its -ln attached in-batch at emission time
+      pass 2: per-batch position rows pre-collapsed per (doc, bigram)
+        with multiplicity m, carrying base = -m·ln(cx) — co-located
+        with c2 rows by ``bgh % B``, contribution = base + m·ln(c2)
+        partial-summed per doc inside the bucket
+      pass 3: per-doc final sum, bucketed by ``doc % B`` with a
+        lexsorted reduceat (deterministic summation order)
+
+    Every shuffled row is fixed-width (int64 hash/ids, float partials)
+    — bigram TEXT never moves. Scores round to 4 (the
+    ``unigram_logprob`` float-tolerance precedent: summation order
+    differs from SQL's, agreement is ~1e-12)."""
+    import ray
+
+    from ..functions.urls import hash64
+    from .common import bounded_driver_frame, n_shuffle_buckets
+
+    B = n_buckets or n_shuffle_buckets()
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _bigram_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc, x_tok, bigram_hash) arrays for every bigram position."""
+        pairs = _token_pairs(t)
+        doc = pairs["doc_id"].to_numpy(zero_copy_only=False)
+        tok = pairs["tok"].to_numpy(zero_copy_only=False)
+        if len(doc) < 2:
+            return doc[:0], tok[:0], np.empty(0, dtype=np.uint64)
+        valid = doc[:-1] == doc[1:]
+        x = tok[:-1][valid]
+        y = tok[1:][valid]
+        bg = np.char.add(np.char.add(x.astype(str), " "), y.astype(str))
+        return doc[:-1][valid], x, hash64(bg)
+
+    _empty_cnt = pa.table(
+        {"bgh": pa.array([], pa.int64()), "p_n": pa.array([], pa.int64()),
+         "x": pa.array([], pa.string())}
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, x, bgh = _bigram_rows(t)
+        if len(bgh) == 0:
+            return _empty_cnt
+        h = bgh.view(np.int64)
+        order = np.argsort(h, kind="stable")
+        h_s, x_s = h[order], x[order]
+        first = np.concatenate(([True], h_s[1:] != h_s[:-1]))
+        starts = np.flatnonzero(first)
+        n = np.diff(np.append(starts, len(h_s))).astype(np.int64)
+        return pa.table(
+            {
+                "bgh": pa.array(h_s[starts], pa.int64()),
+                "p_n": pa.array(n, pa.int64()),
+                # the context token rides along so the cx table can be
+                # built from the SAME partials (first occurrence per run
+                # is enough: all rows of one bigram share x)
+                "x": pa.array(x_s[starts], pa.string()),
+            }
+        )
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow").materialize()
+
+    # c2: distributed (bgh, c2) count table — position-bounded, stays out
+    from ray.data.aggregate import Max
+
+    c2 = (
+        partials.groupby("bgh")
+        .aggregate(Sum("p_n", alias_name="c2"), Max("x", alias_name="x"))
+        .materialize()
+    )
+    # cx: continuation counts per context token — vocab-bounded
+    cx = bounded_driver_frame(
+        c2.groupby("x").aggregate(Sum("c2", alias_name="cx")),
+        "bigram_logprob context-count table (vocab-bounded)",
+        max_vocab_rows,
+    )
+    cx_tok = cx["x"].to_numpy(dtype=object).astype(str)
+    order = np.argsort(cx_tok)
+    cx_ref = ray.put((cx_tok[order], np.log(cx["cx"].to_numpy(dtype=np.float64)[order])))
+
+    _empty_pos = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            "m": pa.array([], pa.int64()),
+            "base": pa.array([], pa.float64()),
+            "side": pa.array([], pa.int64()),
+        }
+    )
+
+    def pos_rows(t: pa.Table) -> pa.Table:
+        cx_tok_, cx_log_ = ray.get(cx_ref)
+        doc, x, bgh = _bigram_rows(t)
+        if len(bgh) == 0:
+            return _empty_pos
+        h = bgh.view(np.int64)
+        lncx = cx_log_[np.searchsorted(cx_tok_, x.astype(str))]
+        order_ = np.lexsort((h, doc))
+        d_s, h_s, l_s = doc[order_], h[order_], lncx[order_]
+        first = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])))
+        starts = np.flatnonzero(first)
+        m = np.diff(np.append(starts, len(d_s))).astype(np.int64)
+        base = -np.add.reduceat(l_s, starts)  # = -Σ ln(cx) over the run
+        return pa.table(
+            {
+                "bucket": pa.array(h_s[starts] % B, pa.int64()),
+                "doc_id": pa.array(d_s[starts], pa.int64()),
+                "key": pa.array(h_s[starts], pa.int64()),
+                "m": pa.array(m, pa.int64()),
+                "base": pa.array(base, pa.float64()),
+                "side": pa.array(np.ones(len(m), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def c2_rows(t: pa.Table) -> pa.Table:
+        h = t["bgh"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(h % B, pa.int64()),
+                "doc_id": pa.array(np.zeros(len(h), dtype=np.int64), pa.int64()),
+                "key": pa.array(h, pa.int64()),
+                "m": pa.array(t["c2"].to_numpy(zero_copy_only=False), pa.int64()),
+                "base": pa.array(np.zeros(len(h)), pa.float64()),
+                "side": pa.array(np.zeros(len(h), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    _empty_parts = pd.DataFrame(
+        {
+            "db": pd.Series([], dtype="int64"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "part": pd.Series([], dtype="float64"),
+            "m": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 0]
+        p = g[g["side"] == 1]
+        if len(p) == 0:
+            return _empty_parts
+        ck = np.sort(c["key"].to_numpy(dtype=np.int64))
+        cv = c.sort_values("key")["m"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(ck, p["key"].to_numpy(dtype=np.int64))
+        lp = p["base"].to_numpy(dtype=np.float64) + p["m"].to_numpy(
+            dtype=np.float64
+        ) * np.log(cv[idx].astype(np.float64))
+        d = p["doc_id"].to_numpy(dtype=np.int64)
+        # deterministic in-bucket per-doc partial: lexsort by (doc, key)
+        order_ = np.lexsort((p["key"].to_numpy(dtype=np.int64), d))
+        d_s, lp_s, m_s = d[order_], lp[order_], p["m"].to_numpy(dtype=np.int64)[order_]
+        first = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        starts = np.flatnonzero(first)
+        return pd.DataFrame(
+            {
+                "db": d_s[starts] % B,
+                "doc_id": d_s[starts],
+                "part": np.add.reduceat(lp_s, starts),
+                "m": np.add.reduceat(m_s, starts),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        part = g["part"].to_numpy(dtype=np.float64)
+        m = g["m"].to_numpy(dtype=np.int64)
+        order_ = np.lexsort((part, d))  # deterministic summation order
+        d_s, p_s, m_s = d[order_], part[order_], m[order_]
+        first = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        starts = np.flatnonzero(first)
+        tot = np.add.reduceat(p_s, starts)
+        n = np.add.reduceat(m_s, starts)
+        return pd.DataFrame(
+            {
+                "doc_id": d_s[starts],
+                "n_bigrams": n,
+                "avg_logprob": np.round(tot / n, 4),
+            }
+        )
+
+    out = (
+        ds.map_batches(pos_rows, batch_format="pyarrow")
+        .union(c2.map_batches(c2_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("db")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_bigrams": pd.Series([], dtype="int64"),
+                "avg_logprob": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_bigrams": "int64"}
+    )

@@ -41,6 +41,7 @@ SWEEP = [
     "nearest_centroid_labels",
     "doc_len_quantiles",
     "unigram_logprob",
+    "bigram_logprob",
     "ngram_counts",
     "token_postings",
     "phrase_search",
@@ -2879,3 +2880,38 @@ class TestFuzzyDedupCorpus:
         out = fuzzy_dedup_corpus(str(tmp_path)).to_pandas()
         kept = sorted(out["doc_id"])
         assert kept == [0, 7, 9]  # cluster {0,1,2} -> canonical 0 only
+
+
+class TestBigramLogprob:
+    def test_word_order_sensitivity(self, tmp_path):
+        """The property unigram_logprob cannot have: a doc with
+        corpus-typical word ORDER outscores one with the same unigrams
+        scrambled into corpus-unique bigrams."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.textstats import bigram_logprob
+
+        typical = "the quick brown fox jumps over the lazy dog"
+        docs = {i: typical for i in range(20)}
+        docs[50] = "dog the over lazy fox jumps brown the quick"  # scrambled
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        out = bigram_logprob(str(tmp_path)).set_index("doc_id")
+        assert out.loc[50, "avg_logprob"] < out.loc[0, "avg_logprob"] - 1.0
+        # every bigram is in-corpus by construction: finite scores only
+        assert np.isfinite(out["avg_logprob"]).all()
+
+    def test_bucket_count_invariance(self):
+        from blockspider_ray.pipelines.textstats import bigram_logprob
+
+        a = bigram_logprob(SF, n_buckets=4)
+        b = bigram_logprob(SF, n_buckets=64)
+        pd.testing.assert_frame_equal(a, b)
