@@ -354,6 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram-LM perplexity rung (distributed c2 lookup join — the
         # count table is position-bounded, never broadcast)
         "bigram_logprob": textstats.bigram_logprob,
+        # MOSS winnowing local fingerprints (pytest-pinned vs a pure-python
+        # reference per doc; no SQL oracle — the selection depends on hash64)
+        "winnow_fingerprints": textstats.winnow_fingerprints,
         "ngram_counts": textstats.ngram_counts,
         "token_postings": textstats.token_postings,
         # token-phrase search: direct scan (zero-shuffle, in-batch

@@ -238,6 +238,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "doc_len_histogram",
         "unigram_logprob",
         "bigram_logprob",
+        "winnow_fingerprints",
         "ngram_counts",
         "token_postings",
         "phrase_search",

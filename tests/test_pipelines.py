@@ -2915,3 +2915,93 @@ class TestBigramLogprob:
         a = bigram_logprob(SF, n_buckets=4)
         b = bigram_logprob(SF, n_buckets=64)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestWinnowFingerprints:
+    @staticmethod
+    def _reference(text, k, window):
+        """Naive winnowing: per frame, min hash, rightmost on ties, each
+        selected occurrence once."""
+        from blockspider_ray.functions import text as tx
+        from blockspider_ray.functions.urls import hash64
+
+        s = tx.shingles(text, k=k)
+        if not s:
+            return None
+        h = [int(v) for v in hash64(s)]
+        sel = set()
+        if len(h) <= window:
+            frames = [(0, len(h))]
+        else:
+            frames = [(i, i + window) for i in range(len(h) - window + 1)]
+        for lo, hi in frames:
+            m = min(h[lo:hi])
+            pos = max(j for j in range(lo, hi) if h[j] == m)  # rightmost
+            sel.add(pos)
+        digest = 0
+        for p in sel:
+            digest ^= h[p]
+        return len(h), len(sel), digest
+
+    def test_matches_reference_on_fixture(self):
+        from blockspider_ray.pipelines.textstats import winnow_fingerprints
+        import pyarrow.parquet as pq
+
+        got = (
+            winnow_fingerprints(SF)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        checked = 0
+        for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            ref = self._reference(text, 5, 4)
+            if ref is None:
+                assert doc_id not in got.index
+                continue
+            ns, nf, dg = ref
+            row = got.loc[doc_id]
+            assert (row["n_shingles"], row["n_fp"]) == (ns, nf), doc_id
+            assert int(np.uint64(np.int64(row["fp_digest"]))) == dg, doc_id
+            checked += 1
+        assert checked >= 400
+
+    def test_shared_run_guarantee(self, tmp_path):
+        """Winnowing's contract: documents sharing a run of
+        window + k - 1 tokens share at least one fingerprint."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.functions import text as tx
+        from blockspider_ray.functions.urls import hash64
+        from blockspider_ray.pipelines.textstats import winnow_fingerprints
+
+        k, w = 5, 4
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1 tokens
+        docs = {
+            0: "one two three " + shared + " four five six",
+            1: "nine eight seven " + shared + " ten eleven twelve",
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        # recompute each doc's selected fingerprint SET via the reference
+        sets = {}
+        for d, text in docs.items():
+            s = tx.shingles(text, k=k)
+            h = [int(v) for v in hash64(s)]
+            sel = set()
+            for lo in range(len(h) - w + 1):
+                m = min(h[lo : lo + w])
+                sel.add(max(j for j in range(lo, lo + w) if h[j] == m))
+            sets[d] = {h[p] for p in sel}
+        assert sets[0] & sets[1], "winnowing guarantee violated in reference"
+        out = winnow_fingerprints(str(tmp_path), k=k, window=w).to_pandas()
+        assert len(out) == 2 and (out["n_fp"] > 0).all()
