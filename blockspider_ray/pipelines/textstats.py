@@ -1410,6 +1410,27 @@ def _positional_tokens(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return doc, pos, tok
 
 
+def _anchor_counts(
+    d: np.ndarray, a: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, n_hits) from per-offset anchor match rows: a (doc,
+    anchor) pair with exactly ``k`` rows means every phrase offset
+    matched there. Lexsort run-scan — safe for arbitrary int64 doc ids
+    (no key fusing; a ``doc << 32`` fuse would overflow past 2^31)."""
+    order = np.lexsort((a, d))
+    d_s, a_s = d[order], a[order]
+    new = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | (a_s[1:] != a_s[:-1])))
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(d_s)))
+    full_docs = d_s[starts][counts == k]  # still doc-sorted
+    if len(full_docs) == 0:
+        return full_docs, full_docs
+    first = np.concatenate(([True], full_docs[1:] != full_docs[:-1]))
+    fstarts = np.flatnonzero(first)
+    n = np.diff(np.append(fstarts, len(full_docs))).astype(np.int64)
+    return full_docs[fstarts], n
+
+
 def phrase_search(sf_dir: str, phrase: str = "the fast") -> pd.DataFrame:
     """Token-phrase search by direct corpus scan: every document
     containing the query tokens ADJACENT in order, with the match count
@@ -1437,14 +1458,11 @@ def phrase_search(sf_dir: str, phrase: str = "the fast") -> pd.DataFrame:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
             )
-        key = d * np.int64(1 << 32) + a  # anchor >= 1-len(toks) > -2^31: exact fuse
-        uk, counts = np.unique(key, return_counts=True)
-        full = uk[counts == len(toks)] >> 32
-        docs, n = np.unique(full, return_counts=True)
+        docs, n = _anchor_counts(d, a, len(toks))
         return pa.table(
             {
                 "doc_id": pa.array(docs, pa.int64()),
-                "n_hits": pa.array(n.astype(np.int64), pa.int64()),
+                "n_hits": pa.array(n, pa.int64()),
             }
         )
 
@@ -1654,13 +1672,12 @@ def phrase_search_indexed(
         )
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        d = g["doc_id"].to_numpy(dtype=np.int64)
-        a = g["anchor"].to_numpy(dtype=np.int64)
-        key = d * np.int64(1 << 32) + a
-        uk, counts = np.unique(key, return_counts=True)
-        full = uk[counts == k] >> 32
-        docs, n = np.unique(full, return_counts=True)
-        return pd.DataFrame({"doc_id": docs, "n_hits": n.astype(np.int64)})
+        docs, n = _anchor_counts(
+            g["doc_id"].to_numpy(dtype=np.int64),
+            g["anchor"].to_numpy(dtype=np.int64),
+            k,
+        )
+        return pd.DataFrame({"doc_id": docs, "n_hits": n})
 
     out = (
         idx.map_batches(anchors, batch_format="pyarrow")

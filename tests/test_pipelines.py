@@ -3005,3 +3005,15 @@ class TestWinnowFingerprints:
         assert sets[0] & sets[1], "winnowing guarantee violated in reference"
         out = winnow_fingerprints(str(tmp_path), k=k, window=w).to_pandas()
         assert len(out) == 2 and (out["n_fp"] > 0).all()
+
+
+def test_anchor_counts_survives_huge_doc_ids():
+    """The run-scan must be exact for doc ids past 2^31 (a fused
+    doc<<32 key — the first implementation — overflows there)."""
+    from blockspider_ray.pipelines.textstats import _anchor_counts
+
+    big = np.int64(3 << 40)
+    d = np.array([big, big, big + 1, big, big], dtype=np.int64)
+    a = np.array([5, 5, 5, 9, 2], dtype=np.int64)
+    docs, n = _anchor_counts(d, a, 2)  # (big,5) has 2 rows -> one hit
+    assert docs.tolist() == [big] and n.tolist() == [1]
