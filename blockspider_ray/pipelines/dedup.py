@@ -599,13 +599,14 @@ def tf_cosine_pairs(
         starts = np.flatnonzero(new)
         tf = np.diff(np.append(starts, len(d_s))).astype(np.int64)
         d_u, k_u = d_s[starts], k_s[starts]
-        # full-vector norm² per doc (ALL tokens, before any df cut)
+        # full-vector norm² per doc (ALL tokens, before any df cut) —
+        # int64 reduceat, NOT bincount(weights=...): bincount sums in
+        # float64 and would break the exact-integer contract past 2^53
         tf2 = tf * tf
         doc_new = np.concatenate(([True], d_u[1:] != d_u[:-1]))
         doc_starts = np.flatnonzero(doc_new)
-        seg = np.cumsum(doc_new) - 1
-        n2_per_doc = np.bincount(seg, weights=tf2).astype(np.int64)
-        n2 = n2_per_doc[seg]
+        runs = np.diff(np.append(doc_starts, len(d_u)))
+        n2 = np.repeat(np.add.reduceat(tf2, doc_starts), runs)
         return pa.table(
             {
                 "tk": pa.array(k_u, pa.int64()),
@@ -778,16 +779,19 @@ def tf_cosine_pairs(
 def _levenshtein(a: str, b: str) -> int:
     """Exact Levenshtein distance (unit insert/delete/substitute), DP
     vectorized across each row: python loops only over the SHORTER
-    string's characters, the row update is numpy. The sequential
+    string's units, the row update is numpy. The sequential
     ``cur[j] = min(t[j], cur[j-1]+1)`` dependence is solved by the
     prefix-min identity ``cur[j]-j = min over i<=j of (t[i]-i)`` —
     one ``np.minimum.accumulate`` per row. Strings are compared as
-    utf-32 code points, matching the SQL ``levenshtein``'s per-character
-    semantics on any input, not just ASCII."""
+    UTF-8 BYTES — deliberately: DuckDB's ``levenshtein`` is byte-based
+    (``levenshtein('héllo','hello')`` = 2 there, not the per-codepoint
+    1), and the oracle-parity contract wins; on the ASCII corpus the
+    two coincide. A per-codepoint variant would swap in the utf-32
+    view of each string."""
     if a == b:
         return 0
-    x = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
-    y = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    x = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    y = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
     if len(x) < len(y):
         x, y = y, x  # iterate over the longer, vectorize over the shorter
     if len(y) == 0:

@@ -317,6 +317,7 @@ def hits(
     ``w`` is the link multiplicity, matching ``host_graph``."""
     from ray.data.aggregate import Count
 
+    assert k >= 1, "hits() needs at least one iteration (auth is undefined at k=0)"
     edges = edges.materialize()
 
     def node_rows(t: pa.Table) -> pa.Table:

@@ -1474,6 +1474,28 @@ def phrase_search(sf_dir: str, phrase: str = "the fast") -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _postings_rows_fn(n_buckets: int):
+    """The tokenize-to-bucketed-postings batch fn, shared by the full
+    build and the incremental shard ingest so their tokenization and
+    bucketing can never drift apart (drift = shard postings that the
+    query-time counts==k exactness silently drops)."""
+    from ..functions.urls import hash64
+
+    def rows(t: pa.Table) -> pa.Table:
+        doc, pos, tok = _positional_tokens(t)
+        b = (hash64(tok) & np.uint64(n_buckets - 1)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "token": pa.array(tok, pa.string()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return rows
+
+
 def postings_build_index(sf_dir: str, index_dir: str, n_buckets: int = 32) -> str:
     """Build the PERSISTED positional postings index: one distributed
     tokenize pass, written as token-hash-bucketed parquet
@@ -1493,27 +1515,26 @@ def postings_build_index(sf_dir: str, index_dir: str, n_buckets: int = 32) -> st
     assert n_buckets & (n_buckets - 1) == 0, (
         f"n_buckets must be a power of two, got {n_buckets}"
     )
+    import shutil
+
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def rows(t: pa.Table) -> pa.Table:
-        doc, pos, tok = _positional_tokens(t)
-        b = (hash64(tok) & np.uint64(n_buckets - 1)).astype(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(b, pa.int64()),
-                "token": pa.array(tok, pa.string()),
-                "doc_id": pa.array(doc, pa.int64()),
-                "pos": pa.array(pos, pa.int64()),
-            }
-        )
-
-    ds.map_batches(rows, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["bucket"]
-    )
+    # build into a staging dir and atomically rename into place: a
+    # crashed or repeated build can never leave (or append into) a
+    # partially-built live index — Ray's writer names files uniquely,
+    # so a naive re-run over an existing dir would DUPLICATE every
+    # posting row and counts==k would then silently drop true matches
+    staging = index_dir.rstrip("/") + ".build-tmp"
+    shutil.rmtree(staging, ignore_errors=True)
+    ds.map_batches(
+        _postings_rows_fn(n_buckets), batch_format="pyarrow"
+    ).write_parquet(staging, partition_cols=["bucket"])
     pq.write_table(
         pa.table({"n_buckets": pa.array([n_buckets], pa.int64())}),
-        os.path.join(index_dir, "meta.parquet"),
+        os.path.join(staging, "meta.parquet"),
     )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(staging, index_dir)
     return index_dir
 
 
@@ -1532,8 +1553,6 @@ def postings_update_index(new_dir: str, index_dir: str, shard_tag: str) -> bool:
 
     import pyarrow.parquet as pq
 
-    from ..functions.urls import hash64
-
     meta_path = os.path.join(index_dir, "meta.parquet")
     assert os.path.exists(meta_path), f"no postings index at {index_dir}"
     nb = int(pq.read_table(meta_path)["n_buckets"][0].as_py())
@@ -1547,18 +1566,7 @@ def postings_update_index(new_dir: str, index_dir: str, shard_tag: str) -> bool:
         return False
 
     ds = T(new_dir, "documents", columns=["doc_id", "text"])
-
-    def rows(t: pa.Table) -> pa.Table:
-        doc, pos, tok = _positional_tokens(t)
-        b = (hash64(tok) & np.uint64(nb - 1)).astype(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(b, pa.int64()),
-                "token": pa.array(tok, pa.string()),
-                "doc_id": pa.array(doc, pa.int64()),
-                "pos": pa.array(pos, pa.int64()),
-            }
-        )
+    rows = _postings_rows_fn(nb)  # SHARED with the full build — no drift
 
     # crash-safe ingest (the write_corpus_shards discipline): stage the
     # shard's postings in a sidecar dir, sweep any tag-prefixed files a
@@ -1620,9 +1628,17 @@ def phrase_search_indexed(
     toks = [w for w in phrase.split() if w]
     assert toks, "empty phrase"
     if index_dir is None:
-        index_dir = os.path.join(
-            "/tmp", "bsr_postings_index", os.path.basename(os.path.normpath(sf_dir))
-        )
+        # keyed by the corpus file's absolute path + size + mtime — NOT
+        # just the basename: two corpora named ".../corpus", or one
+        # regenerated in place, must never silently share a cached index
+        import hashlib
+
+        doc_path = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(doc_path)
+        fp = hashlib.sha1(
+            f"{os.path.abspath(doc_path)}|{st.st_size}|{st.st_mtime_ns}".encode()
+        ).hexdigest()[:16]
+        index_dir = os.path.join("/tmp", "bsr_postings_index", fp)
     if not os.path.exists(os.path.join(index_dir, "meta.parquet")):
         postings_build_index(sf_dir, index_dir)
     nb = int(pq.read_table(os.path.join(index_dir, "meta.parquet"))["n_buckets"][0].as_py())

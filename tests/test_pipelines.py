@@ -2541,6 +2541,7 @@ class TestEditDistancePairs:
         from blockspider_ray.pipelines.dedup import _levenshtein
 
         def ref(a, b):
+            a, b = a.encode("utf-8"), b.encode("utf-8")  # byte semantics, like DuckDB
             dp = list(range(len(b) + 1))
             for i in range(1, len(a) + 1):
                 prev, dp[0] = dp[0], i
@@ -2556,7 +2557,8 @@ class TestEditDistancePairs:
             assert _levenshtein(a, b) == ref(a, b)
         assert _levenshtein("kitten", "sitting") == 3
         assert _levenshtein("", "") == 0
-        assert _levenshtein("héllo", "hello") == 1  # per-codepoint, not per-byte
+        # BYTE-based on purpose: DuckDB's levenshtein counts bytes (é = 2)
+        assert _levenshtein("héllo", "hello") == 2 == ref("héllo", "hello")
 
     def test_planted_pipeline(self, tmp_path):
         """Near-identical planted docs: the miner pairs them, the verify
@@ -3017,3 +3019,47 @@ def test_anchor_counts_survives_huge_doc_ids():
     a = np.array([5, 5, 5, 9, 2], dtype=np.int64)
     docs, n = _anchor_counts(d, a, 2)  # (big,5) has 2 rows -> one hit
     assert docs.tolist() == [big] and n.tolist() == [1]
+
+
+def test_postings_build_is_idempotent(tmp_path):
+    """Re-building over an existing (or half-built) index must replace
+    it, not append into it — duplicated posting rows would make the
+    counts==k anchor exactness silently drop TRUE matches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blockspider_ray.pipelines.textstats import (
+        phrase_search,
+        phrase_search_indexed,
+        postings_build_index,
+    )
+
+    docs = {0: "the fast dog", 1: "fast the fast"}
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values()), pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    postings_build_index(str(d), idx, n_buckets=8)
+    postings_build_index(str(d), idx, n_buckets=8)  # the corruption repro
+    got = phrase_search_indexed(str(d), "the fast", index_dir=idx)
+    ref = phrase_search(str(d), "the fast")
+    pd.testing.assert_frame_equal(got, ref)
+    # simulate a crashed half-build: live dir missing meta -> the
+    # auto-build path must produce a CLEAN index, not append
+    import shutil
+
+    os.remove(os.path.join(idx, "meta.parquet"))
+    postings_build_index(str(d), idx, n_buckets=8)
+    pd.testing.assert_frame_equal(
+        phrase_search_indexed(str(d), "the fast", index_dir=idx), ref
+    )
