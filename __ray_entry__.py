@@ -357,6 +357,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MOSS winnowing local fingerprints (pytest-pinned vs a pure-python
         # reference per doc; no SQL oracle — the selection depends on hash64)
         "winnow_fingerprints": textstats.winnow_fingerprints,
+        # the MOSS detection half: substring-overlap pairs over winnowed
+        # fps (pytest-pinned: guarantee recall + true-overlap soundness)
+        "winnow_dedup_pairs": dedup.winnow_dedup_pairs,
         "ngram_counts": textstats.ngram_counts,
         "token_postings": textstats.token_postings,
         # token-phrase search: direct scan (zero-shuffle, in-batch

@@ -239,6 +239,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "unigram_logprob",
         "bigram_logprob",
         "winnow_fingerprints",
+        "winnow_dedup_pairs",
         "ngram_counts",
         "token_postings",
         "phrase_search",

@@ -1643,3 +1643,196 @@ def strip_repeated_spans(
         )
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def winnow_dedup_pairs(
+    sf_dir: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    df_ceiling: int = 256,
+    n_buckets: int | None = None,
+    max_driver_rows: int = _MAX_DRIVER_ROWS,
+) -> pd.DataFrame:
+    """Substring-overlap candidate pairs over WINNOWED fingerprints —
+    the detection half of the MOSS pipeline
+    (``textstats.winnow_fingerprints`` is the profile half; the
+    selection kernel is shared, so index and query can never drift).
+    Same inverted-index machinery as ``ngram_jaccard_pairs``, but the
+    index holds only the ~2/(window+1) winnow-selected shingle hashes
+    per doc, cutting index size ~(window+1)/2x while keeping the
+    winnowing guarantee: any shared run of ``window + k - 1`` tokens
+    still yields >= 1 shared fingerprint, so long-verbatim-overlap
+    pairs cannot be missed. Pairs sharing >= ``min_shared``
+    fingerprints are returned with the containment-style overlap
+    ``n_shared / min(n_a, n_b)`` (exact integers + one float divide).
+
+    df band, bucketed run-scan pair emission, and the lexsort+reduceat
+    pair resolve are the ``ngram_jaccard_pairs``/``tf_cosine_pairs``
+    discipline — fixed-width int rows on every shuffle, never text."""
+    from ray.data.aggregate import Count
+
+    from ..functions import text as _tx
+    from .textstats import _winnow_positions
+
+    B = n_buckets or n_shuffle_buckets()
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _empty_rows = pa.table(
+        {
+            "fp": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_fp": pa.array([], pa.int64()),
+        }
+    )
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        fps, docs, ns = [], [], []
+        for i, x in enumerate(texts):
+            s = _tx.shingles(x, k=k)
+            if not s:
+                continue
+            h = hash64(s)
+            sel = np.unique(h[_winnow_positions(h, window)]).view(np.int64)
+            fps.append(sel)
+            docs.append(np.full(len(sel), ids[i], dtype=np.int64))
+            ns.append(np.full(len(sel), len(sel), dtype=np.int64))
+        if not fps:
+            return _empty_rows
+        return pa.table(
+            {
+                "fp": pa.array(np.concatenate(fps), pa.int64()),
+                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                "n_fp": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
+
+    fp_ds = ds.map_batches(fp_rows, batch_format="pyarrow").materialize()
+    keep = bounded_driver_frame(
+        fp_ds.groupby("fp")
+        .aggregate(Count(alias_name="df"))
+        .filter(expr=f"df >= 2 and df <= {int(df_ceiling)}"),
+        "winnow_dedup_pairs kept-fingerprint frame",
+        max_driver_rows,
+    )
+    keep_keys = np.sort(keep["fp"].to_numpy(dtype=np.int64))
+    keep_ref = ray.put(keep_keys)
+
+    def only_kept(t: pa.Table) -> pa.Table:
+        keep_ = ray.get(keep_ref)
+        if len(keep_) == 0:
+            t = t.slice(0, 0)
+            kk = np.array([], dtype=np.int64)
+        else:
+            kk = t["fp"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(keep_, kk), len(keep_) - 1)
+            sel = keep_[pos] == kk
+            t = t.filter(pa.array(sel))
+            kk = kk[sel]
+        return t.append_column("fb", pa.array(kk % B, pa.int64()))
+
+    _empty_pairs = pd.DataFrame(
+        {
+            "pb": pd.Series([], dtype="int64"),
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "shared": pd.Series([], dtype="int64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs
+        fp = g["fp"].to_numpy(dtype=np.int64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        ns = g["n_fp"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, fp))
+        f_s, i_s, n_s = fp[order], ids[order], ns[order]
+        bounds = np.flatnonzero(np.concatenate(([True], f_s[1:] != f_s[:-1], [True])))
+        outs = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            m = int(b1 - b0)
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            outs.append(
+                (
+                    i_s[b0:b1][ii],
+                    i_s[b0:b1][jj],
+                    np.ones(len(ii), dtype=np.int64),
+                    n_s[b0:b1][ii],
+                    n_s[b0:b1][jj],
+                )
+            )
+        if not outs:
+            return _empty_pairs
+        a = np.concatenate([o[0] for o in outs])
+        b = np.concatenate([o[1] for o in outs])
+        cnt = np.concatenate([o[2] for o in outs])
+        na = np.concatenate([o[3] for o in outs])
+        nb = np.concatenate([o[4] for o in outs])
+        # in-bucket per-pair partial combine (lexsort + reduceat)
+        order2 = np.lexsort((b, a))
+        a, b, cnt, na, nb = a[order2], b[order2], cnt[order2], na[order2], nb[order2]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        starts = np.flatnonzero(new)
+        a, b, na, nb = a[starts], b[starts], na[starts], nb[starts]
+        cnt = np.add.reduceat(cnt, starts)
+        pb = (
+            (a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.view(np.uint64))
+            % np.uint64(B)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"pb": pb, "doc_a": a, "doc_b": b, "shared": cnt, "n_a": na, "n_b": nb}
+        )
+
+    _empty_out = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "n_shared": pd.Series([], dtype="int64"),
+            "overlap": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["doc_a"].to_numpy(dtype=np.int64)
+        b = g["doc_b"].to_numpy(dtype=np.int64)
+        cnt = g["shared"].to_numpy(dtype=np.int64)
+        na = g["n_a"].to_numpy(dtype=np.int64)
+        nb = g["n_b"].to_numpy(dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b, cnt, na, nb = a[order], b[order], cnt[order], na[order], nb[order]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        starts = np.flatnonzero(new)
+        a, b, na, nb = a[starts], b[starts], na[starts], nb[starts]
+        cnt = np.add.reduceat(cnt, starts)
+        keep_m = cnt >= min_shared
+        if not keep_m.any():
+            return _empty_out
+        ov = cnt[keep_m] / np.minimum(na[keep_m], nb[keep_m])
+        return pd.DataFrame(
+            {
+                "doc_a": a[keep_m],
+                "doc_b": b[keep_m],
+                "n_shared": cnt[keep_m],
+                "overlap": np.round(ov, 4),
+            }
+        )
+
+    out = (
+        fp_ds.map_batches(only_kept, batch_format="pyarrow")
+        .groupby("fb")
+        .map_groups(co_pairs, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return _empty_out
+    out = out.astype({"doc_a": "int64", "doc_b": "int64", "n_shared": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -1932,6 +1932,21 @@ def bigram_logprob(
     )
 
 
+def _winnow_positions(h: np.ndarray, window: int) -> np.ndarray:
+    """Winnowing selection: the sorted distinct positions of each
+    frame's minimum hash (rightmost on ties) — shared by the
+    fingerprint profile and the pair miner so selection can never
+    drift between index and query sides."""
+    n = len(h)
+    if n <= window:
+        # fewer shingles than one frame: a single frame over all
+        return np.array([n - 1 - int(np.argmin(h[::-1]))])
+    wv = np.lib.stride_tricks.sliding_window_view(h, window)
+    # rightmost min per frame: argmin over the reversed frame
+    idx = window - 1 - np.argmin(wv[:, ::-1], axis=1)
+    return np.unique(np.arange(len(wv)) + idx)
+
+
 def winnow_fingerprints(
     sf_dir: str, k: int = 5, window: int = 4
 ) -> rd.Dataset:
@@ -1976,15 +1991,7 @@ def winnow_fingerprints(
                 continue
             h = hash64(s)
             n = len(h)
-            if n <= window:
-                # fewer shingles than one frame: a single frame over all
-                pos = np.array([n - 1 - int(np.argmin(h[::-1]))])
-            else:
-                wv = np.lib.stride_tricks.sliding_window_view(h, window)
-                # rightmost min per frame: argmin over the reversed frame
-                idx = window - 1 - np.argmin(wv[:, ::-1], axis=1)
-                pos = np.unique(np.arange(len(wv)) + idx)
-            sel = h[pos]
+            sel = h[_winnow_positions(h, window)]
             dg = np.bitwise_xor.reduce(sel.astype(np.uint64))
             out_id.append(int(ids[i]))
             out_ns.append(n)

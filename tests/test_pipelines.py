@@ -3063,3 +3063,62 @@ def test_postings_build_is_idempotent(tmp_path):
     pd.testing.assert_frame_equal(
         phrase_search_indexed(str(d), "the fast", index_dir=idx), ref
     )
+
+
+class TestWinnowDedupPairs:
+    def test_planted_shared_run_found_and_subset_of_true_overlap(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.functions import text as tx
+        from blockspider_ray.pipelines.dedup import winnow_dedup_pairs
+
+        k, w = 5, 4
+        shared = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi"
+        )  # 16 tokens >> w+k-1
+        docs = {
+            0: "intro words here " + shared + " outro one",
+            1: "different opening " + shared + " different close",
+            2: "no overlap with anyone at all in this entire document text",
+            3: "yet another completely distinct document body right here now",
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        out = winnow_dedup_pairs(str(tmp_path), k=k, window=w, min_shared=2)
+        got_pairs = set(map(tuple, out[["doc_a", "doc_b"]].values))
+        assert (0, 1) in got_pairs  # the winnowing guarantee, via the miner
+        # soundness: every reported pair truly shares >= min_shared k-shingles
+        sets = {d: set(tx.shingles(t, k=k)) for d, t in docs.items()}
+        for a, b in got_pairs:
+            assert len(sets[a] & sets[b]) >= 2, (a, b)
+        assert not any(2 in p or 3 in p for p in got_pairs)
+
+    def test_bucket_count_invariance(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.dedup import winnow_dedup_pairs
+
+        base = "the quick brown fox jumps over the lazy dog again and again "
+        docs = {i: base + f"suffix {i % 3}" for i in range(12)}
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        a = winnow_dedup_pairs(str(tmp_path), n_buckets=2)
+        b = winnow_dedup_pairs(str(tmp_path), n_buckets=64)
+        pd.testing.assert_frame_equal(a, b)
