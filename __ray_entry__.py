@@ -354,6 +354,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram-LM perplexity rung (distributed c2 lookup join — the
         # count table is position-bounded, never broadcast)
         "bigram_logprob": textstats.bigram_logprob,
+        # CCNet head/middle/tail split: per-lang NTILE(3) by an
+        # INTEGER-EXACT corpus-LM fluency score; the cut ranks resolve
+        # through a coarse-histogram refinement (no domain-bounded
+        # distribution collect, no float ties anywhere)
+        "fluency_buckets": textstats.fluency_buckets,
         # MOSS winnowing local fingerprints (pytest-pinned vs a pure-python
         # reference per doc; no SQL oracle — the selection depends on hash64)
         "winnow_fingerprints": textstats.winnow_fingerprints,
@@ -940,6 +945,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "bigram_logprob": _BIGRAM_LP_SQL,
+        # integer-exact CCNet tercile: score_q = floor(s*1e9/n) in
+        # HUGEINT (s = sum of corpus token counts over the doc's
+        # positions), NTILE(3) per lang ORDER BY score_q DESC, doc_id —
+        # no float enters the bucket decision on either side
+        "fluency_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id, lang, u.tok
+                FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
+            ),
+            cnt AS (SELECT tok, COUNT(*)::HUGEINT AS c FROM toks GROUP BY tok),
+            per_doc AS (
+                SELECT t.doc_id, t.lang, SUM(c.c)::HUGEINT AS s, COUNT(*)::HUGEINT AS n
+                FROM toks t JOIN cnt c USING (tok) GROUP BY t.doc_id, t.lang
+            ),
+            scored AS (
+                SELECT doc_id, lang,
+                       ((s // n) * 1000000000 + ((s % n) * 1000000000) // n)::BIGINT
+                           AS score_q
+                FROM per_doc
+            )
+            SELECT doc_id::BIGINT AS doc_id, lang, score_q,
+                   NTILE(3) OVER (PARTITION BY lang
+                                  ORDER BY score_q DESC, doc_id)::BIGINT AS bucket
+            FROM scored
+        """,
         # top-100 word bigrams; n-grams never cross documents
         "ngram_counts": r"""
             WITH toks AS (

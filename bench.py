@@ -238,6 +238,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "doc_len_histogram",
         "unigram_logprob",
         "bigram_logprob",
+        "fluency_buckets",
         "winnow_fingerprints",
         "winnow_dedup_pairs",
         "ngram_counts",

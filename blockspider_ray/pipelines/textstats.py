@@ -2009,3 +2009,228 @@ def winnow_fingerprints(
         )
 
     return ds.map_batches(winnow, batch_format="pyarrow")
+
+
+def fluency_buckets(
+    sf_dir: str,
+    k: int = 3,
+    scale: int = 10**9,
+    bin_shift: int = 48,
+    max_vocab_rows: int = 50_000_000,
+    max_boundary_rows: int = 20_000_000,
+) -> rd.Dataset:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
+    every document gets a per-language NTILE(``k``) bucket by how
+    fluent it looks under the corpus's own unigram LM — bucket 1 is
+    the most-fluent third that CCNet keeps, bucket ``k`` the tail it
+    drops. Unlike ``unigram_logprob`` (floats, compared at a rounding
+    tolerance), the score here is INTEGER-EXACT so the bucket
+    assignment has no float-tie ambiguity anywhere:
+
+        s       = sum over token positions of the corpus count c(tok)
+        n       = token positions in the doc
+        score_q = floor(s * scale / n)   computed as
+                  (s // n) * scale + ((s % n) * scale) // n
+
+    and the bucket is ``NTILE(k) OVER (PARTITION BY lang ORDER BY
+    score_q DESC, doc_id)`` — fluent, common-token documents rank
+    first. Both sides (numpy int64 / DuckDB HUGEINT) evaluate the same
+    integer formula, so the hash compare is exact, not tolerance-based.
+    Validity bound (asserted): mean per-position token count below
+    ``2^63/scale`` (~9.2e9 at the default) — above that (a >10^13-token
+    corpus), drop ``scale`` or widen to a two-limb compare like
+    ``hash_split``'s HUGEINT oracle.
+
+    Scale shape — three passes, none of which lands a corpus-sized or
+    domain-bounded-assumption frame on the driver (the new piece vs
+    ``value_deciles``, whose distribution collect assumes a 2-decimal
+    value domain):
+
+      pass 1 (LM): vocab-bounded unigram count table, the
+        ``unigram_logprob`` broadcast pattern.
+      pass 2 (score): shuffle-free ``map_batches`` — searchsorted
+        count lookup, ``np.add.reduceat`` per-doc integer sums over
+        the contiguous doc runs, one (doc_id, lang, score_q) row per
+        doc.
+      pass 3 (exact distributed NTILE by histogram refinement): a
+        coarse order-preserving histogram (arithmetic-shift bins of
+        the DESC sort key, one (lang, bin, n) partial groupby — at
+        most ``langs x 2^(64-bin_shift)`` rows) locates the bin
+        holding each per-lang cut rank; ONLY those boundary bins'
+        rows are collected (expected ~n/2^16 each, cap-guarded) to
+        resolve the exact (score_q, doc_id) threshold tuples; a final
+        shuffle-free tag pass compares each row against its lang's
+        <=k-1 broadcast thresholds. A pathological tie cluster (one
+        score_q holding >max_boundary_rows rows AT a cut) trips the
+        guard rather than the driver; one more refinement level over
+        doc_id would bound it, mirroring the interval join's
+        documented hot-key note.
+
+    Docs with zero tokens have no defined score and are excluded on
+    both sides (the SQL's count join drops them identically)."""
+    import ray
+
+    from .common import bounded_driver_frame
+
+    assert k >= 1
+    ds = T(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = _token_pairs(t).group_by("tok").aggregate([([], "count_all")])
+        return rename(g, {"tok": "token", "count_all": "p_n"})
+
+    cnt = bounded_driver_frame(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_n", alias_name="n")),
+        "fluency_buckets LM count table (vocab-bounded)",
+        max_vocab_rows,
+    )
+    vocab = cnt["token"].to_numpy(dtype=object).astype(str)
+    order = np.argsort(vocab)
+    counts = cnt["n"].to_numpy(dtype=np.int64)[order]
+    vref = ray.put((vocab[order], counts))
+
+    _scored_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "score_q": pa.array([], pa.int64()),
+        }
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_, cnt_ = ray.get(vref)
+        pairs = _token_pairs(t)
+        if pairs.num_rows == 0:
+            return _scored_empty
+        doc = pairs["doc_id"].to_numpy(zero_copy_only=False)
+        tok = np.asarray(pairs["tok"].to_pylist(), dtype=str)
+        c = cnt_[np.searchsorted(vocab_, tok)]
+        starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+        n = np.diff(np.append(starts, len(doc))).astype(np.int64)
+        s = np.add.reduceat(c, starts)
+        q, r = s // n, s % n
+        assert q.size == 0 or int(q.max()) < (1 << 63) // scale, (
+            "fluency_buckets: mean token count exceeds the int64 x scale "
+            "bound; lower `scale` (see docstring)"
+        )
+        score_q = q * scale + (r * scale) // n
+        # docs are whole within a batch; map the per-run doc ids back to
+        # the batch rows to fetch lang (some batch rows may be token-free)
+        lang = t["lang"].combine_chunks().to_numpy(zero_copy_only=False)
+        bid = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        row = np.searchsorted(bid, doc[starts]) if np.all(np.diff(bid) > 0) else None
+        if row is None:
+            idx = {int(d): i for i, d in enumerate(bid)}
+            row = np.fromiter((idx[int(d)] for d in doc[starts]), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "lang": pa.array(lang[row], pa.string()),
+                "score_q": pa.array(score_q, pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+
+    # ---- pass 3a: coarse order-preserving histogram of the DESC key ----
+    def hist_partial(t: pa.Table) -> pa.Table:
+        neg = -t["score_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = neg >> bin_shift  # arithmetic shift: monotonic for int64
+        g = (
+            pa.table({"lang": t["lang"], "bin": pa.array(b, pa.int64())})
+            .group_by(["lang", "bin"])
+            .aggregate([([], "count_all")])
+        )
+        return rename(g, {"count_all": "p_n"})
+
+    hist = bounded_driver_frame(
+        scored.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "bin"])
+        .aggregate(Sum("p_n", alias_name="n")),
+        "fluency_buckets coarse histogram (langs x bins)",
+        max_rows=50_000_000,
+    )
+
+    # ---- locate, per lang, the bin holding each NTILE cut rank ----
+    boundary: dict[str, list[tuple[int, int]]] = {}  # lang -> [(cut_rank, bin)]
+    totals: dict[str, int] = {}
+    for lg, grp in hist.groupby("lang"):
+        grp = grp.sort_values("bin")
+        bins = grp["bin"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(grp["n"].to_numpy(dtype=np.int64))
+        total = int(cum[-1])
+        totals[lg] = total
+        q0, rem = total // k, total % k
+        cuts = np.cumsum([q0 + (1 if i < rem else 0) for i in range(k - 1)])
+        cuts = [int(c) for c in cuts if 0 < c < total]
+        # threshold row = rank cut-1 (0-indexed, ASC by (neg, doc_id))
+        boundary[lg] = [
+            (c, int(bins[int(np.searchsorted(cum, c - 1, side="right"))])) for c in cuts
+        ]
+
+    need = {(lg, b) for lg, cs in boundary.items() for _, b in cs}
+
+    def in_boundary(t: pa.Table) -> pa.Table:
+        neg = -t["score_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = neg >> bin_shift
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            ((lg, int(bb)) in need for lg, bb in zip(lang, b)), dtype=bool, count=len(b)
+        )
+        return t.filter(pa.array(keep))
+
+    bnd = bounded_driver_frame(
+        scored.map_batches(in_boundary, batch_format="pyarrow"),
+        "fluency_buckets boundary-bin rows (~n/2^16 per cut)",
+        max_boundary_rows,
+    )
+
+    # ---- resolve exact (neg_score, doc_id) threshold tuples ----
+    thresholds: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for lg, cs in boundary.items():
+        sub = bnd[bnd["lang"] == lg]
+        neg = -sub["score_q"].to_numpy(dtype=np.int64)
+        did = sub["doc_id"].to_numpy(dtype=np.int64)
+        order2 = np.lexsort((did, neg))
+        neg_s, did_s = neg[order2], did[order2]
+        bin_of = neg_s >> bin_shift
+        t_neg, t_doc = [], []
+        grp = hist[hist["lang"] == lg].sort_values("bin")
+        bins = grp["bin"].to_numpy(dtype=np.int64)
+        cum_excl = np.concatenate(([0], np.cumsum(grp["n"].to_numpy(dtype=np.int64))[:-1]))
+        for cut, b in cs:
+            below = int(cum_excl[int(np.searchsorted(bins, b))])
+            local = np.flatnonzero(bin_of == b)[cut - 1 - below]
+            t_neg.append(int(neg_s[local]))
+            t_doc.append(int(did_s[local]))
+        thresholds[lg] = (np.asarray(t_neg, np.int64), np.asarray(t_doc, np.int64))
+
+    tref = ray.put(thresholds)
+
+    def tag(t: pa.Table) -> pa.Table:
+        thr = ray.get(tref)
+        neg = -t["score_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        bucket = np.ones(len(neg), dtype=np.int64)
+        for lg, (t_neg, t_doc) in thr.items():
+            m = lang == lg
+            if not m.any() or len(t_neg) == 0:
+                continue
+            nn, dd = neg[m], did[m]
+            acc = np.zeros(m.sum(), dtype=np.int64)
+            for tn, td in zip(t_neg, t_doc):
+                acc += (nn > tn) | ((nn == tn) & (dd > td))
+            bucket[m] += acc
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "score_q": t["score_q"],
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return scored.map_batches(tag, batch_format="pyarrow")

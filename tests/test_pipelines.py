@@ -42,6 +42,7 @@ SWEEP = [
     "doc_len_quantiles",
     "unigram_logprob",
     "bigram_logprob",
+    "fluency_buckets",
     "ngram_counts",
     "token_postings",
     "phrase_search",
@@ -3122,3 +3123,71 @@ class TestWinnowDedupPairs:
         a = winnow_dedup_pairs(str(tmp_path), n_buckets=2)
         b = winnow_dedup_pairs(str(tmp_path), n_buckets=64)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestFluencyBuckets:
+    """fluency_buckets edge semantics beyond the oracle sweep: the
+    integer-exact tie contract and the boundary-collect cap guard."""
+
+    @staticmethod
+    def _write(tmp_path, ids, texts, langs):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        return str(tmp_path)
+
+    def test_constant_score_ties_break_by_doc_id(self, tmp_path):
+        """Every doc identical => every score_q identical => NTILE must
+        split purely on the doc_id tiebreak (the exact case a
+        float-scored bucketer gets nondeterministically wrong). Doc ids
+        include values past 2^31 and out-of-order."""
+        from blockspider_ray.pipelines.textstats import fluency_buckets
+
+        ids = [7, 3, 2**31 + 5, 11, 2**40, 1, 6, 9]
+        d = self._write(tmp_path, ids, ["a b c"] * len(ids), ["en"] * len(ids))
+        out = fluency_buckets(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["score_q"].nunique() == 1
+        # NTILE(3) over 8 rows ordered by doc_id: sizes 3,3,2
+        want = {did: (1 if r < 3 else 2 if r < 6 else 3) for r, did in enumerate(sorted(ids))}
+        got = dict(zip(out["doc_id"], out["bucket"]))
+        assert got == want
+
+    def test_boundary_collect_cap_guard_trips(self, tmp_path):
+        """A pathological tie cluster at a cut rank lands every row in
+        one boundary bin; the collect must trip bounded_driver_frame's
+        guard, not the driver heap (the loser_keys/minhash cap-test
+        precedent)."""
+        import pytest as _pytest
+
+        from blockspider_ray.pipelines.textstats import fluency_buckets
+
+        ids = list(range(100))
+        d = self._write(tmp_path, ids, ["t t t"] * 100, ["en"] * 100)
+        with _pytest.raises(RuntimeError, match="driver-collection cap"):
+            fluency_buckets(d, max_boundary_rows=10).to_pandas()
+
+    def test_two_langs_partition_independently(self, tmp_path):
+        """Bucket cuts are per-language: a lang with 4 docs splits 2/1/1
+        regardless of the other lang's distribution; scores use the
+        SHARED corpus LM (counts pool across langs)."""
+        from blockspider_ray.pipelines.textstats import fluency_buckets
+
+        ids = list(range(10))
+        texts = [f"common common rare{i}" for i in ids]
+        langs = ["en"] * 6 + ["de"] * 4
+        d = self._write(tmp_path, ids, texts, langs)
+        out = fluency_buckets(d).to_pandas()
+        en = out[out["lang"] == "en"]["bucket"].value_counts().to_dict()
+        de = out[out["lang"] == "de"]["bucket"].value_counts().to_dict()
+        assert en == {1: 2, 2: 2, 3: 2}
+        assert de == {1: 2, 2: 1, 3: 1}
