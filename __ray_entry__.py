@@ -395,6 +395,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sf oracle is a semantics-preserving identity — the removal
         # path is pinned by a planted multi-line fixture in pytest
         "line_dedup": dedup.line_dedup,
+        # first-occurrence paragraph dedup (the exact-substring half of
+        # the CCNet recipe; line_dedup is the boilerplate half) — later
+        # occurrences of a repeated paragraph are deleted corpus-wide
+        "paragraph_dedup": dedup.paragraph_dedup,
         # incremental exact dedup against the persisted fp index (the
         # daily-crawl path; default index built on first use under /tmp,
         # update_index stays False here so repeat calls are deterministic)
@@ -1096,6 +1100,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id::BIGINT AS doc_id,
                    COALESCE(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text_clean,
                    (t.n_lines - COUNT(k.line))::BIGINT AS n_removed_lines
+            FROM tot t LEFT JOIN kept k USING (doc_id)
+            GROUP BY t.doc_id, t.n_lines
+        """,
+        # first-occurrence paragraph dedup: the winner of each repeated
+        # paragraph is MIN(doc_id * 2^21 + position); empty paragraphs
+        # (length < 1) are exempt so blank separators survive
+        "paragraph_dedup": """
+            WITH lines AS (
+                SELECT doc_id, generate_subscripts(ls, 1)::BIGINT AS idx, unnest(ls) AS line
+                FROM (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls
+                      FROM documents)
+            ),
+            win AS (
+                SELECT line, MIN(doc_id * 2097152 + (idx - 1)) AS w, COUNT(*)::BIGINT AS n
+                FROM lines WHERE length(line) >= 1 GROUP BY line
+            ),
+            kept AS (
+                SELECT l.doc_id, l.idx, l.line
+                FROM lines l LEFT JOIN win ON l.line = win.line AND length(l.line) >= 1
+                WHERE win.line IS NULL OR win.n < 2
+                      OR l.doc_id * 2097152 + (l.idx - 1) = win.w
+            ),
+            tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_lines FROM lines GROUP BY doc_id)
+            SELECT t.doc_id::BIGINT AS doc_id,
+                   COALESCE(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text_clean,
+                   (t.n_lines - COUNT(k.line))::BIGINT AS n_removed_paras
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id, t.n_lines
         """,

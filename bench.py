@@ -257,6 +257,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "exact_dedup",
         "exact_dedup_incremental",
         "line_dedup",
+        "paragraph_dedup",
         "mixture_sample",
         "stratified_sample",
         "poisson_sample",

@@ -1836,3 +1836,136 @@ def winnow_dedup_pairs(
         return _empty_out
     out = out.astype({"doc_a": "int64", "doc_b": "int64", "n_shared": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def paragraph_dedup(
+    sf_dir: str,
+    min_chars: int = 1,
+    max_driver_rows: int = _MAX_DRIVER_ROWS,
+) -> pd.DataFrame:
+    """Corpus-wide FIRST-OCCURRENCE paragraph dedup (the exact-substring
+    half of the CCNet recipe, where ``line_dedup`` is the boilerplate
+    half): every newline-delimited paragraph keeps only its globally
+    first occurrence — ordered by (doc_id, position) — and every later
+    occurrence is deleted, whether it repeats across documents or
+    inside one. Paragraphs shorter than ``min_chars`` (default: empty
+    lines) are exempt, so blank separators survive.
+
+    Scale shape — ``line_dedup``'s two passes with a WINNER column
+    riding the vocab side:
+
+      pass 1: per-batch (line-hash, count, min packed-position)
+        partials — packed = doc_id * 2^21 + pidx (asserted: doc_id <
+        2^42, <2^21 paragraphs/doc; 8.8e12 docs headroom), min over a
+        lexsorted ``np.minimum.reduceat`` — then ONE groupby
+        (Min, Sum), filtered to count >= 2. The collected frame is
+        bounded by DISTINCT duplicated paragraphs (duplicate-bounded,
+        cap-guarded like loser_keys) and broadcast once as two sorted
+        int64 arrays.
+      pass 2: shuffle-free — re-split, hash, searchsorted membership;
+        an occurrence is dropped iff it matches a duplicated paragraph
+        AND its packed position differs from the winner's. Reassembly
+        and removal counts are the ``line_dedup`` kernels.
+
+    Text never rides a shuffle; the all-to-all moves one fixed-width
+    partial row per (line-hash, batch). 64-bit hash collisions would
+    merge two paragraphs' occurrence lists (~n^2/2^65); widen to 128
+    bits at >10^9 distinct paragraphs, as ``line_dedup`` documents."""
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+    SHIFT = 21
+
+    def _split(t: pa.Table):
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        ls = pc.split_pattern(text, pattern="\n")
+        lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False), lens)
+        flat_arr = pc.list_flatten(ls)
+        nchars = pc.utf8_length(flat_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+        pidx = np.arange(len(doc), dtype=np.int64) - np.repeat(starts, lens)
+        assert len(doc) == 0 or (
+            int(doc.max()) < (1 << (63 - SHIFT)) and int(pidx.max()) < (1 << SHIFT)
+        ), "paragraph_dedup: packed (doc_id, position) key out of range (see docstring)"
+        return doc, lens, starts, pidx, flat_arr, nchars
+
+    _empty_p = pa.table(
+        {
+            "lh": pa.array([], pa.int64()),
+            "p_n": pa.array([], pa.int64()),
+            "p_min": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        doc, _, _, pidx, flat_arr, nchars = _split(t)
+        el = nchars >= min_chars
+        if not el.any():
+            return _empty_p
+        lh = hash64(np.asarray(flat_arr.to_pylist(), dtype=object)[el]).view(np.int64)
+        packed = (doc[el] << SHIFT) + pidx[el]
+        o = np.argsort(lh, kind="stable")
+        lh_s, pk_s = lh[o], packed[o]
+        first = np.concatenate(([True], lh_s[1:] != lh_s[:-1]))
+        runs = np.flatnonzero(first)
+        return pa.table(
+            {
+                "lh": pa.array(lh_s[runs], pa.int64()),
+                "p_n": pa.array(np.diff(np.append(runs, len(lh_s))), pa.int64()),
+                "p_min": pa.array(np.minimum.reduceat(pk_s, runs), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    dup_frame = bounded_driver_frame(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lh")
+        .aggregate(Sum("p_n", alias_name="n"), Min("p_min", alias_name="win"))
+        .filter(expr="n >= 2")
+        .select_columns(["lh", "win"]),
+        "paragraph_dedup duplicated-paragraph set (distinct dup paragraphs)",
+        max_driver_rows,
+    )
+    if "lh" in dup_frame.columns and len(dup_frame):
+        o = np.argsort(dup_frame["lh"].to_numpy(dtype=np.int64))
+        dup_lh = dup_frame["lh"].to_numpy(dtype=np.int64)[o]
+        dup_win = dup_frame["win"].to_numpy(dtype=np.int64)[o]
+    else:  # empty Datasets drop the schema
+        dup_lh = np.array([], dtype=np.int64)
+        dup_win = np.array([], dtype=np.int64)
+    d_ref = ray.put((dup_lh, dup_win))
+
+    def clean(t: pa.Table) -> pa.Table:
+        lh_, win_ = ray.get(d_ref)
+        doc, lens, starts, pidx, flat_arr, nchars = _split(t)
+        flat = flat_arr.to_pylist()
+        drop = np.zeros(len(flat), dtype=bool)
+        el = nchars >= min_chars
+        if el.any() and len(lh_):
+            lh = hash64(np.asarray(flat, dtype=object)[el]).view(np.int64)
+            packed = (doc[el] << SHIFT) + pidx[el]
+            pos = np.minimum(np.searchsorted(lh_, lh), len(lh_) - 1)
+            m = lh_[pos] == lh
+            drop[np.flatnonzero(el)] = m & (packed != win_[pos])
+        n_removed = (
+            np.add.reduceat(drop.astype(np.int64), starts)
+            if len(flat)
+            else np.zeros(len(lens), dtype=np.int64)
+        )
+        n_removed[lens == 0] = 0  # reduceat repeats on empty runs
+        texts = []
+        for i in range(len(lens)):
+            a, b = starts[i], starts[i] + lens[i]
+            texts.append("\n".join(flat[j] for j in range(a, b) if not drop[j]))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_clean": pa.array(texts, pa.string()),
+                "n_removed_paras": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(clean, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

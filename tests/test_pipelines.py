@@ -62,6 +62,7 @@ SWEEP = [
     "corpus_shards_manifest",
     "shuffle_epoch",
     "line_dedup",
+    "paragraph_dedup",
     "exact_dedup",
     "exact_dedup_incremental",
     "first_per_key",
@@ -3191,3 +3192,100 @@ class TestFluencyBuckets:
         de = out[out["lang"] == "de"]["bucket"].value_counts().to_dict()
         assert en == {1: 2, 2: 2, 3: 2}
         assert de == {1: 2, 2: 1, 3: 1}
+
+
+class TestParagraphDedup:
+    """The sf fixture has one unique line per doc (paragraph_dedup is a
+    no-op there), so the semantics live here: planted cross-doc and
+    in-doc repeats, the empty-line exemption, winner ordering, and a
+    planted-table DuckDB cross-check of the full reassembly."""
+
+    @staticmethod
+    def _write(tmp_path, docs: dict[int, str]):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                }
+            ),
+            f"{tmp_path}/documents.parquet",
+        )
+        return str(tmp_path)
+
+    def test_first_occurrence_wins_and_empties_survive(self, tmp_path):
+        from blockspider_ray.pipelines.dedup import paragraph_dedup
+
+        docs = {
+            # doc 1: "shared" first occurrence (lowest doc_id) + in-doc repeat of "twice"
+            1: "shared\ntwice\n\ntwice\nunique1",
+            # doc 2: loses its "shared" copy; keeps its empty line and unique text
+            2: "unique2\n\nshared",
+            # doc 5: "shared" again + its own within-doc repeated pair
+            5: "shared\nshared",
+        }
+        d = self._write(tmp_path, docs)
+        out = paragraph_dedup(d).set_index("doc_id")
+        assert out.loc[1, "text_clean"] == "shared\ntwice\n\nunique1"
+        assert out.loc[1, "n_removed_paras"] == 1
+        assert out.loc[2, "text_clean"] == "unique2\n"
+        assert out.loc[2, "n_removed_paras"] == 1
+        assert out.loc[5, "text_clean"] == ""
+        assert out.loc[5, "n_removed_paras"] == 2
+
+    def test_winner_is_position_not_batch_order(self, tmp_path):
+        """Within one doc the EARLIER position wins; across docs the
+        LOWER doc_id wins even when it appears later in the file."""
+        from blockspider_ray.pipelines.dedup import paragraph_dedup
+
+        docs = {10: "b\na", 3: "a\nb"}  # doc 3 wins both despite file order
+        d = self._write(tmp_path, docs)
+        out = paragraph_dedup(d).set_index("doc_id")
+        assert out.loc[3, "text_clean"] == "a\nb"
+        assert out.loc[10, "text_clean"] == ""
+        assert out.loc[10, "n_removed_paras"] == 2
+
+    def test_min_chars_exempts_short_paragraphs(self, tmp_path):
+        from blockspider_ray.pipelines.dedup import paragraph_dedup
+
+        docs = {1: "aa\nbb", 2: "aa\nbb"}
+        d = self._write(tmp_path, docs)
+        out = paragraph_dedup(d, min_chars=3).set_index("doc_id")
+        # every paragraph is under 3 chars -> all exempt, nothing removed
+        assert (out["n_removed_paras"] == 0).all()
+        assert out.loc[2, "text_clean"] == "aa\nbb"
+
+    def test_planted_matches_duckdb(self, tmp_path):
+        """Full oracle-SQL cross-check on a table where removal is
+        actually exercised (the sf fixture's single-unique-line docs
+        make the sweep entry a no-op)."""
+        import __ray_entry__ as em
+
+        rng = np.random.default_rng(5)
+        paras = [f"para {i} text" for i in range(30)]
+        docs = {}
+        for did in range(40):
+            k = rng.integers(2, 6)
+            docs[did] = "\n".join(rng.choice(paras, size=k))
+        # sprinkle empty lines and a doc of only empties
+        docs[40] = "\n\n" + paras[0]
+        docs[41] = "\n"
+        d = self._write(tmp_path, docs)
+        from blockspider_ray.pipelines.dedup import paragraph_dedup
+
+        got = paragraph_dedup(d)
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = (
+            con.sql(em.oracle_sql()["paragraph_dedup"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["n_removed_paras"].sum() > 0  # the plant actually removes
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
