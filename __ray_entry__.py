@@ -526,6 +526,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact global triangle count of the host graph (degree-oriented
         # wedge closure); pytest-pinned vs trace(A^3)/6 — no SQL oracle
         "host_triangles": graph.host_triangles,
+        # per-target in-link anchor-text aggregation over the synthetic
+        # web (no SQL oracle: HTML parse over the page store; pytest
+        # pins a sequential dict reference + handcrafted kernel edges)
+        "anchor_texts": graph.anchor_texts,
         # the crawl engine itself (deterministic tiny fixture; the oracle
         # equivalence is enforced in pytest, rows-only here)
         "crawl_log": lambda sf_dir: _crawl_tiny()[0],

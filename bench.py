@@ -304,6 +304,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "pagerank_hosts",
         "hits_hosts",
         "host_triangles",
+        "anchor_texts",
         "corpus_prep",
     ]
     qs = em.queries()

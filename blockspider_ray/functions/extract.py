@@ -87,3 +87,35 @@ def content_digest(html: bytes) -> int:
     if html is None:
         return 0
     return int.from_bytes(hashlib.blake2b(html, digest_size=8).digest(), "big")
+
+
+_RE_ANCHOR = re.compile(
+    rb"""<a\b[^>]*?\bhref\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a\s*>""", re.I | re.S
+)
+# anchor labels are one-line link names: ALL whitespace (incl. newlines)
+# collapses, unlike extract_text's horizontal-only _RE_SPACES
+_RE_ALLSPACE = re.compile(r"\s+")
+
+
+def extract_anchors(html: bytes, base_url: str) -> list[tuple[str, str]]:
+    """(target-url, anchor-text) pairs in document order — the in-link
+    labeling signal search/corpus pipelines aggregate per target (the
+    reference's per-topic log-filter analog routes on payload fields
+    the same way, /root/reference/crawler/blocks.go:202-228).
+
+    Targets pass through the same canonicalization/scheme filter as
+    ``extract_links``; anchor text is cleaned with the ``extract_text``
+    whitespace contract (entities unescaped, inner tags dropped,
+    horizontal runs collapsed, stripped). Empty-text anchors (image
+    links, spacers) are dropped."""
+    out: list[tuple[str, str]] = []
+    for m in _RE_ANCHOR.finditer(html or b""):
+        href = m.group(1).decode("utf-8", errors="replace")
+        cu = canonicalize_url(_htmllib.unescape(href), base=base_url)
+        if cu is None:
+            continue
+        body = _RE_TAG.sub(b"", m.group(2)).decode("utf-8", errors="replace")
+        body = _RE_ALLSPACE.sub(" ", _htmllib.unescape(body)).strip()
+        if body:
+            out.append((cu, body))
+    return out

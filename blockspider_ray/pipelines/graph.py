@@ -632,3 +632,105 @@ def host_triangles(sf_dir: str) -> pd.DataFrame:
 
     pages_dir, _ = gen.ensure_fixture("tiny")
     return triangle_count(host_graph(pages_dir))
+
+
+def anchor_agg(pages: rd.Dataset, n_buckets: int | None = None) -> rd.Dataset:
+    """Per-target in-link anchor-text aggregation over a page store:
+    (url, top_anchor, top_n, n_inlinks, n_anchors) — the signal web
+    corpora attach to every page from the text its in-links use to
+    name it (search labeling, title repair, alt-text mining).
+
+    Scale shape: anchor pairs pre-collapse to (dst, anchor, count)
+    inside each batch, ONE (dst, anchor) groupby sums them, and the
+    per-target resolution is the house bucketed run-scan — rows
+    co-locate by ``hash(dst) % B`` and one lexsort per bucket picks
+    each target's winner (count DESC, anchor ASC tiebreak) and its
+    distinct-anchor/in-link totals, never one dispatch per target.
+    Anchor strings are short (link labels), so letting them ride the
+    one shuffle keeps the output exact; at 10^10 URLs the same
+    pipeline holds — the all-to-all moves (dst, anchor, count)
+    partials bounded by DISTINCT labels per target, not raw link
+    occurrences."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.extract import extract_anchors
+    from .common import n_shuffle_buckets, rename
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+
+    def pairs(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        htmls = t["html"].to_pylist()
+        dsts: list[str] = []
+        anchors: list[str] = []
+        for u, h in zip(urls, htmls):
+            for dst, a in extract_anchors(h, u):
+                dsts.append(dst)
+                anchors.append(a)
+        if not dsts:
+            return pa.table(
+                {
+                    "dst": pa.array([], pa.string()),
+                    "anchor": pa.array([], pa.string()),
+                    "p_n": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame({"dst": dsts, "anchor": anchors})
+        g = df.groupby(["dst", "anchor"], as_index=False).size()
+        return pa.table(
+            {
+                "dst": pa.array(g["dst"], pa.string()),
+                "anchor": pa.array(g["anchor"], pa.string()),
+                "p_n": pa.array(g["size"].astype("int64"), pa.int64()),
+            }
+        )
+
+    counts = (
+        pages.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["dst", "anchor"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("qb", _bucket_col(t["dst"], B))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        dst = g["dst"].to_numpy(dtype=object)
+        anchor = g["anchor"].to_numpy(dtype=object)
+        n = g["n"].to_numpy(dtype=np.int64)
+        # (dst ASC, count DESC, anchor ASC): winner = first row of run
+        order = np.lexsort((anchor, -n, dst))
+        dst_s, a_s, n_s = dst[order], anchor[order], n[order]
+        first = np.concatenate(([True], dst_s[1:] != dst_s[:-1]))
+        runs = np.flatnonzero(first)
+        sizes = np.diff(np.append(runs, len(dst_s)))
+        return pd.DataFrame(
+            {
+                "url": dst_s[runs].astype(str),
+                "top_anchor": a_s[runs].astype(str),
+                "top_n": n_s[runs],
+                "n_inlinks": np.add.reduceat(n_s, runs),
+                "n_anchors": sizes.astype(np.int64),
+            }
+        )
+
+    return (
+        counts.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("qb")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def anchor_texts(sf_dir: str) -> pd.DataFrame:
+    """Anchor aggregation over the deterministic tiny fixture's page
+    store (``sf_dir`` unused, like pagerank_hosts — graph queries run
+    on the synthetic web). Pytest pins the result against a sequential
+    dict-based reference over the same pages; the kernel's HTML edge
+    semantics are pinned by handcrafted unit fixtures."""
+    from blockspider_ray import gen
+
+    pages_dir, _ = gen.ensure_fixture("tiny")
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+    out = anchor_agg(pages).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)

@@ -3289,3 +3289,77 @@ class TestParagraphDedup:
         )
         assert got["n_removed_paras"].sum() > 0  # the plant actually removes
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestAnchorTexts:
+    def test_kernel_edges(self):
+        """extract_anchors HTML edge semantics: inner tags dropped,
+        entities unescaped, whitespace collapsed, empty/img anchors and
+        non-http schemes skipped, relative hrefs resolved."""
+        from blockspider_ray.functions.extract import extract_anchors
+
+        h = (
+            b'<a href="/rel/x">Go &amp; <b>see</b>\n  this</a>'
+            b'<a href="http://b.example/">  </a>'
+            b'<a href="mailto:x@y">mail</a>'
+            b'<a href="HTTPS://C.example/p">caps scheme</a>'
+            b'<a target=_blank href="http://d.example/q">attrs before href</a>'
+        )
+        out = extract_anchors(h, "http://base.example/dir/page")
+        assert ("http://base.example/rel/x", "Go & see this") in out
+        assert all(u != "http://b.example/" for u, _ in out)  # empty text dropped
+        assert all(not u.startswith("mailto") for u, _ in out)
+        assert any(u.startswith("https://c.example") for u, _ in out)
+        assert ("http://d.example/q", "attrs before href") in out
+
+    def test_matches_sequential_reference(self):
+        """The distributed aggregation equals a dict-based sequential
+        pass over the same tiny-fixture pages (full frame equality)."""
+        from collections import Counter, defaultdict
+
+        import pyarrow.parquet as pq
+
+        from blockspider_ray import gen
+        from blockspider_ray.functions.extract import extract_anchors
+        from blockspider_ray.pipelines.graph import anchor_texts
+
+        out = anchor_texts("unused")
+        pages_dir, _ = gen.ensure_fixture("tiny")
+        t = pq.read_table(pages_dir, columns=["url", "html"])
+        agg = defaultdict(Counter)
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for dst, a in extract_anchors(h, u):
+                agg[dst][a] += 1
+        rows = []
+        for dst, c in agg.items():
+            top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            rows.append((dst, top[0], top[1], sum(c.values()), len(c)))
+        ref = (
+            pd.DataFrame(
+                rows, columns=["url", "top_anchor", "top_n", "n_inlinks", "n_anchors"]
+            )
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert len(ref) > 1000  # the fixture exercises real fan-in
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+    def test_tie_breaks_lexicographically_and_bucket_invariant(self, tmp_path):
+        """Equal-count anchors resolve to the lexicographically smallest
+        label at any bucket width (pure dispatch choice)."""
+        import ray.data as rd
+
+        from blockspider_ray.pipelines.graph import anchor_agg
+
+        pages = [
+            ("http://s1.example/", b'<a href="http://t.example/">zeta</a><a href="http://t.example/">alpha</a>'),
+            ("http://s2.example/", b'<a href="http://t.example/">zeta</a><a href="http://t.example/">alpha</a>'),
+        ]
+        ds = rd.from_items([{"url": u, "html": h} for u, h in pages])
+        for B in (2, 64):
+            out = anchor_agg(ds, n_buckets=B).to_pandas()
+            row = out[out["url"] == "http://t.example/"].iloc[0]
+            assert row["top_anchor"] == "alpha"
+            assert row["top_n"] == 2
+            assert row["n_inlinks"] == 4
+            assert row["n_anchors"] == 2
