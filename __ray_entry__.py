@@ -530,6 +530,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web (no SQL oracle: HTML parse over the page store; pytest
         # pins a sequential dict reference + handcrafted kernel edges)
         "anchor_texts": graph.anchor_texts,
+        # per-host degree/strength/reciprocity profile of the host graph
+        # (no SQL oracle: graph closure over the page store; pytest pins
+        # a sequential reference + planted mutual/one-way/self-loop)
+        "host_degrees": graph.host_degrees,
         # the crawl engine itself (deterministic tiny fixture; the oracle
         # equivalence is enforced in pytest, rows-only here)
         "crawl_log": lambda sf_dir: _crawl_tiny()[0],

@@ -305,6 +305,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "hits_hosts",
         "host_triangles",
         "anchor_texts",
+        "host_degrees",
         "corpus_prep",
     ]
     qs = em.queries()

@@ -734,3 +734,125 @@ def anchor_texts(sf_dir: str) -> pd.DataFrame:
     pages = rd.read_parquet(pages_dir, columns=["url", "html"])
     out = anchor_agg(pages).to_pandas()
     return out.sort_values("url").reset_index(drop=True)
+
+
+def degree_table(edges: rd.Dataset) -> rd.Dataset:
+    """Per-host degree/strength/reciprocity profile of an (src, dst, w)
+    host-graph Dataset: (host, out_deg, in_deg, out_w, in_w, n_recip) —
+    out/in degree count DISTINCT neighbor hosts (edge rows are already
+    collapsed per pair), strengths sum link multiplicities, and
+    ``n_recip`` counts the host's mutually-linked partners (the
+    reciprocity signal link-spam/community analyses start from;
+    self-loops are excluded from it but kept in degrees).
+
+    Scale shape: degrees are in-batch partials unioned into ONE host
+    groupby; reciprocity canonicalizes each edge to its unordered pair
+    (lo, hi, fwd/rev flags), collapses per batch so the all-to-all
+    moves one fixed-width row per (pair, batch), resolves pair
+    completion with native Max aggregates, and mutual pairs re-enter
+    the same host groupby as +1 partials for both ends. Three
+    all-to-alls total, all over short host strings with additive
+    partials; no per-key dispatch anywhere."""
+    from ray.data.aggregate import Max, Sum
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.concat(
+            [
+                pd.DataFrame({"host": src, "out_deg": 1, "out_w": w, "in_deg": 0, "in_w": 0.0}),
+                pd.DataFrame({"host": dst, "out_deg": 0, "out_w": 0.0, "in_deg": 1, "in_w": w}),
+            ]
+        )
+        g = df.groupby("host", as_index=False).sum()
+        g["n_recip"] = 0
+        # direct pa.table construction: from_pandas would attach the
+        # b'pandas' schema metadata T() exists to strip
+        return pa.table(
+            {
+                "host": pa.array(g["host"].astype(str), pa.string()),
+                "out_deg": pa.array(g["out_deg"].to_numpy(np.int64), pa.int64()),
+                "in_deg": pa.array(g["in_deg"].to_numpy(np.int64), pa.int64()),
+                "out_w": pa.array(g["out_w"].to_numpy(np.float64), pa.float64()),
+                "in_w": pa.array(g["in_w"].to_numpy(np.float64), pa.float64()),
+                "n_recip": pa.array(g["n_recip"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(object)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(object)
+        keep = src != dst  # self-loops never reciprocate
+        src, dst = src[keep], dst[keep]
+        fwd = src < dst
+        lo = np.where(fwd, src, dst)
+        hi = np.where(fwd, dst, src)
+        df = pd.DataFrame(
+            {"lo": lo, "hi": hi, "fwd": fwd.astype(np.int64), "rev": (~fwd).astype(np.int64)}
+        )
+        g = df.groupby(["lo", "hi"], as_index=False).max()
+        return pa.table(
+            {
+                "lo": pa.array(g["lo"].astype(str), pa.string()),
+                "hi": pa.array(g["hi"].astype(str), pa.string()),
+                "fwd": pa.array(g["fwd"].to_numpy(np.int64), pa.int64()),
+                "rev": pa.array(g["rev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    mutual = (
+        edges.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Max("fwd", alias_name="f"), Max("rev", alias_name="r"))
+    )
+
+    def recip_rows(t: pa.Table) -> pa.Table:
+        both = pa.compute.and_(
+            pa.compute.equal(t["f"], 1), pa.compute.equal(t["r"], 1)
+        )
+        t = t.filter(both)
+        hosts = np.concatenate(
+            [
+                t["lo"].to_numpy(zero_copy_only=False).astype(object),
+                t["hi"].to_numpy(zero_copy_only=False).astype(object),
+            ]
+        )
+        df = pd.DataFrame({"host": hosts})
+        g = df.groupby("host", as_index=False).size()
+        n = len(g)
+        return pa.table(
+            {
+                "host": pa.array(g["host"].astype(str), pa.string()),
+                "out_deg": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "in_deg": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "out_w": pa.array(np.zeros(n, np.float64), pa.float64()),
+                "in_w": pa.array(np.zeros(n, np.float64), pa.float64()),
+                "n_recip": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = edges.map_batches(deg_partial, batch_format="pyarrow").union(
+        mutual.map_batches(recip_rows, batch_format="pyarrow")
+    )
+    return parts.groupby("host").aggregate(
+        Sum("out_deg", alias_name="out_deg"),
+        Sum("in_deg", alias_name="in_deg"),
+        Sum("out_w", alias_name="out_w"),
+        Sum("in_w", alias_name="in_w"),
+        Sum("n_recip", alias_name="n_recip"),
+    )
+
+
+def host_degrees(sf_dir: str) -> pd.DataFrame:
+    """Degree profile of the synthetic web's host graph (``sf_dir``
+    unused, like pagerank_hosts). Pytest pins full-frame equality vs a
+    sequential dict reference plus planted mutual/one-way/self-loop
+    fixtures — no SQL oracle (graph closure over the page store)."""
+    from blockspider_ray import gen
+
+    pages_dir, _ = gen.ensure_fixture("tiny")
+    out = degree_table(host_graph(pages_dir)).to_pandas()
+    for c in ("out_deg", "in_deg", "n_recip"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)

@@ -3363,3 +3363,53 @@ class TestAnchorTexts:
             assert row["top_n"] == 2
             assert row["n_inlinks"] == 4
             assert row["n_anchors"] == 2
+
+
+class TestHostDegrees:
+    def test_planted_mutual_oneway_selfloop(self):
+        """A->B and B->A are mutual (+1 recip each); A->C one-way (no
+        recip); C->C self-loop counts in degrees but never recip."""
+        import ray.data as rd
+
+        from blockspider_ray.pipelines.graph import degree_table
+
+        edges = rd.from_items(
+            [
+                {"src": "a", "dst": "b", "w": 2.0},
+                {"src": "b", "dst": "a", "w": 1.0},
+                {"src": "a", "dst": "c", "w": 1.0},
+                {"src": "c", "dst": "c", "w": 5.0},
+            ]
+        )
+        out = degree_table(edges).to_pandas().set_index("host")
+        assert out.loc["a", "out_deg"] == 2 and out.loc["a", "in_deg"] == 1
+        assert out.loc["a", "n_recip"] == 1 and out.loc["b", "n_recip"] == 1
+        assert out.loc["c", "n_recip"] == 0
+        assert out.loc["c", "out_deg"] == 1 and out.loc["c", "in_deg"] == 2
+        assert out.loc["c", "out_w"] == 5.0 and out.loc["c", "in_w"] == 6.0
+
+    def test_matches_sequential_reference(self):
+        from blockspider_ray import gen
+        from blockspider_ray.pipelines.graph import host_degrees, host_graph
+
+        out = host_degrees("unused")
+        pages_dir, _ = gen.ensure_fixture("tiny")
+        e = host_graph(pages_dir).to_pandas()
+        hosts = sorted(set(e["src"]) | set(e["dst"]))
+        ref = pd.DataFrame({"host": hosts}).set_index("host")
+        ref["out_deg"] = e.groupby("src").size()
+        ref["in_deg"] = e.groupby("dst").size()
+        ref["out_w"] = e.groupby("src")["w"].sum()
+        ref["in_w"] = e.groupby("dst")["w"].sum()
+        pairs = set(zip(e["src"], e["dst"]))
+        recip: dict[str, int] = {}
+        for a, b in pairs:
+            if a != b and a < b and (b, a) in pairs:
+                recip[a] = recip.get(a, 0) + 1
+                recip[b] = recip.get(b, 0) + 1
+        ref["n_recip"] = pd.Series(recip)
+        ref = ref.fillna(0).reset_index()
+        for c in ("out_deg", "in_deg", "n_recip"):
+            ref[c] = ref[c].astype("int64")
+        ref = ref.sort_values("host").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
