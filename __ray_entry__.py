@@ -537,6 +537,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the crawl engine itself (deterministic tiny fixture; the oracle
         # equivalence is enforced in pytest, rows-only here)
         "crawl_log": lambda sf_dir: _crawl_tiny()[0],
+        # per-host politeness audit of the tiny crawl's log against the
+        # engine's own budget (no SQL oracle: audits engine output;
+        # pytest pins zero violations here + exact counts on a planted
+        # violating log)
+        "politeness_audit": lambda sf_dir: windows.politeness_audit(
+            _crawl_tiny()[0], budget=2
+        ),
         "crawl_seen": lambda sf_dir: _crawl_tiny()[1],
     }
     return q

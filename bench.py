@@ -306,6 +306,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "host_triangles",
         "anchor_texts",
         "host_degrees",
+        "politeness_audit",
         "corpus_prep",
     ]
     qs = em.queries()

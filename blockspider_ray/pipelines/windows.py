@@ -998,3 +998,76 @@ def value_percent_rank(sf_dir: str, max_distribution_rows: int = 2_000_000) -> r
         )
 
     return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def politeness_audit(log, budget: int) -> pd.DataFrame:
+    """Per-host audit of a crawl log against the politeness contract
+    (the monitoring companion to the engine's token buckets, auditing
+    the same per-round budget the reference enforces with its polling
+    ticker, /root/reference/crawler/crawler.go:34-51): for every host,
+    (n_fetched, n_rounds, max_per_round, n_violations) where a
+    violation is a round in which the host was fetched more than
+    ``budget`` times. A healthy engine log audits to zero violations —
+    the point is running it over logs produced elsewhere (a resumed
+    multi-session crawl, a merged multi-cluster log) where the
+    invariant is a claim, not a construction.
+
+    Scale shape: two additive-partial groupbys — in-batch (host,
+    round) counts -> one groupby Sum (rows: hosts x active rounds),
+    then in-batch per-host partials (sum, max, round-count,
+    violation-count over the now-distinct rows) -> one groupby
+    Sum/Max. Fixed-width rows on both shuffles; no per-key dispatch."""
+    import numpy as np
+    from ray.data.aggregate import Max
+
+    ds = rd.from_arrow(log) if isinstance(log, pa.Table) else log
+
+    def rr_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["host", "round"])
+            .group_by(["host", "round"])
+            .aggregate([([], "count_all")])
+        )
+        return rename(g, {"count_all": "p_n"})
+
+    per_round = (
+        ds.map_batches(rr_partial, batch_format="pyarrow")
+        .groupby(["host", "round"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        host = t["host"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(host, kind="stable")
+        h_s, n_s = host[order], n[order]
+        first = np.concatenate(([True], h_s[1:] != h_s[:-1]))
+        runs = np.flatnonzero(first)
+        return pa.table(
+            {
+                "host": pa.array(h_s[runs].astype(str), pa.string()),
+                "p_fetched": pa.array(np.add.reduceat(n_s, runs), pa.int64()),
+                "p_rounds": pa.array(
+                    np.diff(np.append(runs, len(h_s))).astype(np.int64), pa.int64()
+                ),
+                "p_max": pa.array(np.maximum.reduceat(n_s, runs), pa.int64()),
+                "p_viol": pa.array(
+                    np.add.reduceat((n_s > budget).astype(np.int64), runs), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        per_round.map_batches(host_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("p_fetched", alias_name="n_fetched"),
+            Sum("p_rounds", alias_name="n_rounds"),
+            Max("p_max", alias_name="max_per_round"),
+            Sum("p_viol", alias_name="n_violations"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_fetched", "n_rounds", "max_per_round", "n_violations"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)

@@ -3413,3 +3413,39 @@ class TestHostDegrees:
             ref[c] = ref[c].astype("int64")
         ref = ref.sort_values("host").reset_index(drop=True)
         pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+class TestPolitenessAudit:
+    def test_engine_log_audits_clean(self):
+        """The engine's own tiny crawl must audit to zero violations at
+        its configured budget, with totals that reconcile to the log."""
+        import __ray_entry__ as em
+
+        log = em.queries()["crawl_log"]("unused")
+        out = em.queries()["politeness_audit"]("unused")
+        assert (out["n_violations"] == 0).all()
+        assert (out["max_per_round"] <= 2).all()
+        assert out["n_fetched"].sum() == log.num_rows
+
+    def test_planted_violations_counted_exactly(self):
+        import pyarrow as pa
+
+        from blockspider_ray.pipelines.windows import politeness_audit
+
+        rows = (
+            [("a", 0)] * 3      # round 0: a over budget (3 > 2)
+            + [("a", 1)] * 2    # round 1: at budget
+            + [("b", 0)] * 1
+            + [("b", 2)] * 4    # round 2: b over budget
+        )
+        log = pa.table(
+            {
+                "host": pa.array([h for h, _ in rows], pa.string()),
+                "round": pa.array([r for _, r in rows], pa.int64()),
+            }
+        )
+        out = politeness_audit(log, budget=2).set_index("host")
+        assert out.loc["a", "n_fetched"] == 5 and out.loc["a", "n_rounds"] == 2
+        assert out.loc["a", "max_per_round"] == 3 and out.loc["a", "n_violations"] == 1
+        assert out.loc["b", "n_fetched"] == 5 and out.loc["b", "n_rounds"] == 2
+        assert out.loc["b", "max_per_round"] == 4 and out.loc["b", "n_violations"] == 1
