@@ -376,6 +376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # skip-gram co-occurrence heavy hitters (word2vec count table)
         "cooccurrence_topk": textstats.cooccurrence_topk,
         "bm25_topk": textstats.bm25_topk,
+        # BM25 served from the persisted postings index + build-once
+        # doclen sidecar: only the query terms' bucket= partitions are
+        # opened (path-pruned); equals bm25_topk, shares its oracle
+        "bm25_topk_indexed": textstats.bm25_topk_indexed,
         "zscore_by_lang": textstats.zscore_by_lang,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
@@ -547,6 +551,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_seen": lambda sf_dir: _crawl_tiny()[1],
     }
     return q
+
+
+_SQL_BM25 = r"""
+            WITH toks AS (
+                SELECT doc_id, u.tok AS tok
+                FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
+            ),
+            dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+            stats AS (
+                SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+                       (SELECT COUNT(*) FROM toks)::DOUBLE
+                         / (SELECT COUNT(*) FROM documents)::DOUBLE AS avgdl
+            ),
+            df AS (
+                SELECT tok, COUNT(DISTINCT doc_id)::DOUBLE AS df
+                FROM toks WHERE tok IN ('hash', 'scan', 'table') GROUP BY tok
+            ),
+            tf AS (
+                SELECT doc_id, tok, COUNT(*)::DOUBLE AS tf
+                FROM toks WHERE tok IN ('hash', 'scan', 'table') GROUP BY doc_id, tok
+            ),
+            part AS (
+                SELECT tf.doc_id,
+                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS p
+                FROM tf
+                JOIN df d ON d.tok = tf.tok
+                JOIN dl l ON l.doc_id = tf.doc_id
+                CROSS JOIN stats s
+            )
+            SELECT doc_id::BIGINT AS doc_id, ROUND(SUM(p), 4) AS score
+            FROM part GROUP BY doc_id ORDER BY SUM(p) DESC, doc_id LIMIT 10
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1050,38 +1088,10 @@ def oracle_sql() -> dict[str, str]:
         # BM25 with the pipeline's exact float64 expression tree
         # (left-assoc (idf * tf-part) / denom; avgdl = toks/docs);
         # ORDER BY the unrounded score like the pipeline's sort
-        "bm25_topk": r"""
-            WITH toks AS (
-                SELECT doc_id, u.tok AS tok
-                FROM documents, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
-            ),
-            dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
-            stats AS (
-                SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
-                       (SELECT COUNT(*) FROM toks)::DOUBLE
-                         / (SELECT COUNT(*) FROM documents)::DOUBLE AS avgdl
-            ),
-            df AS (
-                SELECT tok, COUNT(DISTINCT doc_id)::DOUBLE AS df
-                FROM toks WHERE tok IN ('hash', 'scan', 'table') GROUP BY tok
-            ),
-            tf AS (
-                SELECT doc_id, tok, COUNT(*)::DOUBLE AS tf
-                FROM toks WHERE tok IN ('hash', 'scan', 'table') GROUP BY doc_id, tok
-            ),
-            part AS (
-                SELECT tf.doc_id,
-                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-                         * (tf.tf * (1.2 + 1.0))
-                         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS p
-                FROM tf
-                JOIN df d ON d.tok = tf.tok
-                JOIN dl l ON l.doc_id = tf.doc_id
-                CROSS JOIN stats s
-            )
-            SELECT doc_id::BIGINT AS doc_id, ROUND(SUM(p), 4) AS score
-            FROM part GROUP BY doc_id ORDER BY SUM(p) DESC, doc_id LIMIT 10
-        """,
+        "bm25_topk": _SQL_BM25,
+        # identical contract to bm25_topk (the indexed path must return
+        # the same answer), so the oracle is shared verbatim
+        "bm25_topk_indexed": _SQL_BM25,
         # moment arithmetic mirrored explicitly (sqrt(ss/n - mean^2)),
         # not STDDEV_POP, so the float64 trees agree; the integer sums
         # are float64-exact so partial-order differences vanish

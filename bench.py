@@ -252,6 +252,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "bpe_encode",
         "quality_classifier",
         "bm25_topk",
+        "bm25_topk_indexed",
         "zscore_by_lang",
         "compression_ratio",
         "exact_dedup",

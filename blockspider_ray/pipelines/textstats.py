@@ -957,6 +957,10 @@ def bm25_topk(
         .limit(k)
         .to_pandas()
     )
+    if "score" not in out.columns:  # no term hit anywhere: empty drops the schema
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64), "score": pd.Series([], dtype="float64")}
+        )
     out["score"] = out["score"].round(4)
     return out.reset_index(drop=True)
 
@@ -2234,3 +2238,241 @@ def fluency_buckets(
         )
 
     return scored.map_batches(tag, batch_format="pyarrow")
+
+
+def bm25_build_sidecar(sf_dir: str, index_dir: str) -> str:
+    """Build-once BM25 sidecar next to the postings index: per-doc
+    token lengths (``bm25_doclen/part-*.parquet``, one int64 pair per
+    doc) and corpus stats (``bm25_stats.parquet``: n_docs incl.
+    token-free ones, total_tokens). After this, a BM25 query never
+    touches corpus text — term stats come from the index buckets, dl
+    and avgdl from here. Staged write + rename, like the index build:
+    a crashed build never leaves a half-written live sidecar."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .common import sum_col_over_blocks
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def dl_rows(t: pa.Table) -> pa.Table:
+        pairs = _token_pairs(t)
+        doc = pairs["doc_id"].to_numpy(zero_copy_only=False)
+        if len(doc):
+            starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+            docs, dl = doc[starts], np.diff(np.append(starts, len(doc))).astype(np.int64)
+        else:
+            docs = dl = np.array([], dtype=np.int64)
+        # the batch's TOTAL doc count (incl. token-free docs, which have
+        # no dl row but count toward N exactly as in bm25_topk) rides a
+        # sentinel row filtered out before the doclen write
+        return pa.table(
+            {
+                "doc_id": pa.array(np.append(docs, -1), pa.int64()),
+                "dl": pa.array(np.append(dl, 0), pa.int64()),
+                "p_docs": pa.array(
+                    np.append(np.zeros(len(docs), np.int64), t.num_rows), pa.int64()
+                ),
+            }
+        )
+
+    staging = os.path.join(index_dir, "bm25_doclen.build-tmp")
+    live = os.path.join(index_dir, "bm25_doclen")
+    shutil.rmtree(staging, ignore_errors=True)
+    mat = ds.map_batches(dl_rows, batch_format="pyarrow").materialize()
+    n_docs = int(sum_col_over_blocks(mat, "p_docs"))
+    total_tokens = int(sum_col_over_blocks(mat, "dl"))
+    mat.filter(expr="doc_id >= 0").select_columns(["doc_id", "dl"]).write_parquet(staging)
+    pq.write_table(
+        pa.table(
+            {"n_docs": pa.array([n_docs], pa.int64()),
+             "total_tokens": pa.array([total_tokens], pa.int64())}
+        ),
+        os.path.join(index_dir, "bm25_stats.parquet"),
+    )
+    shutil.rmtree(live, ignore_errors=True)
+    os.rename(staging, live)
+    return live
+
+
+def bm25_topk_indexed(
+    sf_dir: str,
+    query: str = "hash table scan",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    index_dir: str | None = None,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """BM25 top-``k`` served from the PERSISTED postings index — the
+    repeated-query twin of ``bm25_topk`` (which re-scans corpus text
+    per query): opens ONLY the query tokens' ``bucket=`` partitions
+    (path-level pruning, scan fraction ~|terms|/B of the index), takes
+    tf/df from those postings, and dl/avgdl from the build-once
+    ``bm25_build_sidecar``. Result equals ``bm25_topk`` (same float64
+    expression tree; pinned in pytest and by sharing its SQL oracle).
+
+    Scale shape: (doc, term, tf) candidates collapse per batch then in
+    ONE groupby — candidate-bounded (sum of query-term dfs), never
+    corpus text; df/idf from a terms-sized aggregate of that table.
+    The dl attach is the house bucketed run-scan: candidates and the
+    (column-pruned, int64-pair) doclen table co-locate by
+    ``doc % B`` — one fixed-width all-to-all — each bucket scores its
+    docs completely and emits a local top-k; the global answer is a
+    sort+limit over k rows per bucket. The full doclen read is 16
+    B/doc; for rare-term queries, hive-bucketing the sidecar by doc
+    hash would prune that too (documented trade, not needed while the
+    sidecar read is ~1% of one corpus text scan)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.urls import hash64
+    from .common import n_shuffle_buckets, stripped_schema
+
+    terms = sorted(set(query.split()))
+    assert terms, "empty query"
+    if index_dir is None:
+        import hashlib
+
+        doc_path = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(doc_path)
+        fp = hashlib.sha1(
+            f"{os.path.abspath(doc_path)}|{st.st_size}|{st.st_mtime_ns}".encode()
+        ).hexdigest()[:16]
+        index_dir = os.path.join("/tmp", "bsr_postings_index", fp)
+    if not os.path.exists(os.path.join(index_dir, "meta.parquet")):
+        postings_build_index(sf_dir, index_dir)
+    if not os.path.exists(os.path.join(index_dir, "bm25_stats.parquet")):
+        bm25_build_sidecar(sf_dir, index_dir)
+
+    stats = pq.read_table(os.path.join(index_dir, "bm25_stats.parquet"))
+    n_docs = float(stats["n_docs"][0].as_py())
+    avgdl = float(stats["total_tokens"][0].as_py()) / n_docs
+    nb = int(pq.read_table(os.path.join(index_dir, "meta.parquet"))["n_buckets"][0].as_py())
+    need = sorted({int(h & np.uint64(nb - 1)) for h in hash64(terms)})
+    paths = [
+        os.path.join(d, f)
+        for d in (os.path.join(index_dir, f"bucket={bk}") for bk in need)
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    _empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64), "score": pd.Series([], dtype="float64")}
+    )
+    if not paths:
+        return _empty
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+    term_set = pa.array(terms)
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.is_in(t["token"], value_set=term_set))
+        g = hit.select(["doc_id", "token"]).group_by(["doc_id", "token"]).aggregate(
+            [([], "count_all")]
+        )
+        return rename(g, {"count_all": "p_tf"})
+
+    tf = (
+        rd.read_parquet(paths, columns=["token", "doc_id", "pos"])
+        .map_batches(tf_partial, batch_format="pyarrow")
+        .groupby(["doc_id", "token"])
+        .aggregate(Sum("p_tf", alias_name="tf"))
+        .materialize()
+    )
+    if tf.count() == 0:
+        return _empty
+
+    dfr = (
+        tf.map_batches(
+            lambda t: rename(
+                t.select(["token"]).group_by("token").aggregate([([], "count_all")]),
+                {"count_all": "p_df"},
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("token")
+        .aggregate(Sum("p_df", alias_name="df"))
+        .to_pandas()
+    )
+    df_map = dict(zip(dfr["token"], dfr["df"].astype(float)))
+    term_arr = np.array(terms, dtype=object).astype(str)
+    idf = np.log(
+        (n_docs - np.array([df_map.get(t_, 0.0) for t_ in terms]) + 0.5)
+        / (np.array([df_map.get(t_, 0.0) for t_ in terms]) + 0.5)
+        + 1.0
+    )
+    ref = ray.put((term_arr, idf))
+
+    # union candidates (ti >= 0, x = tf) with doclen rows (ti = -1, x = dl),
+    # co-located by doc % B; each bucket scores its docs COMPLETELY
+    def cand_rows(t: pa.Table) -> pa.Table:
+        term_, _ = ray.get(ref)
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tok = np.asarray(t["token"].to_pylist(), dtype=str)
+        return pa.table(
+            {
+                "qb": pa.array((doc % B).astype(np.int64), pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "ti": pa.array(np.searchsorted(term_, tok), pa.int64()),
+                "x": t["tf"],
+            }
+        )
+
+    dl_path = os.path.join(index_dir, "bm25_doclen")
+    dl_ds = rd.read_parquet(dl_path)
+
+    def dl_rows(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "qb": pa.array((doc % B).astype(np.int64), pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "ti": pa.array(np.full(len(doc), -1, dtype=np.int64), pa.int64()),
+                "x": t["dl"],
+            }
+        )
+
+    both = tf.map_batches(cand_rows, batch_format="pyarrow").union(
+        dl_ds.map_batches(dl_rows, batch_format="pyarrow")
+    )
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _, idf_ = ray.get(ref)
+        ti = g["ti"].to_numpy(dtype=np.int64)
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        x = g["x"].to_numpy(dtype=np.float64)
+        is_dl = ti < 0
+        dl_doc = doc[is_dl]
+        dlo = np.argsort(dl_doc)
+        dl_doc_s, dl_s = dl_doc[dlo], x[is_dl][dlo]
+        cdoc, cti, ctf = doc[~is_dl], ti[~is_dl], x[~is_dl]
+        if len(cdoc) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        dl = dl_s[np.searchsorted(dl_doc_s, cdoc)]
+        part = idf_[cti] * (ctf * (k1 + 1.0)) / (ctf + k1 * (1.0 - b + b * dl / avgdl))
+        order = np.argsort(cdoc, kind="stable")
+        cd_s, p_s = cdoc[order], part[order]
+        runs = np.flatnonzero(np.concatenate(([True], cd_s[1:] != cd_s[:-1])))
+        udoc = cd_s[runs]
+        score = np.add.reduceat(p_s, runs)
+        top = np.lexsort((udoc, -score))[: min(k, len(udoc))]
+        return pd.DataFrame({"doc_id": udoc[top], "score": score[top]})
+
+    out = (
+        both.groupby("qb")
+        .map_groups(score_bucket, batch_format="pandas")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)

@@ -50,6 +50,7 @@ SWEEP = [
     "bigram_pmi",
     "cooccurrence_topk",
     "bm25_topk",
+    "bm25_topk_indexed",
     "zscore_by_lang",
     "mixture_sample",
     "stratified_sample",
@@ -3449,3 +3450,42 @@ class TestPolitenessAudit:
         assert out.loc["a", "max_per_round"] == 3 and out.loc["a", "n_violations"] == 1
         assert out.loc["b", "n_fetched"] == 5 and out.loc["b", "n_rounds"] == 2
         assert out.loc["b", "max_per_round"] == 4 and out.loc["b", "n_violations"] == 1
+
+
+class TestBM25Indexed:
+    """bm25_topk_indexed == bm25_topk on the fixture (beyond the shared
+    SQL oracle), and the path-pruning contract: with every non-query
+    bucket directory deleted, the indexed answer is unchanged."""
+
+    def test_equals_scan_multiple_queries(self, tmp_path):
+        from blockspider_ray.pipelines.textstats import bm25_topk, bm25_topk_indexed
+
+        idx = str(tmp_path / "idx")
+        for q in ["hash table scan", "the fast", "zzz_absent"]:
+            a = bm25_topk(SF, query=q)
+            b = bm25_topk_indexed(SF, query=q, index_dir=idx)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_pruned_buckets_unchanged(self, tmp_path):
+        import os
+        import shutil
+
+        from blockspider_ray.functions.urls import hash64
+        from blockspider_ray.pipelines.textstats import (
+            bm25_build_sidecar,
+            bm25_topk,
+            bm25_topk_indexed,
+            postings_build_index,
+        )
+
+        idx = str(tmp_path / "idx")
+        q = "hash table scan"
+        postings_build_index(SF, idx, n_buckets=8)
+        bm25_build_sidecar(SF, idx)
+        need = {int(h & np.uint64(7)) for h in hash64(sorted(set(q.split())))}
+        for b in range(8):
+            if b not in need:
+                shutil.rmtree(os.path.join(idx, f"bucket={b}"), ignore_errors=True)
+        got = bm25_topk_indexed(SF, query=q, index_dir=idx)
+        ref = bm25_topk(SF, query=q)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
