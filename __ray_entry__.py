@@ -482,6 +482,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed PCA (eigendecomposition — no SQL oracle; pytest
         # pins projections against a driver-local numpy PCA)
         "pca_embeddings": similarity.pca_embeddings,
+        # deterministic signed-random-projection JL reduction (no SQL
+        # oracle: hash-derived sign matrix; pytest pins bit-equality vs
+        # a driver numpy reference + norm/distance preservation)
+        "srp_project": similarity.srp_project,
         # per-language vocabulary heavy hitters (PARTITION BY top-k)
         "top_tokens_per_lang": textstats.top_tokens_per_lang,
         # multimodal (binary payload columns; decode stubbed, plumbing real)

@@ -292,6 +292,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "kmeans_embeddings",
         "nearest_centroid_labels",
         "pca_embeddings",
+        "srp_project",
         # near-dup cluster resolution (round-5): frame-input path
         # (mining + driver-local resolve) and the distributed FastSV
         # loop (Dataset input) timed separately

@@ -1423,3 +1423,48 @@ def knn_ivfpq_indexed(
         rows_s.extend(sims[top].tolist())
     out = pd.DataFrame({"qid": rows_q, "vec_id": rows_v, "sim": np.round(rows_s, 3)})
     return out.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
+def srp_project(sf_dir: str, d_out: int = 16) -> rd.Dataset:
+    """Johnson-Lindenstrauss dimensionality reduction by deterministic
+    signed random projection: every embedding maps to ``d_out`` dims
+    via ``y = V @ S / sqrt(d_out)`` where ``S[i, j] in {-1, +1}`` comes
+    from ``hash64(f"{i}:{j}")`` — no RNG state, so any worker, session
+    or cluster derives the SAME matrix (the sampling family's
+    integer-ring discipline applied to projections). The cheap
+    preprocessing step before brute/IVF search or clustering when the
+    input dimension, not the corpus, is the bottleneck: JL preserves
+    pairwise distances within (1 +- eps) at d_out = O(ln n / eps^2),
+    and sign matrices satisfy the lemma like Gaussians (Achlioptas
+    2003, JCSS — database-friendly random projections).
+
+    Scale shape: the sign matrix is d_in x d_out (input-dim-bounded,
+    NEVER corpus-bounded) — generated once on the driver, ``ray.put``
+    once, one zero-copy matmul per batch; shuffle-free end to end.
+    Output (vec_id, proj list<float64>) stays a distributed Dataset."""
+    from ..functions.urls import hash64
+
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = ds.take_batch(1, batch_format="pyarrow")
+    d_in = len(head["embedding"][0])
+
+    idx = np.array(
+        [f"{i}:{j}" for i in range(d_in) for j in range(d_out)], dtype=object
+    )
+    S = np.where((hash64(idx) & np.uint64(1)).astype(bool), 1.0, -1.0).reshape(
+        d_in, d_out
+    ) / np.sqrt(float(d_out))
+    sref = ray.put(S)
+
+    def project(t: pa.Table) -> pa.Table:
+        S_ = ray.get(sref)
+        v = _emb_matrix(t)
+        y = v @ S_
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "proj": pa.array(list(y), pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -3489,3 +3489,42 @@ class TestBM25Indexed:
         got = bm25_topk_indexed(SF, query=q, index_dir=idx)
         ref = bm25_topk(SF, query=q)
         pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+class TestSrpProject:
+    def test_bit_equal_to_numpy_and_preserves_geometry(self):
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.functions.urls import hash64
+        from blockspider_ray.pipelines.similarity import srp_project
+
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        V = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+        ids = np.array(t["vec_id"].to_pylist())
+        o = np.argsort(ids)
+        # the fixture's isotropic vectors have CONCENTRATED pairwise
+        # distances, so rank correlation is uninformative; the JL lemma's
+        # own distortion bound is the right instrument: squared-distance
+        # ratios deviate from 1 by ~sqrt(2/d_out) on average
+        for d_out in (16, 64):
+            out = srp_project(SF, d_out=d_out).to_pandas().sort_values("vec_id")
+            got = np.stack(out["proj"].to_numpy())
+            idx = np.array(
+                [f"{i}:{j}" for i in range(V.shape[1]) for j in range(d_out)],
+                dtype=object,
+            )
+            S = np.where(
+                (hash64(idx) & np.uint64(1)).astype(bool), 1.0, -1.0
+            ).reshape(V.shape[1], d_out) / np.sqrt(float(d_out))
+            Y = V[o] @ S
+            assert np.array_equal(got, Y)  # bit-exact: same matmul, same matrix
+            # JL sanity: norms preserved in expectation, distances correlated
+            r = (got**2).sum(1) / np.maximum((V[o] ** 2).sum(1), 1e-12)
+            assert 0.8 < r.mean() < 1.2
+            rng = np.random.default_rng(0)
+            a, b = rng.integers(0, len(V), 300), rng.integers(0, len(V), 300)
+            keep = a != b
+            d0 = ((V[o][a[keep]] - V[o][b[keep]]) ** 2).sum(1)
+            d1 = ((got[a[keep]] - got[b[keep]]) ** 2).sum(1)
+            distortion = np.abs(d1 / np.maximum(d0, 1e-12) - 1.0)
+            assert distortion.mean() < 3.0 * np.sqrt(2.0 / d_out)
