@@ -403,6 +403,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the CCNet recipe; line_dedup is the boilerplate half) — later
         # occurrences of a repeated paragraph are deleted corpus-wide
         "paragraph_dedup": dedup.paragraph_dedup,
+        # the CCNet recipe end-to-end: paragraph dedup -> boilerplate
+        # removal -> integer-exact per-lang fluency terciles, tail
+        # dropped; one chained Dataset pipeline, one composed oracle
+        "ccnet_corpus": corpus.ccnet_corpus,
         # incremental exact dedup against the persisted fp index (the
         # daily-crawl path; default index built on first use under /tmp,
         # update_index stays False here so repeat calls are deterministic)
@@ -1157,6 +1161,80 @@ def oracle_sql() -> dict[str, str]:
                    (t.n_lines - COUNT(k.line))::BIGINT AS n_removed_paras
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id, t.n_lines
+        """,
+        # the CCNet composition: stage-1 paragraph winners, stage-2
+        # boilerplate removal over the deduped text, stage-3
+        # integer-exact fluency NTILE over the cleaned text, tail cut
+        "ccnet_corpus": r"""
+            WITH lines1 AS (
+                SELECT doc_id, lang, generate_subscripts(ls, 1)::BIGINT AS idx,
+                       unnest(ls) AS line
+                FROM (SELECT doc_id, lang,
+                             string_split(COALESCE(text, ''), chr(10)) AS ls
+                      FROM documents)
+            ),
+            -- stage 1: boilerplate removal on the RAW corpus
+            df1 AS (
+                SELECT line, COUNT(DISTINCT doc_id)::BIGINT AS d FROM lines1 GROUP BY line
+            ),
+            kept1 AS (
+                SELECT l.doc_id, l.idx, l.line FROM lines1 l JOIN df1 USING (line)
+                WHERE d < 3
+            ),
+            text1 AS (
+                SELECT t.doc_id, t.lang,
+                       COALESCE(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text
+                FROM (SELECT DISTINCT doc_id, lang FROM lines1) t
+                LEFT JOIN kept1 k USING (doc_id) GROUP BY t.doc_id, t.lang
+            ),
+            -- stage 2: first-occurrence paragraph dedup of what remains
+            lines2 AS (
+                SELECT doc_id, lang, generate_subscripts(ls, 1)::BIGINT AS idx,
+                       unnest(ls) AS line
+                FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS ls FROM text1)
+            ),
+            win AS (
+                SELECT line, MIN(doc_id * 2097152 + (idx - 1)) AS w,
+                       COUNT(*)::BIGINT AS n
+                FROM lines2 WHERE length(line) >= 1 GROUP BY line
+            ),
+            kept2 AS (
+                SELECT l.doc_id, l.idx, l.line
+                FROM lines2 l LEFT JOIN win ON l.line = win.line AND length(l.line) >= 1
+                WHERE win.line IS NULL OR win.n < 2
+                      OR l.doc_id * 2097152 + (l.idx - 1) = win.w
+            ),
+            text2 AS (
+                SELECT t.doc_id, t.lang,
+                       COALESCE(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text
+                FROM (SELECT DISTINCT doc_id, lang FROM lines2) t
+                LEFT JOIN kept2 k USING (doc_id) GROUP BY t.doc_id, t.lang
+            ),
+            -- stage 3: integer-exact fluency NTILE over the cleaned text
+            toks AS (
+                SELECT doc_id, lang, u.tok
+                FROM text2, unnest(regexp_extract_all(text, '\S+')) AS u(tok)
+            ),
+            cnt AS (SELECT tok, COUNT(*)::HUGEINT AS c FROM toks GROUP BY tok),
+            per_doc AS (
+                SELECT t.doc_id, t.lang, SUM(c.c)::HUGEINT AS s, COUNT(*)::HUGEINT AS n
+                FROM toks t JOIN cnt c USING (tok) GROUP BY t.doc_id, t.lang
+            ),
+            scored AS (
+                SELECT doc_id, lang,
+                       ((s // n) * 1000000000 + ((s % n) * 1000000000) // n)::BIGINT
+                           AS score_q
+                FROM per_doc
+            ),
+            bucketed AS (
+                SELECT doc_id, lang, score_q,
+                       NTILE(3) OVER (PARTITION BY lang
+                                      ORDER BY score_q DESC, doc_id)::BIGINT AS bucket
+                FROM scored
+            )
+            SELECT b.doc_id::BIGINT AS doc_id, b.lang, t.text, b.score_q, b.bucket
+            FROM bucketed b JOIN text2 t ON b.doc_id = t.doc_id
+            WHERE b.bucket <= 2
         """,
         # deterministic per-source mixture sampling: the same mod-2^32
         # integer ring as hash_split, remixed through xorshift-multiply

@@ -259,6 +259,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "exact_dedup_incremental",
         "line_dedup",
         "paragraph_dedup",
+        "ccnet_corpus",
         "mixture_sample",
         "stratified_sample",
         "poisson_sample",

@@ -1106,3 +1106,52 @@ def fuzzy_dedup_corpus(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
         return t.filter(pa.array(lose_[pos] != ids))
 
     return ds.map_batches(survivors, batch_format="pyarrow")
+
+
+def ccnet_corpus(
+    sf_dir: str,
+    min_docs: int = 3,
+    k: int = 3,
+    keep_max_bucket: int = 2,
+) -> rd.Dataset:
+    """The CCNet cleaning recipe (Wenzek et al. 2020) END TO END, as
+    one chained Dataset pipeline — the composition this round's three
+    new stages exist for:
+
+      1. :func:`~.dedup.line_dedup_ds` — boilerplate removal (lines in
+         >= ``min_docs`` distinct documents: nav bars, footers —
+         removed from EVERY copy);
+      2. :func:`~.dedup.paragraph_dedup_ds` — corpus-wide
+         first-occurrence paragraph dedup of the remaining text
+         (repeats below the boilerplate threshold keep one copy);
+      3. :func:`~.textstats.fluency_buckets_ds` — per-language
+         NTILE(``k``) by the integer-exact corpus-LM fluency score of
+         the CLEANED text, keeping buckets <= ``keep_max_bucket``
+         (CCNet's head+middle; the tail is dropped).
+
+    Stage order is load-bearing: global paragraph dedup FIRST would
+    reduce every repeated line to one copy, leaving the >=min_docs
+    boilerplate rule nothing to count — boilerplate is a statistical
+    judgment about the raw corpus, so it runs on the raw corpus.
+
+    Output: (doc_id, lang, text, score_q, bucket) for surviving docs —
+    text is the stage-2 cleaned text the bucket was scored on. Docs
+    whose cleaned text is token-free have no fluency score and drop
+    out, exactly as in the SQL oracle's count join.
+
+    Scale shape is the sum of its verified parts: stage 1/2 broadcast
+    duplicate- and boilerplate-bounded hash sets (cap-guarded) and
+    never shuffle text; stage 3 adds the vocab-bounded LM broadcast
+    and the histogram-refinement NTILE whose only collects are the
+    coarse histogram and the boundary bins (text explicitly pruned
+    from that collect). Between stages the text column moves only
+    task-to-task through the object store — no all-to-all carries it."""
+    from .common import T
+    from .dedup import line_dedup_ds, paragraph_dedup_ds
+    from .textstats import fluency_buckets_ds
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    s1 = line_dedup_ds(ds, min_docs=min_docs).drop_columns(["n_removed_lines"])
+    s2 = paragraph_dedup_ds(s1).drop_columns(["n_removed_paras"])
+    s3 = fluency_buckets_ds(s2, k=k, carry_text=True)
+    return s3.filter(expr=f"bucket <= {keep_max_bucket}")

@@ -1172,9 +1172,9 @@ def decontaminate(
     return ds.map_batches(overlap, batch_format="pyarrow")
 
 
-def line_dedup(
-    sf_dir: str, min_docs: int = 3, max_driver_rows: int = _MAX_DRIVER_ROWS
-) -> pd.DataFrame:
+def line_dedup_ds(
+    ds: rd.Dataset, min_docs: int = 3, max_driver_rows: int = _MAX_DRIVER_ROWS
+) -> rd.Dataset:
     """Boilerplate line removal (CCNet/RefinedWeb-style): delete every
     line that appears in >= ``min_docs`` DISTINCT documents (nav bars,
     cookie banners, footers — the dominant web-page noise left after
@@ -1202,8 +1202,12 @@ def line_dedup(
     innocent line (~n_lines^2 / 2^65 expected); at that scale raise to a
     128-bit key. Lines are byte-exact keys (no normalization), matching
     the SQL oracle's GROUP BY line.
+
+    Dataset-in/Dataset-out so it chains (``ccnet_corpus`` runs it on
+    paragraph-deduped text): non-text columns pass through, cleaned
+    text comes back as ``text``; the thin :func:`line_dedup` wrapper
+    keeps the legacy sf_dir + ``text_clean`` frame contract.
     """
-    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _split(t: pa.Table):
         import pyarrow.compute as pc
@@ -1269,15 +1273,30 @@ def line_dedup(
         for i in range(len(lens)):
             a, b = starts[i], starts[i] + lens[i]
             texts.append("\n".join(flat[j] for j in range(a, b) if not drop[j]))
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "text_clean": pa.array(texts, pa.string()),
-                "n_removed_lines": pa.array(n_removed, pa.int64()),
-            }
-        )
+        cols = {c: t[c] for c in t.column_names if c != "text"}
+        cols["text"] = pa.array(texts, pa.string())
+        cols["n_removed_lines"] = pa.array(n_removed, pa.int64())
+        return pa.table(cols)
 
-    out = ds.map_batches(clean, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def line_dedup(
+    sf_dir: str, min_docs: int = 3, max_driver_rows: int = _MAX_DRIVER_ROWS
+) -> pd.DataFrame:
+    """sf_dir entry point for :func:`line_dedup_ds` (docstring there):
+    reads ``documents``, returns the legacy sorted
+    (doc_id, text_clean, n_removed_lines) frame."""
+    out = (
+        line_dedup_ds(
+            T(sf_dir, "documents", columns=["doc_id", "text"]),
+            min_docs=min_docs,
+            max_driver_rows=max_driver_rows,
+        )
+        .to_pandas()
+        .rename(columns={"text": "text_clean"})
+    )
+    out = out[["doc_id", "text_clean", "n_removed_lines"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1838,11 +1857,11 @@ def winnow_dedup_pairs(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def paragraph_dedup(
-    sf_dir: str,
+def paragraph_dedup_ds(
+    ds: rd.Dataset,
     min_chars: int = 1,
     max_driver_rows: int = _MAX_DRIVER_ROWS,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Corpus-wide FIRST-OCCURRENCE paragraph dedup (the exact-substring
     half of the CCNet recipe, where ``line_dedup`` is the boilerplate
     half): every newline-delimited paragraph keeps only its globally
@@ -1870,8 +1889,13 @@ def paragraph_dedup(
     Text never rides a shuffle; the all-to-all moves one fixed-width
     partial row per (line-hash, batch). 64-bit hash collisions would
     merge two paragraphs' occurrence lists (~n^2/2^65); widen to 128
-    bits at >10^9 distinct paragraphs, as ``line_dedup`` documents."""
-    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+    bits at >10^9 distinct paragraphs, as ``line_dedup`` documents.
+
+    Dataset-in/Dataset-out so it chains (``ccnet_corpus`` feeds its
+    output into ``line_dedup_ds``): non-text columns pass through,
+    the cleaned text comes back as ``text``. The thin
+    :func:`paragraph_dedup` wrapper keeps the legacy sf_dir +
+    ``text_clean`` frame contract."""
     SHIFT = 21
 
     def _split(t: pa.Table):
@@ -1959,13 +1983,30 @@ def paragraph_dedup(
         for i in range(len(lens)):
             a, b = starts[i], starts[i] + lens[i]
             texts.append("\n".join(flat[j] for j in range(a, b) if not drop[j]))
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "text_clean": pa.array(texts, pa.string()),
-                "n_removed_paras": pa.array(n_removed, pa.int64()),
-            }
-        )
+        cols = {c: t[c] for c in t.column_names if c != "text"}
+        cols["text"] = pa.array(texts, pa.string())
+        cols["n_removed_paras"] = pa.array(n_removed, pa.int64())
+        return pa.table(cols)
 
-    out = ds.map_batches(clean, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def paragraph_dedup(
+    sf_dir: str,
+    min_chars: int = 1,
+    max_driver_rows: int = _MAX_DRIVER_ROWS,
+) -> pd.DataFrame:
+    """sf_dir entry point for :func:`paragraph_dedup_ds` (docstring
+    there): reads ``documents``, returns the legacy sorted
+    (doc_id, text_clean, n_removed_paras) frame."""
+    out = (
+        paragraph_dedup_ds(
+            T(sf_dir, "documents", columns=["doc_id", "text"]),
+            min_chars=min_chars,
+            max_driver_rows=max_driver_rows,
+        )
+        .to_pandas()
+        .rename(columns={"text": "text_clean"})
+    )
+    out = out[["doc_id", "text_clean", "n_removed_paras"]]
     return out.sort_values("doc_id").reset_index(drop=True)

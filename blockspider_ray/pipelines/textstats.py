@@ -2015,13 +2015,14 @@ def winnow_fingerprints(
     return ds.map_batches(winnow, batch_format="pyarrow")
 
 
-def fluency_buckets(
-    sf_dir: str,
+def fluency_buckets_ds(
+    ds: rd.Dataset,
     k: int = 3,
     scale: int = 10**9,
     bin_shift: int = 48,
     max_vocab_rows: int = 50_000_000,
     max_boundary_rows: int = 20_000_000,
+    carry_text: bool = False,
 ) -> rd.Dataset:
     """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
     every document gets a per-language NTILE(``k``) bucket by how
@@ -2071,13 +2072,18 @@ def fluency_buckets(
         documented hot-key note.
 
     Docs with zero tokens have no defined score and are excluded on
-    both sides (the SQL's count join drops them identically)."""
+    both sides (the SQL's count join drops them identically).
+
+    Dataset-in (columns doc_id, lang, text) so it chains —
+    ``ccnet_corpus`` scores cleaned text; ``carry_text=True`` rides the
+    scored doc's text through to the output (for corpus-emitting
+    compositions). The thin :func:`fluency_buckets` wrapper keeps the
+    sf_dir contract."""
     import ray
 
     from .common import bounded_driver_frame
 
     assert k >= 1
-    ds = T(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = _token_pairs(t).group_by("tok").aggregate([([], "count_all")])
@@ -2095,13 +2101,14 @@ def fluency_buckets(
     counts = cnt["n"].to_numpy(dtype=np.int64)[order]
     vref = ray.put((vocab[order], counts))
 
-    _scored_empty = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "lang": pa.array([], pa.string()),
-            "score_q": pa.array([], pa.int64()),
-        }
-    )
+    _scored_cols = {
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "score_q": pa.array([], pa.int64()),
+    }
+    if carry_text:
+        _scored_cols["text"] = pa.array([], pa.string())
+    _scored_empty = pa.table(_scored_cols)
 
     def score(t: pa.Table) -> pa.Table:
         vocab_, cnt_ = ray.get(vref)
@@ -2128,13 +2135,14 @@ def fluency_buckets(
         if row is None:
             idx = {int(d): i for i, d in enumerate(bid)}
             row = np.fromiter((idx[int(d)] for d in doc[starts]), dtype=np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc[starts], pa.int64()),
-                "lang": pa.array(lang[row], pa.string()),
-                "score_q": pa.array(score_q, pa.int64()),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "lang": pa.array(lang[row], pa.string()),
+            "score_q": pa.array(score_q, pa.int64()),
+        }
+        if carry_text:
+            cols["text"] = t["text"].combine_chunks().take(pa.array(row, pa.int64()))
+        return pa.table(cols)
 
     scored = ds.map_batches(score, batch_format="pyarrow").materialize()
 
@@ -2183,7 +2191,9 @@ def fluency_buckets(
         keep = np.fromiter(
             ((lg, int(bb)) in need for lg, bb in zip(lang, b)), dtype=bool, count=len(b)
         )
-        return t.filter(pa.array(keep))
+        # threshold resolution needs only the sort key — never let a
+        # carried text column ride the driver collect
+        return t.select(["doc_id", "lang", "score_q"]).filter(pa.array(keep))
 
     bnd = bounded_driver_frame(
         scored.map_batches(in_boundary, batch_format="pyarrow"),
@@ -2228,16 +2238,31 @@ def fluency_buckets(
             for tn, td in zip(t_neg, t_doc):
                 acc += (nn > tn) | ((nn == tn) & (dd > td))
             bucket[m] += acc
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "lang": t["lang"],
-                "score_q": t["score_q"],
-                "bucket": pa.array(bucket, pa.int64()),
-            }
-        )
+        cols = {c: t[c] for c in t.column_names}
+        cols["bucket"] = pa.array(bucket, pa.int64())
+        return pa.table(cols)
 
     return scored.map_batches(tag, batch_format="pyarrow")
+
+
+def fluency_buckets(
+    sf_dir: str,
+    k: int = 3,
+    scale: int = 10**9,
+    bin_shift: int = 48,
+    max_vocab_rows: int = 50_000_000,
+    max_boundary_rows: int = 20_000_000,
+) -> rd.Dataset:
+    """sf_dir entry point for :func:`fluency_buckets_ds` (docstring
+    there): reads ``documents`` and buckets the raw corpus."""
+    return fluency_buckets_ds(
+        T(sf_dir, "documents", columns=["doc_id", "lang", "text"]),
+        k=k,
+        scale=scale,
+        bin_shift=bin_shift,
+        max_vocab_rows=max_vocab_rows,
+        max_boundary_rows=max_boundary_rows,
+    )
 
 
 def bm25_build_sidecar(sf_dir: str, index_dir: str) -> str:

@@ -64,6 +64,7 @@ SWEEP = [
     "shuffle_epoch",
     "line_dedup",
     "paragraph_dedup",
+    "ccnet_corpus",
     "exact_dedup",
     "exact_dedup_incremental",
     "first_per_key",
@@ -3528,3 +3529,67 @@ class TestSrpProject:
             d1 = ((got[a[keep]] - got[b[keep]]) ** 2).sum(1)
             distortion = np.abs(d1 / np.maximum(d0, 1e-12) - 1.0)
             assert distortion.mean() < 3.0 * np.sqrt(2.0 / d_out)
+
+
+class TestCCNetCorpus:
+    def test_planted_three_stage_pipeline(self, tmp_path):
+        """Each stage visibly acts on a planted corpus: a cross-doc
+        repeated paragraph survives only in its first doc, a
+        boilerplate footer in >=3 docs vanishes everywhere, and the
+        per-lang tercile tail (rare-token docs) is dropped; the
+        composed SQL oracle agrees on the whole frame."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as em
+        from blockspider_ray.pipelines.corpus import ccnet_corpus
+
+        footer = "footer copyright nav"
+        docs, langs = {}, {}
+        # 9 fluent docs: per-doc-unique common-token bodies (so stage-2
+        # paragraph dedup can't empty them) + a footer line in all 9
+        # (>= min_docs: stage-1 boilerplate, removed from EVERY copy);
+        # docs 0 and 1 share one paragraph (d=2 < min_docs: survives
+        # stage 1, stage 2 keeps only doc 0's first occurrence)
+        # the shared paragraph reuses the HIGH-count words so it cannot
+        # dilute doc 0's fluency rank into the dropped tail
+        shared = "common tokens common always"
+        for i in range(9):
+            body = f"common tokens appear everywhere always common d{i}"
+            if i == 0:
+                body = shared + "\n" + body
+            if i == 1:
+                body = body + "\n" + shared
+            docs[i] = body + "\n" + footer
+            langs[i] = "en"
+        # 3 rare-token docs: the en tercile tail
+        for i in range(9, 12):
+            docs[i] = f"zzq{i} xxw{i} vvr{i} uut{i}"
+            langs[i] = "en"
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                    "lang": pa.array([langs[i] for i in docs], pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        out = ccnet_corpus(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        kept = set(out["doc_id"])
+        assert kept & {9, 10, 11} == set()  # tail bucket dropped
+        texts = dict(zip(out["doc_id"], out["text"]))
+        assert shared in texts[0]  # first occurrence survives
+        assert shared not in texts.get(1, "")  # later copy deduped
+        assert all(footer not in t for t in texts.values())  # boilerplate gone
+        # full-frame oracle agreement on the planted table
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+        want = (
+            con.sql(em.oracle_sql()["ccnet_corpus"]).df().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)], want[sorted(want.columns)], check_dtype=False
+        )
