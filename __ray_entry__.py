@@ -520,6 +520,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_aes": corpus.weighted_sample_aes,
         # incremental-recrawl set diff (added/removed/changed vs snapshot B)
         "snapshot_diff": corpus.snapshot_diff,
+        # per-source change rates + recrawl priority rank from the
+        # snapshot diff (the adaptive-cadence refinement of the
+        # reference's one global polling ticker)
+        "recrawl_priority": corpus.recrawl_priority,
         # DSIR importance resampling (hashed-bigram log-ratio model; no
         # SQL oracle — pytest pins vs a driver-local reference)
         "dsir_sample": corpus.dsir_sample,
@@ -1324,6 +1328,29 @@ def oracle_sql() -> dict[str, str]:
         # incremental-recrawl diff: snapshot B derived in-query (drop
         # %7, rewrite %11, add fresh ids for %13); the pipeline compares
         # 64-bit content fingerprints, the oracle compares text exactly
+        # per-source recrawl priority: the oracle is free to exploit the
+        # analytic form of snapshot B's modular derivation; the Ray side
+        # consumes snapshot_diff's actual output
+        "recrawl_priority": """
+            WITH per AS (
+                SELECT source, COUNT(*)::HUGEINT AS n_docs,
+                       SUM(CASE WHEN doc_id % 7 != 0 AND doc_id % 11 = 0
+                                THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+                       SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS n_removed
+                FROM documents GROUP BY source
+            ),
+            scored AS (
+                SELECT source, n_docs::BIGINT AS n_docs, n_changed, n_removed,
+                       (((n_changed + n_removed)::HUGEINT * 1000000) // n_docs)::BIGINT
+                           AS change_rate_q
+                FROM per
+            )
+            SELECT source, n_docs, n_changed, n_removed, change_rate_q,
+                   ROW_NUMBER() OVER (ORDER BY change_rate_q DESC, source)::BIGINT
+                       AS priority
+            FROM scored
+        """,
         "snapshot_diff": """
             WITH mx AS (SELECT MAX(doc_id) + 1 AS base FROM documents),
             b AS (

@@ -266,6 +266,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "bottomk_sample",
         "weighted_sample_aes",
         "snapshot_diff",
+        "recrawl_priority",
         "dsir_sample",
         "rebalance_langs",
         "normalize_text",

@@ -1155,3 +1155,117 @@ def ccnet_corpus(
     s2 = paragraph_dedup_ds(s1).drop_columns(["n_removed_paras"])
     s3 = fluency_buckets_ds(s2, k=k, carry_text=True)
     return s3.filter(expr=f"bucket <= {keep_max_bucket}")
+
+
+def recrawl_priority(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
+    """Adaptive recrawl scheduling from a snapshot diff — the
+    crawl-strategy rollup the engine's frontier would consume next
+    session: per source, how much of its corpus moved between
+    snapshots, as an integer-exact change rate and a priority rank
+    (recrawl the fastest-moving sources first; blockspider's polling
+    ticker applies one global cadence, crawler/crawler.go:34-51 — this
+    is the per-publisher refinement).
+
+        change_rate_q = ((n_changed + n_removed) * 10^6) // n_docs
+        priority      = ROW_NUMBER() ORDER BY change_rate_q DESC, source
+
+    ``added`` docs carry no source (they are new ids) and are excluded;
+    the rate is over the source's ORIGINAL snapshot population.
+
+    Scale shape: consumes :func:`snapshot_diff`'s actual delta-sized
+    output (never the modular shortcut the oracle is free to exploit);
+    the source attach co-locates diff rows with the (doc_id, source)
+    pairs by ``doc % B`` — one fixed-width all-to-all, searchsorted
+    inside the bucket — and per-source totals come from the house
+    in-batch partial groupby. Everything landing on the driver is
+    source-bounded."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.urls import hash64  # noqa: F401  (parity with siblings)
+    from .common import T, n_shuffle_buckets, rename
+
+    B = n_buckets or n_shuffle_buckets()
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+
+    docs = T(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["source"]).group_by("source").aggregate([([], "count_all")])
+        return rename(g, {"count_all": "p_n"})
+
+    totals = (
+        docs.map_batches(totals_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("p_n", alias_name="n_docs"))
+        .to_pandas()
+    )
+
+    diff = snapshot_diff(sf_dir, n_buckets=n_buckets)
+
+    def diff_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        status = t["status"].to_numpy(zero_copy_only=False)
+        keep = status != "added"  # new ids have no source
+        ids, status = ids[keep], status[keep]
+        return pa.table(
+            {
+                "qb": pa.array(ids % B, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(np.full(len(ids), "", dtype=object), pa.string()),
+                "chg": pa.array((status == "changed").astype(np.int64), pa.int64()),
+                "rem": pa.array((status == "removed").astype(np.int64), pa.int64()),
+            }
+        )
+
+    def src_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                "qb": pa.array(ids % B, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": t["source"],
+                "chg": pa.array(z, pa.int64()),
+                "rem": pa.array(z - 1, pa.int64()),  # rem = -1 marks a source row
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        rem = g["rem"].to_numpy(dtype=np.int64)
+        is_src = rem < 0
+        s_ids = ids[is_src]
+        s_src = g["source"].to_numpy(dtype=object)[is_src]
+        o = np.argsort(s_ids)
+        s_ids, s_src = s_ids[o], s_src[o]
+        d = g[~is_src]
+        if not len(d):
+            return pd.DataFrame({"source": [], "p_chg": [], "p_rem": []})
+        src = s_src[np.searchsorted(s_ids, d["doc_id"].to_numpy(dtype=np.int64))]
+        out = pd.DataFrame(
+            {"source": src.astype(str), "p_chg": d["chg"].to_numpy(), "p_rem": d["rem"].to_numpy()}
+        )
+        return out.groupby("source", as_index=False).sum()
+
+    delta = (
+        diff.map_batches(diff_rows, batch_format="pyarrow")
+        .union(docs.map_batches(src_rows, batch_format="pyarrow"))
+        .groupby("qb")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("p_chg", alias_name="n_changed"), Sum("p_rem", alias_name="n_removed"))
+        .to_pandas()
+    )
+
+    out = totals.merge(delta, on="source", how="left").fillna(0)
+    for c in ("n_docs", "n_changed", "n_removed"):
+        out[c] = out[c].astype("int64")
+    out["change_rate_q"] = [
+        ((int(c) + int(r)) * 10**6) // int(n)
+        for c, r, n in zip(out["n_changed"], out["n_removed"], out["n_docs"])
+    ]
+    out = out.sort_values(
+        ["change_rate_q", "source"], ascending=[False, True]
+    ).reset_index(drop=True)
+    out["priority"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["source", "n_docs", "n_changed", "n_removed", "change_rate_q", "priority"]]

@@ -57,6 +57,7 @@ SWEEP = [
     "poisson_sample",
     "bottomk_sample",
     "snapshot_diff",
+    "recrawl_priority",
     "rebalance_langs",
     "normalize_text",
     "pack_sequences",
@@ -3593,3 +3594,22 @@ class TestCCNetCorpus:
         pd.testing.assert_frame_equal(
             out[sorted(out.columns)], want[sorted(want.columns)], check_dtype=False
         )
+
+
+class TestRecrawlPriority:
+    def test_reconciles_with_snapshot_diff_and_bucket_invariant(self):
+        """The per-source change/removal totals must reconcile exactly
+        with snapshot_diff's own output (the pipeline consumes the real
+        delta, not the oracle's analytic shortcut), and the bucket
+        width must be a pure dispatch choice."""
+        from blockspider_ray.pipelines.corpus import recrawl_priority, snapshot_diff
+
+        out = recrawl_priority(SF)
+        diff = snapshot_diff(SF).to_pandas()
+        n_changed = (diff["status"] == "changed").sum()
+        n_removed = (diff["status"] == "removed").sum()
+        assert out["n_changed"].sum() == n_changed
+        assert out["n_removed"].sum() == n_removed
+        assert (out["priority"].to_numpy() == np.arange(1, len(out) + 1)).all()
+        b = recrawl_priority(SF, n_buckets=4)
+        pd.testing.assert_frame_equal(out, b, check_dtype=False)
