@@ -550,6 +550,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (no SQL oracle: graph closure over the page store; pytest pins
         # a sequential reference + planted mutual/one-way/self-loop)
         "host_degrees": graph.host_degrees,
+        # weakly-connected components of the host graph via the same
+        # FastSV loop the near-dup family uses (no SQL oracle; pytest
+        # pins union-find equality + planted islands)
+        "host_components": graph.host_components,
         # the crawl engine itself (deterministic tiny fixture; the oracle
         # equivalence is enforced in pytest, rows-only here)
         "crawl_log": lambda sf_dir: _crawl_tiny()[0],

@@ -310,6 +310,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "host_triangles",
         "anchor_texts",
         "host_degrees",
+        "host_components",
         "politeness_audit",
         "corpus_prep",
     ]

@@ -856,3 +856,87 @@ def host_degrees(sf_dir: str) -> pd.DataFrame:
     for c in ("out_deg", "in_deg", "n_recip"):
         out[c] = out[c].astype("int64")
     return out.sort_values("host").reset_index(drop=True)
+
+
+def component_table(edges: rd.Dataset) -> pd.DataFrame:
+    """Weakly-connected components of an (src, dst, w) host-graph
+    Dataset — the web-graph structure question (is the crawl one
+    connected web or islands?) answered with the SAME distributed
+    FastSV loop the near-dup family uses
+    (``clusters.connected_components``), fed host hashes instead of
+    doc ids. Self-loops are dropped (they connect nothing); hosts
+    whose only edges were self-loops come back as their own singleton
+    component.
+
+    Returns (host, component, component_size) — ``component`` is the
+    lexicographically smallest HOST NAME in the component (stable
+    across hash choices), sorted by host. The id->host resolution and
+    the final frame are node-bounded, the same driver-landing class as
+    ``connected_components``'s own contract; the iteration itself is
+    fully distributed."""
+    from ..functions.urls import hash64
+    from .clusters import connected_components
+
+    edges = edges.materialize()
+
+    def id_pairs(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(object)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(object)
+        keep = src != dst
+        a = hash64(src[keep]).view(np.int64)
+        b = hash64(dst[keep]).view(np.int64)
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+        )
+
+    def host_rows(t: pa.Table) -> pa.Table:
+        hosts = np.unique(
+            np.concatenate(
+                [
+                    t["src"].to_numpy(zero_copy_only=False).astype(object),
+                    t["dst"].to_numpy(zero_copy_only=False).astype(object),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "id": pa.array(hash64(hosts).view(np.int64), pa.int64()),
+                "host": pa.array(hosts.astype(str), pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    hosts = (
+        edges.map_batches(host_rows, batch_format="pyarrow")
+        .groupby(["id", "host"])
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()[["id", "host"]]
+    )
+    cc = connected_components(edges.map_batches(id_pairs, batch_format="pyarrow"))
+    out = hosts.merge(cc, left_on="id", right_on="doc_id", how="left")
+    # resolve component label = min host name per cluster; singletons
+    # (self-loop-only or isolated hosts) label themselves
+    lab = (
+        out.dropna(subset=["cluster_id"])
+        .groupby("cluster_id")["host"]
+        .min()
+        .to_dict()
+    )
+    out["component"] = [
+        lab[c] if pd.notna(c) else h for c, h in zip(out["cluster_id"], out["host"])
+    ]
+    sizes = out.groupby("component")["host"].transform("size").astype("int64")
+    out["component_size"] = sizes
+    out = out[["host", "component", "component_size"]]
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def host_components(sf_dir: str) -> pd.DataFrame:
+    """Component table of the synthetic web's host graph (``sf_dir``
+    unused, like pagerank_hosts). Pytest pins union-find equality on
+    the tiny web plus planted island/self-loop graphs."""
+    from blockspider_ray import gen
+
+    pages_dir, _ = gen.ensure_fixture("tiny")
+    return component_table(host_graph(pages_dir))

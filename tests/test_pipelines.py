@@ -3613,3 +3613,57 @@ class TestRecrawlPriority:
         assert (out["priority"].to_numpy() == np.arange(1, len(out) + 1)).all()
         b = recrawl_priority(SF, n_buckets=4)
         pd.testing.assert_frame_equal(out, b, check_dtype=False)
+
+
+class TestHostComponents:
+    def test_planted_islands_and_selfloop_singleton(self):
+        import ray.data as rd
+
+        from blockspider_ray.pipelines.graph import component_table
+
+        edges = rd.from_items(
+            [
+                {"src": "b", "dst": "a", "w": 1.0},   # island 1: {a, b}
+                {"src": "c", "dst": "d", "w": 1.0},   # island 2: {c, d, e}
+                {"src": "d", "dst": "e", "w": 1.0},
+                {"src": "z", "dst": "z", "w": 9.0},   # self-loop only: singleton
+            ]
+        )
+        out = component_table(edges).set_index("host")
+        assert out.loc["a", "component"] == "a" and out.loc["b", "component"] == "a"
+        assert all(out.loc[h, "component"] == "c" for h in ("c", "d", "e"))
+        assert out.loc["z", "component"] == "z" and out.loc["z", "component_size"] == 1
+        assert out.loc["c", "component_size"] == 3
+
+    def test_matches_union_find_on_tiny_web(self):
+        from blockspider_ray import gen
+        from blockspider_ray.pipelines.graph import host_components, host_graph
+
+        out = host_components("unused")
+        pages_dir, _ = gen.ensure_fixture("tiny")
+        e = host_graph(pages_dir).to_pandas()
+        parent: dict[str, str] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        hosts = sorted(set(e["src"]) | set(e["dst"]))
+        for a, b in zip(e["src"], e["dst"]):
+            if a != b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+        comp: dict[str, list[str]] = {}
+        for h in hosts:
+            comp.setdefault(find(h), []).append(h)
+        lab = {r: min(v) for r, v in comp.items()}
+        ref = pd.DataFrame({"host": hosts})
+        ref["component"] = [lab[find(h)] for h in hosts]
+        ref["component_size"] = (
+            ref.groupby("component")["host"].transform("size").astype("int64")
+        )
+        ref = ref.sort_values("host").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
