@@ -554,6 +554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FastSV loop the near-dup family uses (no SQL oracle; pytest
         # pins union-find equality + planted islands)
         "host_components": graph.host_components,
+        # k-core decomposition (h-index fixpoint; no SQL oracle —
+        # iterative; pytest pins exact peeling-reference equality)
+        "host_kcore": graph.host_kcore,
         # the crawl engine itself (deterministic tiny fixture; the oracle
         # equivalence is enforced in pytest, rows-only here)
         "crawl_log": lambda sf_dir: _crawl_tiny()[0],

@@ -311,6 +311,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "anchor_texts",
         "host_degrees",
         "host_components",
+        "host_kcore",
         "politeness_audit",
         "corpus_prep",
     ]

@@ -125,10 +125,16 @@ def _lazy_block_col_sum():
         if isinstance(blk, pa.Table):
             import pyarrow.compute as pc
 
+            # an EMPTY block loses its schema (repartition pads with
+            # zero-row schema-less blocks); it contributes nothing
+            if col not in blk.column_names:
+                return 0
             if where_col is not None:
                 blk = blk.filter(pc.equal(blk[where_col], equals))
             v = pc.sum(blk.column(col)).as_py()
             return v or 0
+        if col not in blk.columns:
+            return 0
         if where_col is not None:
             blk = blk[blk[where_col] == equals]
         s = blk[col].sum()

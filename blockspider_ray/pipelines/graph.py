@@ -940,3 +940,243 @@ def host_components(sf_dir: str) -> pd.DataFrame:
 
     pages_dir, _ = gen.ensure_fixture("tiny")
     return component_table(host_graph(pages_dir))
+
+
+def kcore(edges: rd.Dataset, max_iters: int = 64, n_buckets: int = 16) -> pd.DataFrame:
+    """k-core decomposition of the host graph: every host's CORE NUMBER
+    (the largest k such that it survives in the subgraph where every
+    node keeps >= k neighbors) — the classic web-graph density/spam
+    signal (link farms are high-core; genuine long-tail sites are
+    low-core). Computed with the h-index fixpoint (Lu et al. 2016,
+    Nature Communications: coreness = the stationary point of
+    repeatedly setting c(v) <- H({c(u) : u ~ v}), starting from
+    degrees) — SYNCHRONOUS updates, so the result is deterministic and
+    order-free, unlike peeling's tie-order ambiguity. Undirected:
+    edges are mirrored; self-loops dropped; multi-edges collapse.
+
+    Scale shape — the pagerank/FastSV loop discipline: per iteration
+    ONE fused launch with two bucketed all-to-alls over fixed-width
+    (node-hash, int) rows — (1) neighbor-state gather: state rows and
+    edge rows co-locate by hash(src) bucket, every edge emits
+    (dst, c(src)); (2) apply: messages and own state co-locate by
+    hash(dst), each node's h-index is one lexsorted run-scan
+    (min(c_desc, rank) maxed per run). Convergence is probed off the
+    just-materialized state blocks (zero-cpu block sums), not a second
+    executor launch. Iterations needed = the graph's coreness
+    'degeneracy depth' (small for web graphs); ``max_iters`` bounds
+    pathological chains. Output is node-bounded: (host, core)."""
+    from ray.data.aggregate import Count
+
+    from .common import sum_col_over_blocks
+
+    assert n_buckets & (n_buckets - 1) == 0, (
+        f"n_buckets must be a power of two, got {n_buckets}"
+    )
+    B = n_buckets
+
+    def mirror_distinct(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(object)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(object)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = hash64(np.concatenate([s, d])).view(np.int64)
+        b = hash64(np.concatenate([d, s])).view(np.int64)
+        return pa.table(
+            {"src": pa.array(a, pa.int64()), "dst": pa.array(b, pa.int64())}
+        )
+
+    und = (
+        edges.map_batches(mirror_distinct, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["src", "dst"])
+        .repartition(min(B, 16))
+        .materialize()
+    )
+
+    def host_rows(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(object)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(object)
+        keep = s != d
+        hosts = np.unique(np.concatenate([s[keep], d[keep]]))
+        return pa.table(
+            {
+                "node": pa.array(hash64(hosts).view(np.int64), pa.int64()),
+                "host": pa.array(hosts.astype(str), pa.string()),
+            }
+        )
+
+    hosts = (
+        edges.map_batches(host_rows, batch_format="pyarrow")
+        .groupby(["node", "host"])
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()[["node", "host"]]
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"node": pa.array(src, pa.int64())})
+            .group_by("node")
+            .aggregate([([], "count_all")])
+        )
+        return rename_cols(g, {"count_all": "p_d"})
+
+    def rename_cols(t: pa.Table, m: dict) -> pa.Table:
+        return t.rename_columns([m.get(c, c) for c in t.column_names])
+
+    from ray.data.aggregate import Sum
+
+    state = (
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("p_d", alias_name="c"))
+        .map_batches(
+            lambda t: t.append_column(
+                "changed", pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(min(B, 16))
+        .materialize()
+    )
+
+    def _b(x: np.ndarray) -> np.ndarray:
+        return (x.view(np.uint64) % np.uint64(B)).view(np.int64)
+
+    for _ in range(max_iters):
+        if sum_col_over_blocks(state, "changed") == 0:
+            break
+
+        # ---- gather: (dst, c(src)) for every edge, co-located by src
+        def tag_state_src(t: pa.Table) -> pa.Table:
+            node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array(_b(node), pa.int64()),
+                    "key": t["node"],
+                    "dst": pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64()),
+                    "c": t["c"],
+                    "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def tag_edge(t: pa.Table) -> pa.Table:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array(_b(src), pa.int64()),
+                    "key": t["src"],
+                    "dst": t["dst"],
+                    "c": pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64()),
+                    "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        _empty_msg = pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"), "c": pd.Series([], dtype="int64")}
+        )
+
+        def gather(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["side"].to_numpy()
+            e = g[side == 1]
+            if len(e) == 0:
+                return _empty_msg
+            auth = g[side == 0]
+            m = e[["key", "dst"]].merge(auth[["key", "c"]], on="key", how="inner")
+            if len(m) == 0:
+                return _empty_msg
+            return pd.DataFrame(
+                {"node": m["dst"].to_numpy(dtype=np.int64), "c": m["c"].to_numpy(dtype=np.int64)}
+            )
+
+        msgs = (
+            state.map_batches(tag_state_src, batch_format="pyarrow")
+            .union(und.map_batches(tag_edge, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(gather, batch_format="pandas")
+        )
+
+        # ---- apply: per-node h-index of messages, new c = min(c, h)
+        def tag_msg(t: pa.Table) -> pa.Table:
+            node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array(_b(node), pa.int64()),
+                    "node": t["node"],
+                    "c": t["c"],
+                    "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def tag_own(t: pa.Table) -> pa.Table:
+            node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array(_b(node), pa.int64()),
+                    "node": t["node"],
+                    "c": t["c"],
+                    "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def apply_h(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["side"].to_numpy()
+            own = g[side == 0]
+            node_o = own["node"].to_numpy(dtype=np.int64)
+            c_o = own["c"].to_numpy(dtype=np.int64)
+            msg = g[side == 1]
+            if len(msg):
+                n_m = msg["node"].to_numpy(dtype=np.int64)
+                c_m = msg["c"].to_numpy(dtype=np.int64)
+                order = np.lexsort((-c_m, n_m))
+                n_s, c_s = n_m[order], c_m[order]
+                first = np.concatenate(([True], n_s[1:] != n_s[:-1]))
+                starts = np.flatnonzero(first)
+                rank = np.arange(len(n_s), dtype=np.int64) - np.repeat(
+                    starts, np.diff(np.append(starts, len(n_s)))
+                )
+                # h-index = max over the desc-sorted run of min(value, rank+1)
+                h_run = np.minimum(c_s, rank + 1)
+                h = np.maximum.reduceat(h_run, starts)
+                hmap_n, hmap_h = n_s[starts], h
+                pos = np.searchsorted(hmap_n, node_o)
+                pos = np.minimum(pos, len(hmap_n) - 1) if len(hmap_n) else pos
+                have = len(hmap_n) > 0
+                hit = (hmap_n[pos] == node_o) if have else np.zeros(len(node_o), bool)
+                new_c = np.where(hit, np.minimum(c_o, hmap_h[pos] if have else c_o), c_o)
+            else:
+                new_c = c_o
+            return pd.DataFrame(
+                {
+                    "node": node_o,
+                    "c": new_c,
+                    "changed": (new_c != c_o).astype(np.int64),
+                }
+            )
+
+        state = (
+            state.map_batches(tag_own, batch_format="pyarrow")
+            .union(msgs.map_batches(tag_msg, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(apply_h, batch_format="pandas")
+            .repartition(min(B, 16))
+            .materialize()
+        )
+
+    final = state.select_columns(["node", "c"]).to_pandas()
+    out = hosts.merge(final, on="node", how="inner")
+    out = out[["host", "c"]].rename(columns={"c": "core"})
+    out["core"] = out["core"].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def host_kcore(sf_dir: str) -> pd.DataFrame:
+    """Core numbers of the synthetic web's host graph (``sf_dir``
+    unused, like pagerank_hosts). Pytest pins exact equality vs a
+    sequential peeling reference plus planted K5/path/tailed-clique
+    fixtures — no SQL oracle (iterative graph closure)."""
+    from blockspider_ray import gen
+
+    pages_dir, _ = gen.ensure_fixture("tiny")
+    return kcore(host_graph(pages_dir))

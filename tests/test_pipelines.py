@@ -3667,3 +3667,65 @@ class TestHostComponents:
         )
         ref = ref.sort_values("host").reset_index(drop=True)
         pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+class TestKCore:
+    @staticmethod
+    def _peel(edge_list):
+        """Exact core numbers by min-degree peeling (the textbook
+        algorithm the h-index fixpoint must agree with)."""
+        import heapq
+
+        adj: dict[str, set] = {}
+        for a, b in edge_list:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        deg = {v: len(ns) for v, ns in adj.items()}
+        core = dict(deg)
+        alive = set(adj)
+        h = [(d, v) for v, d in deg.items()]
+        heapq.heapify(h)
+        k = 0
+        while h:
+            d, v = heapq.heappop(h)
+            if v not in alive or d != deg[v]:
+                continue
+            k = max(k, d)
+            core[v] = k
+            alive.discard(v)
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    heapq.heappush(h, (deg[u], u))
+        return core
+
+    def test_planted_k5_path_tailed_clique(self):
+        import ray.data as rd
+
+        from blockspider_ray.pipelines.graph import kcore
+
+        edges = []
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((f"k{i}", f"k{j}"))  # K5: core 4
+        edges += [("p1", "p2"), ("p2", "p3"), ("p3", "p4")]  # path: core 1
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((f"q{i}", f"q{j}"))  # K4 + tail
+        edges.append(("q0", "tail"))
+        ds = rd.from_items([{"src": a, "dst": b, "w": 1.0} for a, b in edges])
+        out = kcore(ds).set_index("host")["core"].to_dict()
+        assert out == self._peel(edges)
+        assert out["k0"] == 4 and out["p2"] == 1 and out["tail"] == 1 and out["q0"] == 3
+
+    def test_matches_peeling_on_tiny_web(self):
+        from blockspider_ray import gen
+        from blockspider_ray.pipelines.graph import host_graph, host_kcore
+
+        out = host_kcore("unused")
+        pages_dir, _ = gen.ensure_fixture("tiny")
+        e = host_graph(pages_dir).to_pandas()
+        ref = self._peel(list(zip(e["src"], e["dst"])))
+        assert dict(zip(out["host"], out["core"])) == ref
