@@ -218,6 +218,16 @@ _ASOF_SQL = r"""
 """
 
 
+def _robots_audit_tiny():
+    """Robots-conformance audit of the memoized tiny crawl (shared by
+    the crawl_* queries) against the same fixture's robots pages."""
+    from blockspider_ray import gen
+    from blockspider_ray.pipelines import windows
+
+    pages_dir, _ = gen.ensure_fixture("tiny")
+    return windows.robots_audit(pages_dir, _crawl_tiny()[0])
+
+
 def _crawl_tiny():
     """One deterministic tiny crawl through the distributed engine,
     memoized per process (shared by the crawl_* queries)."""
@@ -567,6 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "politeness_audit": lambda sf_dir: windows.politeness_audit(
             _crawl_tiny()[0], budget=2
         ),
+        # robots-conformance audit of the tiny crawl against the page
+        # store's own robots.txt rules (no SQL oracle; pytest pins the
+        # clean engine log + an exactly-counted planted violation)
+        "robots_audit": lambda sf_dir: _robots_audit_tiny(),
         "crawl_seen": lambda sf_dir: _crawl_tiny()[1],
     }
     return q

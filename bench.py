@@ -313,6 +313,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "host_components",
         "host_kcore",
         "politeness_audit",
+        "robots_audit",
         "corpus_prep",
     ]
     qs = em.queries()

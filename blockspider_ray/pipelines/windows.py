@@ -1071,3 +1071,141 @@ def politeness_audit(log, budget: int) -> pd.DataFrame:
     for c in ("n_fetched", "n_rounds", "max_per_round", "n_violations"):
         out[c] = out[c].astype("int64")
     return out.sort_values("host").reset_index(drop=True)
+
+
+def robots_audit(pages_dir: str, log, n_buckets: int = 16) -> pd.DataFrame:
+    """Robots-conformance audit of a crawl log against the page store's
+    own robots.txt pages — the policy sibling of
+    :func:`politeness_audit` (same contract: the engine constructs the
+    invariant, this op CHECKS it on logs where it is only a claim —
+    resumed crawls, merged multi-cluster logs, third-party logs). Per
+    host: (n_fetched, n_rules, n_violations) where a violation is a
+    fetched URL whose path falls under a ``Disallow:`` prefix of that
+    host's ``User-agent: *`` group (the same
+    ``functions.robots.parse_robots`` subset the engine enforces).
+
+    Scale shape: rule rows (host, prefix — robots-bounded, tiny) and
+    log rows (host, path — fixed-width, no text) co-locate by
+    ``hash(host) % B``; inside each bucket the LOOP IS OVER RULES, not
+    URLs — each rule applies one vectorized ``np.char.startswith``
+    over its host's contiguous path run. robots.txt rows never leave
+    the read task as text: parsing happens in the batch that read
+    them."""
+    import numpy as np
+    import ray.data as rd_
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.robots import parse_robots
+    from ..functions.urls import hash64, url_host
+
+    B = n_buckets
+    assert B & (B - 1) == 0, f"n_buckets must be a power of two, got {B}"
+
+    def _b(hosts: np.ndarray) -> np.ndarray:
+        return (hash64(hosts) % np.uint64(B)).view(np.int64)
+
+    pages = rd_.read_parquet(pages_dir, columns=["url", "text"])
+
+    def rule_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rob = t.filter(pc.match_substring(t["url"], "/robots.txt"))
+        hosts, prefixes = [], []
+        for u, body in zip(rob["url"].to_pylist(), rob["text"].to_pylist()):
+            h = url_host(u)
+            for p in parse_robots(body or ""):
+                hosts.append(h)
+                prefixes.append(p)
+        ha = np.asarray(hosts, dtype=object)
+        return pa.table(
+            {
+                "qb": pa.array(_b(ha) if len(ha) else np.array([], np.int64), pa.int64()),
+                "host": pa.array(ha.astype(str) if len(ha) else [], pa.string()),
+                "path": pa.array(np.asarray(prefixes, dtype=str) if prefixes else [], pa.string()),
+                "is_rule": pa.array(np.ones(len(ha), np.int8)),
+            }
+        )
+
+    log_ds = rd_.from_arrow(log) if isinstance(log, pa.Table) else log
+
+    def log_rows(t: pa.Table) -> pa.Table:
+        hosts = t["host"].combine_chunks().to_numpy(zero_copy_only=False)
+        urls = t["url"].to_pylist()
+        paths = np.asarray(
+            ["/" + u.split("://", 1)[-1].split("/", 1)[1] if "/" in u.split("://", 1)[-1] else "/" for u in urls],
+            dtype=str,
+        )
+        return pa.table(
+            {
+                "qb": pa.array(_b(hosts.astype(object)), pa.int64()),
+                "host": pa.array(hosts.astype(str), pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "is_rule": pa.array(np.zeros(len(hosts), np.int8)),
+            }
+        )
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        is_rule = g["is_rule"].to_numpy() == 1
+        rules = g[is_rule]
+        fetched = g[~is_rule]
+        host_f = fetched["host"].to_numpy(dtype=object)
+        path_f = fetched["path"].to_numpy(dtype=str)
+        order = np.argsort(host_f, kind="stable")
+        host_s, path_s = host_f[order], path_f[order]
+        first = np.concatenate(([True], host_s[1:] != host_s[:-1])) if len(host_s) else np.array([], bool)
+        starts = np.flatnonzero(first)
+        run_hosts = host_s[starts]
+        run_ends = np.append(starts[1:], len(host_s))
+        viol = np.zeros(len(host_s), dtype=bool)
+        # loop over RULES (robots-bounded), vectorized over each host's run
+        for h, pref in zip(rules["host"], rules["path"]):
+            i = np.searchsorted(run_hosts, h)
+            if i >= len(run_hosts) or run_hosts[i] != h:
+                continue
+            a, b = starts[i], run_ends[i]
+            viol[a:b] |= np.char.startswith(path_s[a:b], pref)
+        n_v = np.add.reduceat(viol.astype(np.int64), starts) if len(starts) else np.array([], np.int64)
+        n_f = (run_ends - starts).astype(np.int64)
+        rule_counts = rules.groupby("host").size()
+        out = pd.DataFrame(
+            {
+                "host": run_hosts.astype(str),
+                "p_fetched": n_f,
+                "p_viol": n_v,
+                "p_rules": rule_counts.reindex(run_hosts, fill_value=0).to_numpy(np.int64),
+            }
+        )
+        # hosts with rules but zero fetches still report their rule count
+        missing = rule_counts.index.difference(run_hosts)
+        if len(missing):
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "host": np.asarray(missing, dtype=str),
+                            "p_fetched": 0,
+                            "p_viol": 0,
+                            "p_rules": rule_counts.loc[missing].to_numpy(np.int64),
+                        }
+                    ),
+                ]
+            )
+        return out
+
+    out = (
+        pages.map_batches(rule_rows, batch_format="pyarrow")
+        .union(log_ds.map_batches(log_rows, batch_format="pyarrow"))
+        .groupby("qb")
+        .map_groups(audit, batch_format="pandas")
+        .groupby("host")
+        .aggregate(
+            Sum("p_fetched", alias_name="n_fetched"),
+            Max("p_rules", alias_name="n_rules"),
+            Sum("p_viol", alias_name="n_violations"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_fetched", "n_rules", "n_violations"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)

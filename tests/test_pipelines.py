@@ -3729,3 +3729,41 @@ class TestKCore:
         e = host_graph(pages_dir).to_pandas()
         ref = self._peel(list(zip(e["src"], e["dst"])))
         assert dict(zip(out["host"], out["core"])) == ref
+
+
+class TestRobotsAudit:
+    def test_engine_log_audits_clean_and_rules_present(self):
+        import __ray_entry__ as em
+
+        log = em.queries()["crawl_log"]("unused")
+        out = em.queries()["robots_audit"]("unused")
+        assert (out["n_violations"] == 0).all()
+        assert (out["n_rules"] > 0).any()  # the fixture DOES plant rules
+        assert out["n_fetched"].sum() == log.num_rows
+
+    def test_planted_violation_counted_exactly(self):
+        import pyarrow as pa
+
+        import __ray_entry__ as em
+        from blockspider_ray import gen
+        from blockspider_ray.pipelines.windows import robots_audit
+
+        pages_dir, _ = gen.ensure_fixture("tiny")
+        base = em.queries()["robots_audit"]("unused")
+        ruled = base[base["n_rules"] > 0]["host"].iloc[0]
+        fake = pa.table(
+            {
+                "host": pa.array([ruled] * 3, pa.string()),
+                "url": pa.array(
+                    [
+                        f"http://{ruled}/p/000001",  # under the Disallow: /p/00 prefix
+                        f"http://{ruled}/p/007777",  # also disallowed
+                        f"http://{ruled}/ok/page",   # allowed
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        out = robots_audit(pages_dir, fake).set_index("host")
+        assert out.loc[ruled, "n_fetched"] == 3
+        assert out.loc[ruled, "n_violations"] == 2
