@@ -444,6 +444,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # construction — rows-only; pytest pins relative error vs
         # DuckDB quantile_disc and vs numpy on planted lognormals)
         "value_quantiles_sketch": sketches.value_quantiles_sketch,
+        # EXACT discrete quantiles at arbitrary q via the
+        # histogram-refinement order-statistic primitive (no domain
+        # bound, no approximation; rank = ceil(q*n)-1 like DuckDB)
+        "value_quantiles_exact": windows.value_quantiles_exact,
         # Misra-Gries heavy hitters (deterministic undercount interval;
         # rows-only — pytest pins the interval vs exact vocab_topk and
         # planted Zipf batches force real trimming)
@@ -498,8 +502,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": similarity.pca_embeddings,
         # deterministic signed-random-projection JL reduction (no SQL
         # oracle: hash-derived sign matrix; pytest pins bit-equality vs
-        # a driver numpy reference + norm/distance preservation)
-        "srp_project": similarity.srp_project,
+        # a driver numpy reference + norm/distance preservation).
+        # Registered as the exploded scalar-row view: value-hash
+        # harnesses sort columns, which a list<float> would defeat
+        "srp_project": similarity.srp_project_rows,
         # per-language vocabulary heavy hitters (PARTITION BY top-k)
         "top_tokens_per_lang": textstats.top_tokens_per_lang,
         # multimodal (binary payload columns; decode stubbed, plumbing real)
@@ -1352,6 +1358,19 @@ def oracle_sql() -> dict[str, str]:
         # per-source recrawl priority: the oracle is free to exploit the
         # analytic form of snapshot B's modular derivation; the Ray side
         # consumes snapshot_diff's actual output
+        # exact discrete quantiles: quantile_disc uses the same
+        # rank = ceil(q*n)-1 convention the Ray side implements
+        "value_quantiles_exact": """
+            SELECT 0.01 AS q, quantile_disc(value, 0.01) AS value FROM events
+            UNION ALL
+            SELECT 0.25, quantile_disc(value, 0.25) FROM events
+            UNION ALL
+            SELECT 0.50, quantile_disc(value, 0.50) FROM events
+            UNION ALL
+            SELECT 0.75, quantile_disc(value, 0.75) FROM events
+            UNION ALL
+            SELECT 0.99, quantile_disc(value, 0.99) FROM events
+        """,
         "recrawl_priority": """
             WITH per AS (
                 SELECT source, COUNT(*)::HUGEINT AS n_docs,

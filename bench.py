@@ -207,6 +207,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "distinct_users_per_window",
         "hll_users_per_type",
         "value_quantiles_sketch",
+        "value_quantiles_exact",
         "vocab_topk_sketch",
         "countmin_freq",
         "pack_sequences",

@@ -1468,3 +1468,31 @@ def srp_project(sf_dir: str, d_out: int = 16) -> rd.Dataset:
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def srp_project_rows(sf_dir: str, d_out: int = 16) -> rd.Dataset:
+    """:func:`srp_project` exploded to scalar (vec_id, j, x) rows — the
+    registered/gate-facing view: correctness harnesses sort and hash
+    column VALUES, which a list<float> column defeats; one row per
+    projected coordinate carries the identical content in hashable
+    form. The list-column Dataset remains the library API."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        proj = t["proj"].combine_chunks()
+        flat = proj.flatten().to_numpy(zero_copy_only=False)
+        d = np.diff(proj.offsets.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d), pa.int64()),
+                "j": pa.array(
+                    np.concatenate([np.arange(k, dtype=np.int64) for k in d])
+                    if len(d)
+                    else np.array([], np.int64),
+                    pa.int64(),
+                ),
+                "x": pa.array(np.round(flat, 9), pa.float64()),
+            }
+        )
+
+    return srp_project(sf_dir, d_out=d_out).map_batches(explode, batch_format="pyarrow")

@@ -1209,3 +1209,97 @@ def robots_audit(pages_dir: str, log, n_buckets: int = 16) -> pd.DataFrame:
     for c in ("n_fetched", "n_rules", "n_violations"):
         out[c] = out[c].astype("int64")
     return out.sort_values("host").reset_index(drop=True)
+
+
+def value_quantiles_exact(
+    sf_dir: str,
+    qs: tuple = (0.01, 0.25, 0.5, 0.75, 0.99),
+    bin_shift: int = 48,
+    max_boundary_rows: int = 20_000_000,
+) -> pd.DataFrame:
+    """EXACT discrete quantiles of ``events.value`` at arbitrary q —
+    the order-statistic sibling of ``value_deciles`` with its
+    domain-bounded assumption removed (deciles collects one row per
+    DISTINCT 2-decimal value; this works on any float64 column via the
+    histogram-refinement primitive ``fluency_buckets`` introduced) and
+    of ``value_quantiles_sketch`` with the approximation removed
+    (DDSketch trades exactness for one pass; this is exact in two).
+
+    Rank convention matches DuckDB ``quantile_disc``:
+    ``rank = max(0, ceil(q*n) - 1)`` over ASC order.
+
+    Scale shape: floats map to their order-preserving uint64 key
+    (sign-fold of the IEEE bits), a coarse arithmetic-shift histogram
+    (<= 2^(64-bin_shift) bins) locates each target rank's bin in ONE
+    partial-combiner groupby, ONLY the boundary bins' rows are
+    collected (expected ~n/2^16 per target, cap-guarded), and the
+    exact element is read off a driver sort of that sliver. No global
+    sort, nothing corpus-sized lands anywhere."""
+    import math
+
+    import numpy as np
+
+    from .common import bounded_driver_frame
+
+    ds = T(sf_dir, "events", columns=["value"])
+
+    # IEEE-754 total-order fold: non-negative floats compare as their
+    # int64 bits; negative floats reverse-order as ints, so XOR their
+    # lower 63 bits (keeps them negative, reverses the order; -0.0
+    # lands at -1, just below +0.0's 0). XOR cannot overflow.
+    def key_of(v: np.ndarray) -> np.ndarray:
+        b = v.astype(np.float64).view(np.int64)
+        return np.where(b >= 0, b, b ^ np.int64(0x7FFFFFFFFFFFFFFF))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        k = key_of(t["value"].combine_chunks().to_numpy(zero_copy_only=False))
+        g = (
+            pa.table({"bin": pa.array(k >> bin_shift, pa.int64())})
+            .group_by("bin")
+            .aggregate([([], "count_all")])
+        )
+        return rename(g, {"count_all": "p_n"})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    bins = hist["bin"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(hist["n"].to_numpy(dtype=np.int64))
+    n = int(cum[-1])
+    ranks = [max(0, math.ceil(q * n) - 1) for q in qs]
+    need_bins = sorted(
+        {int(bins[int(np.searchsorted(cum, r, side="right"))]) for r in ranks}
+    )
+    cum_excl = np.concatenate(([0], cum[:-1]))
+
+    need_set = set(need_bins)
+
+    def in_boundary(t: pa.Table) -> pa.Table:
+        k = key_of(t["value"].combine_chunks().to_numpy(zero_copy_only=False))
+        b = k >> bin_shift
+        keep = np.fromiter((int(x) in need_set for x in b), dtype=bool, count=len(b))
+        return t.filter(pa.array(keep))
+
+    bnd = bounded_driver_frame(
+        ds.map_batches(in_boundary, batch_format="pyarrow"),
+        "value_quantiles_exact boundary-bin rows (~n/2^16 per target)",
+        max_boundary_rows,
+    )
+    v = bnd["value"].to_numpy(dtype=np.float64)
+    k = key_of(v)
+    order = np.argsort(k, kind="stable")
+    v_s, k_s = v[order], k[order]
+    b_s = k_s >> bin_shift
+
+    out_q, out_v = [], []
+    for q, r in zip(qs, ranks):
+        b = int(bins[int(np.searchsorted(cum, r, side="right"))])
+        below = int(cum_excl[int(np.searchsorted(bins, b))])
+        local = np.flatnonzero(b_s == b)[r - below]
+        out_q.append(float(q))
+        out_v.append(float(v_s[local]))
+    return pd.DataFrame({"q": out_q, "value": out_v})

@@ -86,6 +86,7 @@ SWEEP = [
     "funnel_conversions",
     "event_type_matrix",
     "value_deciles",
+    "value_quantiles_exact",
     "retention_cohorts",
     "left_join_customer_names",
     "corr_quantity_price",
@@ -3767,3 +3768,47 @@ class TestRobotsAudit:
         out = robots_audit(pages_dir, fake).set_index("host")
         assert out.loc[ruled, "n_fetched"] == 3
         assert out.loc[ruled, "n_violations"] == 2
+
+
+class TestValueQuantilesExact:
+    def test_negative_values_and_extremes(self, tmp_path):
+        """The IEEE total-order fold must sort negatives correctly
+        (the sf fixture is all-positive, so this plants a signed
+        domain) and the q=0/q=1 edges must clamp to min/max."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.windows import value_quantiles_exact
+
+        vals = [-5.25, -0.0, 0.0, 3.5, -100.0, 7.25, 0.25, -1.5]
+        pq.write_table(
+            pa.table({"event_id": pa.array(range(len(vals)), pa.int64()),
+                      "value": pa.array(vals, pa.float64())}),
+            f"{tmp_path}/events.parquet",
+        )
+        qs = (0.0, 0.25, 0.5, 0.75, 1.0)
+        out = value_quantiles_exact(str(tmp_path), qs=qs)
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+        )
+        sel = [
+            con.execute(f"SELECT quantile_disc(value, {q}) FROM events").fetchone()[0]
+            for q in qs
+        ]
+        assert out["value"].tolist() == [float(x) for x in sel]
+        assert out["value"].iloc[0] == -100.0 and out["value"].iloc[-1] == 7.25
+
+    def test_boundary_cap_guard(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from blockspider_ray.pipelines.windows import value_quantiles_exact
+
+        pq.write_table(
+            pa.table({"value": pa.array([1.0] * 100, pa.float64())}),
+            f"{tmp_path}/events.parquet",
+        )
+        with _pytest.raises(RuntimeError, match="driver-collection cap"):
+            value_quantiles_exact(str(tmp_path), qs=(0.5,), max_boundary_rows=10)

@@ -38,7 +38,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].round(9)
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64", errors="ignore")
-    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+    # list/array-valued columns are unsortable (and unhashable): drop
+    # them from the SORT KEY only — values still compare positionally
+    sortable = [
+        c
+        for c in df.columns
+        if df[c].dtype != object
+        or not df[c].map(lambda x: isinstance(x, (list, tuple)) or hasattr(x, "__array__")).any()
+    ]
+    return df.sort_values(sortable or list(df.columns)[:1], kind="stable").reset_index(
+        drop=True
+    )
 
 
 def main() -> int:
