@@ -421,6 +421,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # daily-crawl path; default index built on first use under /tmp,
         # update_index stays False here so repeat calls are deterministic)
         "exact_dedup_incremental": dedup.exact_dedup_incremental,
+        # incremental NEAR-dup against the persisted MinHash band/sig
+        # index (no SQL oracle: signature-estimated Jaccard; pytest
+        # pins planted dups found, rejections at margin, and the
+        # post-update re-probe contract)
+        "neardup_incremental": dedup.neardup_incremental,
         # near-dup cluster resolution: distributed connected components
         # (hash-to-min) over the exact ngram pair list
         "near_dup_clusters": clusters.near_dup_clusters,

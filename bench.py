@@ -258,6 +258,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "compression_ratio",
         "exact_dedup",
         "exact_dedup_incremental",
+        "neardup_incremental",
         "line_dedup",
         "paragraph_dedup",
         "ccnet_corpus",

@@ -85,6 +85,23 @@ def _signatures(t: pa.Table, a: np.ndarray, b: np.ndarray, k: int = 5) -> tuple[
     return texts, sigs, nonempty
 
 
+def _band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(n, _LSH_BANDS) int64 band-bucket keys from (n, _MINHASH_PERMS)
+    uint64 signatures — FNV over each band's rows. Shared by the
+    one-shot pair miner and the persisted-index build/probe so the two
+    can never drift (drift = an index the probe silently misses in)."""
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    n = len(sigs)
+    bh = np.zeros((n, _LSH_BANDS), dtype=np.uint64)
+    for bi in range(_LSH_BANDS):
+        seg = sigs[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+        acc = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
+        for c in range(rows_per_band):
+            acc = (acc ^ seg[:, c]) * np.uint64(1099511628211)
+        bh[:, bi] = acc
+    return bh.view(np.int64)
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     threshold: float = 0.5,
@@ -124,7 +141,6 @@ def minhash_lsh_pairs_ds(
     count for both shuffles; ``max_driver_rows`` caps the candidate-pair
     frame's driver pull (``bounded_driver_frame``)."""
     a, b = tx.minhash_params(_MINHASH_PERMS)
-    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     B = n_buckets or n_shuffle_buckets()
 
     def bands(t: pa.Table) -> pa.Table:
@@ -136,20 +152,11 @@ def minhash_lsh_pairs_ds(
         # ngram_jaccard_pairs) define no pairs for shingle-less docs.
         doc_ids, sigs = doc_ids[nonempty], sigs[nonempty]
         band_ids = np.repeat(np.arange(_LSH_BANDS, dtype=np.int64)[None, :], len(doc_ids), axis=0).ravel()
-        # hash each band's rows into one bucket key
-        bh = np.zeros((len(doc_ids), _LSH_BANDS), dtype=np.uint64)
-        for bi in range(_LSH_BANDS):
-            seg = sigs[:, bi * rows_per_band : (bi + 1) * rows_per_band]
-            h = np.uint64(1469598103934665603)
-            acc = np.full(len(doc_ids), h, dtype=np.uint64)
-            for c in range(rows_per_band):
-                acc = (acc ^ seg[:, c]) * np.uint64(1099511628211)
-            bh[:, bi] = acc
         # band_hash ships as the int64 BIT PATTERN of the uint64 bucket
         # key: every shuffle column stays in int64 range so no pandas/
         # python round-trip can overflow Arrow int inference into the
         # pickled-object fallback (equality-only key, order irrelevant).
-        bh64 = bh.ravel().view(np.int64)
+        bh64 = _band_hashes(sigs).ravel()
         return pa.table(
             {
                 "band_id": pa.array(band_ids, pa.int64()),
@@ -2010,3 +2017,278 @@ def paragraph_dedup(
     )
     out = out[["doc_id", "text_clean", "n_removed_paras"]]
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def neardup_index_build(
+    sf_dir: str, index_dir: str, parity: int = 0, n_parts: int = 64
+) -> int:
+    """Persist the corpus's MinHash near-dup probe state as a
+    hash-partitioned index — the FUZZY sibling of ``dedup_index_build``
+    (which serves only exact dedup): ``bands/part=N/`` holds
+    (band_id, band_hash, doc_id) rows routed by ``band_hash & (P-1)``
+    and ``sigs/part=M/`` holds each doc's 64-perm signature routed by
+    ``doc_id & (P-1)``, so a later shard can find its near-duplicates
+    against the corpus WITHOUT re-reading corpus text — index
+    residence is 16 band rows + 512 B of signature per doc. Band
+    hashing is ``_band_hashes``, shared with the one-shot miner, so
+    index and probe can never drift. Staged write + atomic rename
+    (the postings-index crash-safety discipline). ``parity`` selects
+    the fixture's demo split (0 = even doc_ids as the "existing
+    corpus"). Returns the indexed-doc count."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    assert n_parts & (n_parts - 1) == 0, f"n_parts must be a power of two, got {n_parts}"
+    a, b = tx.minhash_params(_MINHASH_PERMS)
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        keep = pa.array((t["doc_id"].to_numpy(zero_copy_only=False) & 1) == parity)
+        t = t.filter(keep)
+        _, sigs, nonempty = _signatures(t, a, b)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[nonempty]
+        bh = _band_hashes(sigs[nonempty]).ravel()
+        return pa.table(
+            {
+                "part": pa.array(bh & (n_parts - 1), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(_LSH_BANDS, dtype=np.int64), len(ids)), pa.int64()
+                ),
+                "band_hash": pa.array(bh, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, _LSH_BANDS), pa.int64()),
+            }
+        )
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        keep = pa.array((t["doc_id"].to_numpy(zero_copy_only=False) & 1) == parity)
+        t = t.filter(keep)
+        _, sigs, nonempty = _signatures(t, a, b)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[nonempty]
+        return pa.table(
+            {
+                "part": pa.array(ids & (n_parts - 1), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(
+                    list(sigs[nonempty].view(np.int64)), pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    staging = index_dir.rstrip("/") + ".build-tmp"
+    shutil.rmtree(staging, ignore_errors=True)
+    ds.map_batches(band_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(staging, "bands"), partition_cols=["part"]
+    )
+    sig_ds = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
+    n = int(sig_ds.count())
+    sig_ds.write_parquet(os.path.join(staging, "sigs"), partition_cols=["part"])
+    with open(os.path.join(staging, "meta.json"), "w") as f:
+        json.dump({"n_parts": n_parts, "parity": parity, "n_docs": n}, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(staging, index_dir)
+    return n
+
+
+def neardup_incremental(
+    sf_dir: str,
+    index_dir: str | None = None,
+    parity: int = 1,
+    threshold: float = 0.5,
+    update_index: bool = False,
+    shard_tag: str = "inc",
+    max_driver_rows: int = _MAX_DRIVER_ROWS,
+) -> pd.DataFrame:
+    """Incremental NEAR-dup detection of a new shard against the
+    persisted MinHash index — the fuzzy sibling of
+    ``exact_dedup_incremental`` and the missing operational half of
+    ``minhash_lsh_pairs`` (one-shot mining re-shingles the whole
+    corpus per run; a daily crawl wants yesterday's corpus as an
+    INDEX). Returns (new_doc, index_doc, est_jaccard) for every new
+    doc whose estimated Jaccard against an indexed doc reaches
+    ``threshold``.
+
+    Semantics note (documented divergence from the one-shot miner):
+    the verify step scores the SIGNATURE-estimated Jaccard (fraction
+    of agreeing minhash rows, 64 perms — standard error ~1/8 at j=0.5)
+    rather than re-shingling index text, because the index stores no
+    text — that is the point. Pytest pins planted near-dups found,
+    unrelated docs rejected at margin, and the post-``update_index``
+    re-probe contract.
+
+    Scale shape: the new shard's band rows route to ``part =
+    band_hash & (P-1)`` in ONE groupby; each per-part probe task reads
+    exactly its own ``bands/part=N/`` files and emits (new, idx)
+    id-pairs from a lexsorted run-scan join. Candidate pairs are
+    duplicate-bounded (cap-guarded); index signatures are fetched by
+    opening ONLY the ``sigs/part=M/`` partitions the candidates' doc
+    ids route to (path-pruned); new-side signatures come from one
+    shuffle-free filtered pass over the shard. Nothing corpus-sized
+    moves or lands."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    if index_dir is None:
+        import hashlib
+
+        doc_path = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(doc_path)
+        fp = hashlib.sha1(
+            f"{os.path.abspath(doc_path)}|{st.st_size}|{st.st_mtime_ns}".encode()
+        ).hexdigest()[:16]
+        index_dir = os.path.join("/tmp", "bsr_neardup_index", fp)
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        neardup_index_build(sf_dir, index_dir, parity=1 - parity)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    P = int(meta["n_parts"])
+
+    a, b = tx.minhash_params(_MINHASH_PERMS)
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def new_band_rows(t: pa.Table) -> pa.Table:
+        keep = pa.array((t["doc_id"].to_numpy(zero_copy_only=False) & 1) == parity)
+        t = t.filter(keep)
+        _, sigs, nonempty = _signatures(t, a, b)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[nonempty]
+        bh = _band_hashes(sigs[nonempty]).ravel()
+        return pa.table(
+            {
+                "part": pa.array(bh & (P - 1), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(_LSH_BANDS, dtype=np.int64), len(ids)), pa.int64()
+                ),
+                "band_hash": pa.array(bh, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, _LSH_BANDS), pa.int64()),
+            }
+        )
+
+    _empty_pairs = pd.DataFrame(
+        {"new_doc": pd.Series([], dtype="int64"), "index_doc": pd.Series([], dtype="int64")}
+    )
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        pdir = os.path.join(index_dir, "bands", f"part={part}")
+        if not os.path.isdir(pdir):
+            return _empty_pairs
+        idx = pq.read_table(pdir, columns=["band_id", "band_hash", "doc_id"]).to_pandas()
+        m = g[["band_id", "band_hash", "doc_id"]].merge(
+            idx, on=["band_id", "band_hash"], suffixes=("_new", "_idx")
+        )
+        if not len(m):
+            return _empty_pairs
+        out = pd.DataFrame(
+            {
+                "new_doc": m["doc_id_new"].to_numpy(np.int64),
+                "index_doc": m["doc_id_idx"].to_numpy(np.int64),
+            }
+        )
+        out = out[out["new_doc"] != out["index_doc"]]  # post-update self-hits
+        return out.drop_duplicates()
+
+    from .common import bounded_driver_frame
+
+    cand = bounded_driver_frame(
+        ds.map_batches(new_band_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(probe, batch_format="pandas"),
+        "neardup_incremental candidate pairs (duplicate-bounded)",
+        max_driver_rows,
+    )
+    _empty_out = pd.DataFrame(
+        {
+            "new_doc": pd.Series([], dtype="int64"),
+            "index_doc": pd.Series([], dtype="int64"),
+            "est_jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(cand) == 0:
+        out = _empty_out
+    else:
+        cand = cand.drop_duplicates().reset_index(drop=True)
+        # index-side signatures: open ONLY the candidate parts
+        need_parts = sorted({int(d) & (P - 1) for d in cand["index_doc"]})
+        need_docs = set(int(d) for d in cand["index_doc"])
+        sig_idx: dict[int, np.ndarray] = {}
+        for m_ in need_parts:
+            pdir = os.path.join(index_dir, "sigs", f"part={m_}")
+            if not os.path.isdir(pdir):
+                continue
+            t = pq.read_table(pdir, columns=["doc_id", "sig"])
+            for did, s in zip(t["doc_id"].to_pylist(), t["sig"].to_pylist()):
+                if did in need_docs:
+                    sig_idx[did] = np.asarray(s, dtype=np.int64)
+        # new-side signatures: one shuffle-free filtered pass
+        need_new = set(int(d) for d in cand["new_doc"])
+        nref = ray.put(np.sort(np.fromiter(need_new, dtype=np.int64, count=len(need_new))))
+
+        def new_sigs(t: pa.Table) -> pa.Table:
+            nd = ray.get(nref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(nd, ids), len(nd) - 1) if len(nd) else None
+            keep = pa.array(nd[pos] == ids if len(nd) else np.zeros(len(ids), bool))
+            t = t.filter(keep)
+            _, sigs, nonempty = _signatures(t, a, b)
+            ids2 = t["doc_id"].to_numpy(zero_copy_only=False)[nonempty]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids2, pa.int64()),
+                    "sig": pa.array(list(sigs[nonempty].view(np.int64)), pa.list_(pa.int64())),
+                }
+            )
+
+        nt = ds.map_batches(new_sigs, batch_format="pyarrow").to_pandas()
+        sig_new = {int(d): np.asarray(s, dtype=np.int64) for d, s in zip(nt["doc_id"], nt["sig"])}
+        est = np.array(
+            [
+                float((sig_new[int(nd_)] == sig_idx[int(id_)]).mean())
+                if int(nd_) in sig_new and int(id_) in sig_idx
+                else 0.0
+                for nd_, id_ in zip(cand["new_doc"], cand["index_doc"])
+            ]
+        )
+        keep = est >= threshold
+        out = pd.DataFrame(
+            {
+                "new_doc": cand["new_doc"].to_numpy(np.int64)[keep],
+                "index_doc": cand["index_doc"].to_numpy(np.int64)[keep],
+                "est_jaccard": np.round(est[keep], 4),
+            }
+        ).sort_values(["new_doc", "index_doc"]).reset_index(drop=True)
+
+    if update_index:
+        import pyarrow.parquet as _pq
+
+        tag_path = os.path.join(index_dir, f"ingested-{shard_tag}.json")
+        if not os.path.exists(tag_path):  # exactly-once per shard_tag
+            ds.map_batches(new_band_rows, batch_format="pyarrow").write_parquet(
+                os.path.join(index_dir, "bands"), partition_cols=["part"]
+            )
+
+            def shard_sig_rows(t: pa.Table) -> pa.Table:
+                keep = pa.array(
+                    (t["doc_id"].to_numpy(zero_copy_only=False) & 1) == parity
+                )
+                t = t.filter(keep)
+                _, sigs, nonempty = _signatures(t, a, b)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)[nonempty]
+                return pa.table(
+                    {
+                        "part": pa.array(ids & (P - 1), pa.int64()),
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "sig": pa.array(list(sigs[nonempty].view(np.int64)), pa.list_(pa.int64())),
+                    }
+                )
+
+            ds.map_batches(shard_sig_rows, batch_format="pyarrow").write_parquet(
+                os.path.join(index_dir, "sigs"), partition_cols=["part"]
+            )
+            with open(tag_path, "w") as f:
+                json.dump({"tag": shard_tag}, f)
+    return out

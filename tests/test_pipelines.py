@@ -3812,3 +3812,103 @@ class TestValueQuantilesExact:
         )
         with _pytest.raises(RuntimeError, match="driver-collection cap"):
             value_quantiles_exact(str(tmp_path), qs=(0.5,), max_boundary_rows=10)
+
+
+class TestNearDupIncremental:
+    def test_planted_lifecycle(self, tmp_path):
+        """Build the index on the even-id corpus, probe odd-id shards:
+        a planted near-dup and an exact dup are found at threshold 0.5,
+        unrelated random docs are rejected, and after update_index a
+        day-2 probe finds a day-1 document."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.dedup import (
+            neardup_incremental,
+            neardup_index_build,
+        )
+
+        rng = np.random.default_rng(7)
+        words = [f"w{i}" for i in range(500)]
+        texts = [" ".join(rng.choice(words, size=80)) for _ in range(40)]
+        ids = [2 * i for i in range(40)]
+        t0 = texts[0].split()
+        t0v = t0[:70] + ["x1", "x2", "x3"] + t0[73:]
+        new_texts = [" ".join(rng.choice(words, size=80)) for _ in range(10)]
+        new_ids = [2 * i + 1 for i in range(10)]
+        new_texts[0], new_ids[0] = " ".join(t0v), 101   # near-dup of 0
+        new_texts[1], new_ids[1] = texts[1], 103        # exact dup of 2
+        d = str(tmp_path / "data")
+        (tmp_path / "data").mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids + new_ids, pa.int64()),
+                    "text": pa.array(texts + new_texts, pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        idx = str(tmp_path / "idx")
+        assert neardup_index_build(d, idx, parity=0) == 40
+        out = neardup_incremental(d, index_dir=idx, parity=1, threshold=0.5)
+        pairs = set(zip(out["new_doc"], out["index_doc"]))
+        assert (101, 0) in pairs and (103, 2) in pairs
+        assert out.set_index(["new_doc", "index_doc"]).loc[(103, 2), "est_jaccard"] == 1.0
+        assert all(nd in (101, 103) for nd, _ in pairs)  # no false positives
+        # ingest day 1, then probe a day-2 shard that dups a day-1 doc
+        neardup_incremental(
+            d, index_dir=idx, parity=1, threshold=0.5, update_index=True, shard_tag="d1"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([201], pa.int64()),
+                    "text": pa.array([new_texts[2]], pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        out2 = neardup_incremental(d, index_dir=idx, parity=1, threshold=0.5)
+        assert (201, new_ids[2]) in set(zip(out2["new_doc"], out2["index_doc"]))
+
+    def test_update_is_exactly_once_per_tag(self, tmp_path):
+        """Re-running the same shard_tag ingest must not duplicate index
+        rows (a duplicated band row would double-emit candidates)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockspider_ray.pipelines.dedup import (
+            neardup_incremental,
+            neardup_index_build,
+        )
+
+        d = str(tmp_path / "data")
+        (tmp_path / "data").mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 2, 1, 3], pa.int64()),
+                    "text": pa.array(
+                        ["a b c d e f g", "h i j k l m n", "a b c d e f g", "zz yy xx ww vv uu tt"],
+                        pa.string(),
+                    ),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        idx = str(tmp_path / "idx")
+        neardup_index_build(d, idx, parity=0)
+        for _ in range(2):  # second run must be a no-op
+            neardup_incremental(d, index_dir=idx, parity=1, update_index=True, shard_tag="s1")
+        n_band_files = sum(
+            len(files)
+            for _, _, files in os.walk(os.path.join(idx, "bands"))
+        )
+        # one build write + ONE ingest write per partition set — a
+        # doubled ingest would add a third file generation
+        probe = neardup_incremental(d, index_dir=idx, parity=1, threshold=0.5)
+        dup_pairs = probe[probe["new_doc"] == 1]
+        assert len(dup_pairs) == 1 and dup_pairs.iloc[0]["index_doc"] == 0
