@@ -413,9 +413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the CCNet recipe; line_dedup is the boilerplate half) — later
         # occurrences of a repeated paragraph are deleted corpus-wide
         "paragraph_dedup": dedup.paragraph_dedup,
-        # the CCNet recipe end-to-end: paragraph dedup -> boilerplate
-        # removal -> integer-exact per-lang fluency terciles, tail
-        # dropped; one chained Dataset pipeline, one composed oracle
+        # the CCNet recipe end-to-end: boilerplate removal ->
+        # first-occurrence paragraph dedup -> integer-exact per-lang
+        # fluency terciles, tail dropped; one chained Dataset pipeline
         "ccnet_corpus": corpus.ccnet_corpus,
         # incremental exact dedup against the persisted fp index (the
         # daily-crawl path; default index built on first use under /tmp,
@@ -1198,9 +1198,9 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id, t.n_lines
         """,
-        # the CCNet composition: stage-1 paragraph winners, stage-2
-        # boilerplate removal over the deduped text, stage-3
-        # integer-exact fluency NTILE over the cleaned text, tail cut
+        # the CCNet composition: stage-1 boilerplate removal on the RAW
+        # corpus, stage-2 first-occurrence paragraph winners over the
+        # cleaned text, stage-3 integer-exact fluency NTILE, tail cut
         "ccnet_corpus": r"""
             WITH lines1 AS (
                 SELECT doc_id, lang, generate_subscripts(ls, 1)::BIGINT AS idx,

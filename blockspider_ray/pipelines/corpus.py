@@ -1151,8 +1151,16 @@ def ccnet_corpus(
     from .textstats import fluency_buckets_ds
 
     ds = T(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    s1 = line_dedup_ds(ds, min_docs=min_docs).drop_columns(["n_removed_lines"])
-    s2 = paragraph_dedup_ds(s1).drop_columns(["n_removed_paras"])
+    # materialize between stages: every stage's driver-collect
+    # (boilerplate set, dup-paragraph set, LM vocab, NTILE histogram)
+    # triggers upstream execution, so an unmaterialized chain re-runs
+    # the raw read ~4x and the line-clean text kernel ~3x; pinning each
+    # stage's output in the (spillable) object store makes every text
+    # pass run exactly once
+    s1 = line_dedup_ds(ds, min_docs=min_docs).drop_columns(
+        ["n_removed_lines"]
+    ).materialize()
+    s2 = paragraph_dedup_ds(s1).drop_columns(["n_removed_paras"]).materialize()
     s3 = fluency_buckets_ds(s2, k=k, carry_text=True)
     return s3.filter(expr=f"bucket <= {keep_max_bucket}")
 

@@ -1917,7 +1917,9 @@ def paragraph_dedup_ds(
         starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
         pidx = np.arange(len(doc), dtype=np.int64) - np.repeat(starts, lens)
         assert len(doc) == 0 or (
-            int(doc.max()) < (1 << (63 - SHIFT)) and int(pidx.max()) < (1 << SHIFT)
+            int(doc.min()) >= 0
+            and int(doc.max()) < (1 << (63 - SHIFT))
+            and int(pidx.max()) < (1 << SHIFT)
         ), "paragraph_dedup: packed (doc_id, position) key out of range (see docstring)"
         return doc, lens, starts, pidx, flat_arr, nchars
 
@@ -2267,10 +2269,11 @@ def neardup_incremental(
 
         tag_path = os.path.join(index_dir, f"ingested-{shard_tag}.json")
         if not os.path.exists(tag_path):  # exactly-once per shard_tag
-            ds.map_batches(new_band_rows, batch_format="pyarrow").write_parquet(
-                os.path.join(index_dir, "bands"), partition_cols=["part"]
-            )
-
+            # SIGS FIRST: a crash between the two writes must leave
+            # orphan signatures (never probed — harmless), not band rows
+            # without signatures (probed, scored 0.0, dup silently
+            # dropped). A retry re-appends both; duplicate band rows only
+            # duplicate candidates, which drop_duplicates() absorbs.
             def shard_sig_rows(t: pa.Table) -> pa.Table:
                 keep = pa.array(
                     (t["doc_id"].to_numpy(zero_copy_only=False) & 1) == parity
@@ -2288,6 +2291,9 @@ def neardup_incremental(
 
             ds.map_batches(shard_sig_rows, batch_format="pyarrow").write_parquet(
                 os.path.join(index_dir, "sigs"), partition_cols=["part"]
+            )
+            ds.map_batches(new_band_rows, batch_format="pyarrow").write_parquet(
+                os.path.join(index_dir, "bands"), partition_cols=["part"]
             )
             with open(tag_path, "w") as f:
                 json.dump({"tag": shard_tag}, f)

@@ -953,6 +953,10 @@ def kcore(edges: rd.Dataset, max_iters: int = 64, n_buckets: int = 16) -> pd.Dat
     degrees) — SYNCHRONOUS updates, so the result is deterministic and
     order-free, unlike peeling's tie-order ambiguity. Undirected:
     edges are mirrored; self-loops dropped; multi-edges collapse.
+    Hosts with ONLY self-loop edges have no neighbors and hence no
+    core number — they are omitted from the output (note the
+    divergence from ``component_table``, which reports them as
+    singleton components; both match their pinned references).
 
     Scale shape — the pagerank/FastSV loop discipline: per iteration
     ONE fused launch with two bucketed all-to-alls over fixed-width

@@ -2310,15 +2310,20 @@ def bm25_build_sidecar(sf_dir: str, index_dir: str) -> str:
     n_docs = int(sum_col_over_blocks(mat, "p_docs"))
     total_tokens = int(sum_col_over_blocks(mat, "dl"))
     mat.filter(expr="doc_id >= 0").select_columns(["doc_id", "dl"]).write_parquet(staging)
+    shutil.rmtree(live, ignore_errors=True)
+    os.rename(staging, live)
+    # stats LAST, via an atomic replace: bm25_topk_indexed gates its
+    # build-on-first-use on this file, so it is the commit marker — a
+    # crash anywhere above leaves no stats and the next query rebuilds
+    stats_tmp = os.path.join(index_dir, "bm25_stats.parquet.tmp")
     pq.write_table(
         pa.table(
             {"n_docs": pa.array([n_docs], pa.int64()),
              "total_tokens": pa.array([total_tokens], pa.int64())}
         ),
-        os.path.join(index_dir, "bm25_stats.parquet"),
+        stats_tmp,
     )
-    shutil.rmtree(live, ignore_errors=True)
-    os.rename(staging, live)
+    os.replace(stats_tmp, os.path.join(index_dir, "bm25_stats.parquet"))
     return live
 
 
@@ -2404,7 +2409,7 @@ def bm25_topk_indexed(
         return rename(g, {"count_all": "p_tf"})
 
     tf = (
-        rd.read_parquet(paths, columns=["token", "doc_id", "pos"])
+        rd.read_parquet(paths, columns=["token", "doc_id"])
         .map_batches(tf_partial, batch_format="pyarrow")
         .groupby(["doc_id", "token"])
         .aggregate(Sum("p_tf", alias_name="tf"))
@@ -2482,7 +2487,19 @@ def bm25_topk_indexed(
                 {"doc_id": pd.Series([], dtype=np.int64),
                  "score": pd.Series([], dtype="float64")}
             )
-        dl = dl_s[np.searchsorted(dl_doc_s, cdoc)]
+        # consistency guard: a postings doc with no doclen row means the
+        # sidecar predates a postings_update_index ingest — an unchecked
+        # searchsorted would crash or silently use another doc's length
+        pos = np.searchsorted(dl_doc_s, cdoc)
+        if len(dl_doc_s) == 0 or (pos >= len(dl_doc_s)).any() or (
+            dl_doc_s[np.minimum(pos, len(dl_doc_s) - 1)] != cdoc
+        ).any():
+            raise RuntimeError(
+                "bm25_topk_indexed: postings contain docs absent from the "
+                "bm25 doclen sidecar (stale after postings_update_index?); "
+                "re-run bm25_build_sidecar over the full corpus"
+            )
+        dl = dl_s[pos]
         part = idf_[cti] * (ctf * (k1 + 1.0)) / (ctf + k1 * (1.0 - b + b * dl / avgdl))
         order = np.argsort(cdoc, kind="stable")
         cd_s, p_s = cdoc[order], part[order]

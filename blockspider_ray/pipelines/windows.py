@@ -1109,9 +1109,16 @@ def robots_audit(pages_dir: str, log, n_buckets: int = 16) -> pd.DataFrame:
     def rule_rows(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        rob = t.filter(pc.match_substring(t["url"], "/robots.txt"))
+        # cheap vectorized prefilter, then confirm the path is EXACTLY
+        # /robots.txt at the host root — a mirrored copy
+        # (/archive/robots.txt) or an article about robots.txt must not
+        # contribute rules for its host
+        rob = t.filter(pc.ends_with(t["url"], "/robots.txt"))
         hosts, prefixes = [], []
         for u, body in zip(rob["url"].to_pylist(), rob["text"].to_pylist()):
+            rest = u.split("://", 1)[-1]
+            if ("/" + rest.split("/", 1)[1] if "/" in rest else "/") != "/robots.txt":
+                continue
             h = url_host(u)
             for p in parse_robots(body or ""):
                 hosts.append(h)
@@ -1267,6 +1274,10 @@ def value_quantiles_exact(
         .to_pandas()
         .sort_values("bin")
     )
+    if len(hist) == 0:  # empty table: no quantiles to report
+        return pd.DataFrame(
+            {"q": pd.Series([], dtype="float64"), "value": pd.Series([], dtype="float64")}
+        )
     bins = hist["bin"].to_numpy(dtype=np.int64)
     cum = np.cumsum(hist["n"].to_numpy(dtype=np.int64))
     n = int(cum[-1])

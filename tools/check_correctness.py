@@ -46,9 +46,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype != object
         or not df[c].map(lambda x: isinstance(x, (list, tuple)) or hasattr(x, "__array__")).any()
     ]
-    return df.sort_values(sortable or list(df.columns)[:1], kind="stable").reset_index(
-        drop=True
-    )
+    if not sortable:  # every column list-valued: positional compare only
+        return df.reset_index(drop=True)
+    return df.sort_values(sortable, kind="stable").reset_index(drop=True)
 
 
 def main() -> int:
