@@ -2167,13 +2167,11 @@ def fluency_buckets_ds(
 
     # ---- locate, per lang, the bin holding each NTILE cut rank ----
     boundary: dict[str, list[tuple[int, int]]] = {}  # lang -> [(cut_rank, bin)]
-    totals: dict[str, int] = {}
     for lg, grp in hist.groupby("lang"):
         grp = grp.sort_values("bin")
         bins = grp["bin"].to_numpy(dtype=np.int64)
         cum = np.cumsum(grp["n"].to_numpy(dtype=np.int64))
         total = int(cum[-1])
-        totals[lg] = total
         q0, rem = total // k, total % k
         cuts = np.cumsum([q0 + (1 if i < rem else 0) for i in range(k - 1)])
         cuts = [int(c) for c in cuts if 0 < c < total]
