@@ -1165,7 +1165,9 @@ def ccnet_corpus(
     return s3.filter(expr=f"bucket <= {keep_max_bucket}")
 
 
-def recrawl_priority(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
+def recrawl_priority(
+    sf_dir: str, n_buckets: int | None = None, diff: rd.Dataset | None = None
+) -> pd.DataFrame:
     """Adaptive recrawl scheduling from a snapshot diff — the
     crawl-strategy rollup the engine's frontier would consume next
     session: per source, how much of its corpus moved between
@@ -1179,6 +1181,11 @@ def recrawl_priority(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
 
     ``added`` docs carry no source (they are new ids) and are excluded;
     the rate is over the source's ORIGINAL snapshot population.
+    Pass a precomputed ``diff`` Dataset (the ``snapshot_diff`` output
+    schema: doc_id, status) to roll up an existing delta instead of
+    re-deriving it — the registered query re-derives for determinism,
+    but an operational caller already holds the diff (7.7 s of the
+    sf0.1 bench entry is the re-derivation).
 
     Scale shape: consumes :func:`snapshot_diff`'s actual delta-sized
     output (never the modular shortcut the oracle is free to exploit);
@@ -1208,7 +1215,8 @@ def recrawl_priority(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
         .to_pandas()
     )
 
-    diff = snapshot_diff(sf_dir, n_buckets=n_buckets)
+    if diff is None:
+        diff = snapshot_diff(sf_dir, n_buckets=n_buckets)
 
     def diff_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)

@@ -3614,6 +3614,9 @@ class TestRecrawlPriority:
         assert (out["priority"].to_numpy() == np.arange(1, len(out) + 1)).all()
         b = recrawl_priority(SF, n_buckets=4)
         pd.testing.assert_frame_equal(out, b, check_dtype=False)
+        # the operational path: a precomputed diff rolls up identically
+        c = recrawl_priority(SF, diff=snapshot_diff(SF))
+        pd.testing.assert_frame_equal(out, c, check_dtype=False)
 
 
 class TestHostComponents:
